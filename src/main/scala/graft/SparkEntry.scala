@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{RelationalQueries => RQ}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-inventory entries (SURVEY.md §2) to runnable
+  * DataFrame programs over the driver test tables; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-compare correctness gate. Column
+  * names and value types are aligned on both sides (see
+  * operators/RelationalQueries.scala header for the determinism rules).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RQ.q03JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (RQ.q01Agg _),
+    "q02_filter_project" -> (RQ.q02FilterProject _),
+    "q03_join_agg" -> (RQ.q03JoinAgg _),
+    "q04_semi_join" -> (RQ.q04SemiJoin _),
+    "q05_anti_join" -> (RQ.q05AntiJoin _),
+    "q06_window_rank" -> (RQ.q06WindowRank _),
+    "q07_dedup_last_wins" -> (RQ.q07DedupLastWins _),
+    "q08_distinct_count" -> (RQ.q08DistinctCount _),
+    "q09_multi_join" -> (RQ.q09MultiJoin _),
+    "q10_set_ops" -> (RQ.q10SetOps _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" -> RQ.q01Sql,
+    "q02_filter_project" -> RQ.q02Sql,
+    "q03_join_agg" -> RQ.q03Sql,
+    "q04_semi_join" -> RQ.q04Sql,
+    "q05_anti_join" -> RQ.q05Sql,
+    "q06_window_rank" -> RQ.q06Sql,
+    "q07_dedup_last_wins" -> RQ.q07Sql,
+    "q08_distinct_count" -> RQ.q08Sql,
+    "q09_multi_join" -> RQ.q09Sql,
+    "q10_set_ops" -> RQ.q10Sql,
+  )
 }
