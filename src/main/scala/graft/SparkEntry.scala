@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalQueries => RQ}
+import graft.operators.{RelationalQueries => RQ, TextQueries => TQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,16 @@ object SparkEntry {
     "q08_distinct_count" -> (RQ.q08DistinctCount _),
     "q09_multi_join" -> (RQ.q09MultiJoin _),
     "q10_set_ops" -> (RQ.q10SetOps _),
+    "q11_conditional_agg" -> (TQ.q11ConditionalAgg _),
+    "q12_string_norm" -> (TQ.q12StringNorm _),
+    "q13_regex_extract" -> (TQ.q13RegexExtract _),
+    "q14_date_trunc" -> (TQ.q14DateTrunc _),
+    "q15_topk_per_group" -> (TQ.q15TopKPerGroup _),
+    "q16_explode_distinct" -> (TQ.q16ExplodeDistinct _),
+    "q17_collect_sorted" -> (TQ.q17CollectSorted _),
+    "q18_running_sum" -> (TQ.q18RunningSum _),
+    "q19_levenshtein" -> (TQ.q19Levenshtein _),
+    "q20_first_nonempty" -> (TQ.q20FirstNonEmpty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +53,15 @@ object SparkEntry {
     "q08_distinct_count" -> RQ.q08Sql,
     "q09_multi_join" -> RQ.q09Sql,
     "q10_set_ops" -> RQ.q10Sql,
+    "q11_conditional_agg" -> TQ.q11Sql,
+    "q12_string_norm" -> TQ.q12Sql,
+    "q13_regex_extract" -> TQ.q13Sql,
+    "q14_date_trunc" -> TQ.q14Sql,
+    "q15_topk_per_group" -> TQ.q15Sql,
+    "q16_explode_distinct" -> TQ.q16Sql,
+    "q17_collect_sorted" -> TQ.q17Sql,
+    "q18_running_sum" -> TQ.q18Sql,
+    "q19_levenshtein" -> TQ.q19Sql,
+    "q20_first_nonempty" -> TQ.q20Sql,
   )
 }

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.CleaningColumns
+
+/** Expression-library and window operators over documents/events/part —
+  * each exercises SURVEY §2.3/§2.8 entries with a DuckDB-parity oracle.
+  */
+object TextQueries {
+
+  /** q11 — F1/F4-style conditional logic: pivoted conditional aggregation.
+    * Ref: type canonicalization `core/curator.py:404-419`. */
+  def q11ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"l_returnflag" === "R", $"l_quantity".cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("qty_returned"),
+        sum(when($"l_returnflag" === "A", $"l_quantity".cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("qty_accepted"),
+        sum(when($"l_returnflag" === "N", $"l_quantity".cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("qty_none"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q11Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_returned,
+      |  CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_accepted,
+      |  CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_none
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** q12 — E1/E2/E16: string normalization projection (translate-based,
+    * stays in whole-stage codegen). Ref: `lib/cleaner.py:73-159,497-499`. */
+  def q12StringNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(
+        $"doc_id".cast("long").as("doc_id"),
+        CleaningColumns.removeAsciiCol(
+          CleaningColumns.normalizeSpacesCol(
+            CleaningColumns.normalizeHyphensCol(substring($"text", 1, 60)))).as("norm_prefix"),
+        upper($"lang").as("lang_u"))
+      .orderBy($"doc_id")
+  }
+
+  // Built from the same character tables as the Spark side so the two
+  // engines share byte-identical translate arguments.
+  val q12Sql: String = {
+    val hy = graft.functions.Cleaning.HyphenVariants
+    val sp = graft.functions.Cleaning.SpaceVariants
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  trim(regexp_replace(regexp_replace(
+       |    replace(translate(translate(substr(text, 1, 60),
+       |      '$hy', '${"-" * hy.length}'),
+       |      '$sp', '${" " * sp.length}'), '&nbsp;', ' '),
+       |    '[\\x00-\\x1f\\x7f\\x80-\\xff]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_prefix,
+       |  upper(lang) AS lang_u
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q13 — E10/E11-style regex extraction: first numeric token and token
+    * count per document. Ref: `lib/master_of_regex.py:35-63`. */
+  def q13RegexExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(
+        $"doc_id".cast("long").as("doc_id"),
+        regexp_extract($"text", "([0-9]+)", 1).as("first_num"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q13Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  coalesce(regexp_extract(text, '([0-9]+)', 1), '') AS first_num,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q14 — E4/E17-style date precision bucketing: events per UTC day.
+    * ts is epoch-ns (nanosAsLong read). */
+  def q14DateTrunc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("day", date_format(timestamp_micros(($"ts" / 1000).cast("long")), "yyyy-MM-dd"))
+      .groupBy($"day")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy($"day")
+  }
+
+  val q14Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
+  /** q15 — W5: first-2-per-key early exit (curator.py:799-817) as a
+    * rank-limited window over part prices per brand. */
+  def q15TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"p_brand", $"rn".cast("long").as("rn"),
+        $"p_partkey".cast("long").as("p_partkey"),
+        $"p_retailprice".cast("decimal(18,2)").cast("double").as("price"))
+      .orderBy($"p_brand", $"rn")
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand, CAST(rn AS BIGINT) AS rn, CAST(p_partkey AS BIGINT) AS p_partkey,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+      |WHERE rn <= 2 ORDER BY p_brand, rn""".stripMargin
+
+  /** q16 — G1-style explode+distinct: distinct vocabulary size per lang.
+    * Ref: identifier collection `core/curator.py:46-98`. */
+  def q16ExplodeDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"lang")
+      .agg(countDistinct($"tok").cast("long").as("vocab"),
+        count(lit(1)).cast("long").as("tokens"))
+      .orderBy($"lang")
+  }
+
+  val q16Sql: String =
+    """SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab,
+      |  CAST(count(*) AS BIGINT) AS tokens
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE len(tok) > 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q17 — G2: group-to-ordered-list index build (curator.py:1045-1101):
+    * suppliers per nation as a sorted joined string. */
+  def q17CollectSorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    supplier(s, dir)
+      .join(broadcast(nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(concat_ws("|", array_sort(collect_list($"s_name"))).as("suppliers"),
+        count(lit(1)).cast("long").as("n"))
+      .orderBy($"n_name")
+  }
+
+  val q17Sql: String =
+    """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q18 — G3-style running window: cumulative value per user over time
+    * (users 0..49 to bound output size). */
+  def q18RunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .filter($"user_id" < 50)
+      .withColumn("running", sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"), $"running")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q18Sql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin
+
+  /** q19 — G6/J12: Levenshtein-scored candidate pairs within a blocking key
+    * (brand), the reference's fuzzy-match join shape
+    * (`lib/bibliographic_matching.py:185-259`). */
+  def q19Levenshtein(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p1 = part(s, dir).select($"p_brand", $"p_partkey".as("k1"), $"p_name".as("name1"))
+    val p2 = part(s, dir).select($"p_brand", $"p_partkey".as("k2"), $"p_name".as("name2"))
+    p1.join(p2, Seq("p_brand"))
+      .filter($"k1" < $"k2")
+      .withColumn("dist", levenshtein($"name1", $"name2"))
+      .filter($"dist" <= 8)
+      .select($"p_brand", $"k1".cast("long").as("k1"), $"k2".cast("long").as("k2"),
+        $"dist".cast("long").as("dist"))
+      .orderBy($"p_brand", $"k1", $"k2")
+  }
+
+  val q19Sql: String =
+    """SELECT a.p_brand AS p_brand, CAST(a.p_partkey AS BIGINT) AS k1, CAST(b.p_partkey AS BIGINT) AS k2,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 8
+      |ORDER BY p_brand, k1, k2""".stripMargin
+
+  /** q20 — J6/G3: first-non-empty propagation per entity (curator.py
+    * 1370-1386): earliest non-empty props value per user. */
+  def q20FirstNonEmpty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, dir)
+      .filter($"props".isNotNull && length($"props") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id".cast("long").as("user_id"), $"props".as("first_props"))
+      .orderBy($"user_id")
+  }
+
+  val q20Sql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id, props AS first_props
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+      |      FROM events WHERE props IS NOT NULL AND len(props) > 0)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+}

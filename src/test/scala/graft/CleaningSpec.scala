@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Cleaning, VolumeIssue}
+
+/** Golden tests ported from the reference's `test/cleaner_test.py`. */
+class CleaningSpec extends AnyFunSuite {
+
+  test("normalize_hyphens: 12 dash variants") {
+    val broken = Seq(
+      "100\u00ad101", "100\u06d4101", "100\u2010101", "100\u2011101",
+      "100\u2012101", "100\u2013101", "100\u2014101", "100\u2043101",
+      "100\u2212101", "100\u2796101", "100\u2cba101", "100\ufe58101")
+    assert(broken.map(Cleaning.normalizeHyphens) == Seq.fill(12)("100-101"))
+  }
+
+  test("normalize_spaces") {
+    val broken = Seq("100\u0009101", "100\u00a0101", "100\u200b101", "100\u202f101")
+    assert(broken.map(Cleaning.normalizeSpaces) == Seq.fill(4)("100 101"))
+    assert(Cleaning.normalizeSpaces("100&nbsp;101") == "100 101")
+  }
+
+  test("clean_title goldens") {
+    val in = Seq(
+      "OpenCitations, an infrastructure organization for open scholarship",
+      "OPENCITATIONS, AN INFRASTRUCTURE ORGANIZATION FOR OPEN SCHOLARSHIP",
+      "opencitations, an infrastructure organization for open scholarship",
+      "OpenCitations,             an infrastructure organization for open scholarship",
+      " \"\"agile\"\"    \"Knowledge\"   graph   testing ù ò       à  with   TESTaLOD (!incredible!) έτος  汉字",
+      "Elsevier BV",
+    )
+    val out = Seq(
+      "OpenCitations, An Infrastructure Organization For Open Scholarship",
+      "Opencitations, An Infrastructure Organization For Open Scholarship",
+      "Opencitations, An Infrastructure Organization For Open Scholarship",
+      "OpenCitations, An Infrastructure Organization For Open Scholarship",
+      "\"\"Agile\"\" \"Knowledge\" Graph Testing Ù Ò À With TESTaLOD (!Incredible!) Έτος 汉字",
+      "Elsevier BV",
+    )
+    assert(in.map(Cleaning.cleanTitle) == out)
+  }
+
+  test("clean_date valid/truncating") {
+    val in = Seq("2020-13-50", "2020-02-50", "2020-02-11", "2020-12-12", "2000", "2000-12", "2000-13")
+    val out = Seq("2020", "2020-02", "2020-02-11", "2020-12-12", "2000", "2000-12", "2000")
+    assert(in.map(Cleaning.cleanDate) == out)
+  }
+
+  test("clean_date invalid") {
+    val in = Seq("100000-13-50", "02-11", "11", "100000", "godopoli")
+    assert(in.map(Cleaning.cleanDate) == Seq.fill(5)(""))
+  }
+
+  test("clean_name goldens") {
+    val in = Seq("Peroni, Silvio", "Peroni, S.", "  Peroni   ,    Silvio  ", "PERONI, SILVIO",
+      "", "peroni", "peroni, Silvio", "McSorley, Stephen", "OECD", ",")
+    val out = Seq("Peroni, Silvio", "Peroni, S.", "Peroni, Silvio", "Peroni, Silvio",
+      "", "Peroni", "Peroni, Silvio", "McSorley, Stephen", "Oecd", "")
+    assert(in.map(Cleaning.cleanName) == out)
+  }
+
+  test("clean_agent_name goldens") {
+    val in = Seq("Edward ].", "Bernacki", "Tom??&OV0165;", "Gavin         E.",
+      "Andr[eacute]", "Albers\u2010Miller", "O'Connor", "O’Connell",
+      "Gonźalez-Santiago", "González-Benito", "Andr&eacute;")
+    val out = Seq("Edward", "Bernacki", "Tom&OV0165", "Gavin E.",
+      "Andreacute", "Albers-Miller", "O'Connor", "O’Connell",
+      "Gonźalez-Santiago", "González-Benito", "André")
+    assert(in.map(Cleaning.cleanAgentName) == out)
+  }
+
+  test("clean_ra_list: not-available scrubbing") {
+    val in = Seq("Not Available, Not Available", "Peroni, Not Available",
+      "Not Available, Silvio", "Not Available", "Peroni, Silvio", ",")
+    assert(Cleaning.cleanRaList(in) == Seq("Peroni, ", "Peroni, Silvio"))
+  }
+
+  test("clean_ra_list: duplicates sharing name+id") {
+    val in = Seq(
+      "Peroni, Silvio [orcid:0000-0003-0530-4305 viaf:1]",
+      "Peroni, Not Available",
+      "Peroni, Silvio [orcid:0000-0003-0530-4305]",
+      "Massari, Arcangelo")
+    assert(Cleaning.cleanRaList(in) == Seq(
+      "Peroni, Silvio [orcid:0000-0003-0530-4305 viaf:1]", "Peroni, ", "Massari, Arcangelo"))
+  }
+
+  test("clean_ra_list: shared ids removed") {
+    val in = Seq(
+      "Peroni, Silvio [orcid:0000-0003-0530-4305 viaf:1]",
+      "Peroni, Not Available",
+      "Perone, Silvio [orcid:0000-0003-0530-4305]",
+      "Massari, Arcangelo")
+    assert(Cleaning.cleanRaList(in) == Seq(
+      "Peroni, Silvio [viaf:1]", "Peroni, ", "Perone, Silvio", "Massari, Arcangelo"))
+  }
+
+  test("clean_ra_list: ids-only entries") {
+    val in = Seq(
+      "Peroni, Silvio [orcid:0000-0003-0530-4305]",
+      "[orcid:0000-0003-0530-4305 viaf:1]",
+      "[orcid:0000-0003-0530-4306]")
+    assert(Cleaning.cleanRaList(in) == Seq(
+      "Peroni, Silvio", "[viaf:1]", "[orcid:0000-0003-0530-4306]"))
+  }
+
+  test("clean_ra_list: stray brackets in bare names") {
+    val in = Seq("[Labour Party[", "[[foo]]", "Acme ]Inc[")
+    assert(Cleaning.cleanRaList(in) == Seq("Labour Party", "foo", "Acme Inc"))
+  }
+
+  test("normalize_id goldens") {
+    val in = Seq("doi:10.1123/ijatt.2015-0070", "doi:1", "orcid:0000-0003-0530-4305",
+      "orcid:0000-0000", "issn:1479-6708", "issn:0000-0000", "isbn:9783319403120",
+      "isbn:0000-0000")
+    val out = Seq(Some("doi:10.1123/ijatt.2015-0070"), None, Some("orcid:0000-0003-0530-4305"),
+      None, Some("issn:1479-6708"), None, Some("isbn:9783319403120"), None)
+    assert(in.map(Cleaning.normalizeId) == out)
+  }
+
+  test("split_name_and_ids regression cases") {
+    assert(Cleaning.splitNameAndIds("[Labour Party[ [omid:ra/06047190147]") ==
+      (("[Labour Party[", "omid:ra/06047190147")))
+    assert(Cleaning.splitNameAndIds("Peroni, Silvio") == (("Peroni, Silvio", "")))
+    assert(Cleaning.splitNameAndIds("") == (("", "")))
+    assert(Cleaning.splitNameAndIds("Peroni, Silvio [orcid:0000-0003-0530-4305]") ==
+      (("Peroni, Silvio", "orcid:0000-0003-0530-4305")))
+    assert(Cleaning.splitNameAndIds("A1 [orcid:111]; A2 [orcid:222]")._2 == "orcid:111")
+    assert(Cleaning.splitNameAndIds("[orcid:0000-0003-0530-4305 viaf:1]") ==
+      (("", "orcid:0000-0003-0530-4305 viaf:1")))
+  }
+
+  test("remove_ascii") {
+    assert(Cleaning.removeAscii("5â6") == "5 6")
+  }
+
+  test("clean_volume_and_issue goldens") {
+    // (volume, issue, pub_date, type) -> expected (volume, issue, pub_date, type)
+    val cases: Seq[((String, String, String, String), (String, String, String, String))] = Seq(
+      (("Volume 15-Issue 1", "", "", ""), ("15", "1", "", "")),
+      (("", "Vol 2 Núm 3", "", ""), ("2", "3", "", "")),
+      (("", "Lang.- Lit. Volume 10 numéro 2", "", ""), ("10", "2", "", "")),
+      (("Vol. 14 Issue 1", "", "", ""), ("14", "1", "", "")),
+      (("", "Vol. 39 N°1", "", ""), ("39", "1", "", "")),
+      (("Vol. 10, N° 2-3", "", "", ""), ("10", "2-3", "", "")),
+      (("", "Vol. 35 N° spécial 1", "", ""), ("35", "1", "", "")),
+      (("Vol. XXXIII N° 2", "", "", ""), ("XXXIII", "2", "", "")),
+      (("", "Volume 14 Issue 5", "", ""), ("14", "5", "", "")),
+      (("Vol.10, No.3", "", "", ""), ("10", "3", "", "")),
+      (("-1", "", "", ""), ("-1", "", "", "")),
+      (("Tome II - N°1", "", "", ""), ("II", "1", "", "")),
+      ((">6", "13,N°2", "", ""), (">6", "2", "", "")),
+      (("9, n° 4", "", "", ""), ("9", "4", "", "")),
+      (("${articleBase.volume}", "Tập 55, Số 3", "", ""), ("55", "3", "", "")),
+      (("Issue 1 Volume 21, 2020", "", "", ""), ("21", "1", "2020", "")),
+      (("", "14 (2'2018)", "", ""), ("14", "2", "2018", "")),
+      (("Cilt:13 Sayı:3", "", "", ""), ("13", "3", "", "")),
+      (("/", "Cilt 21 Sayı 3 Temmuz 2020", "", ""), ("21", "3", "2020", "")),
+      (("&NA;", "&NA;", "", ""), ("", "", "", "")),
+      (("n/a", "n/a", "", ""), ("", "", "", "")),
+      ((".", "-", "", ""), ("", "", "", "")),
+      (("`", "ё", "", ""), ("", "", "", "")),
+      ((".38", "/4", "", ""), (".38", "4", "", "")),
+      (("74,", "501.", "", ""), ("74", "501.", "", "")),
+      (("1(3)/", "19`", "", ""), ("1(3)", "19", "", "")),
+      (("No. 4.", "3()", "", ""), ("No. 4.", "3", "", "")),
+      (("5â6", "12���13", "", ""), ("5-6", "12-13", "", "")),
+      (("38\u00e239", "3???4", "", ""), ("38-39", "3-4", "", "")),
+      (("n\ufffd183", "N\ufffd31-32", "", ""), ("183", "31-32", "", "")),
+      (("N?44", "N\ufffd\ufffd49", "", ""), ("44", "49", "", "")),
+      (("N\ufffd1,NF", "85 (First Serie", "", ""), ("1,NF", "85 (First Series)", "", "")),
+      (("issue 2", "Original Series, Volume 1", "", ""), ("Original Series, Volume 1", "issue 2", "", "")),
+      (("Special Issue 2", "volume 3", "", ""), ("volume 3", "Special Issue 2", "", "")),
+      (("1 special issue", "Vol, 7", "", ""), ("Vol, 7", "1 special issue", "", "")),
+      (("Special Issue \"Urban Morphology”", "vol.7", "", ""), ("vol.7", "Special Issue \"Urban Morphology”", "", "")),
+      (("", "Tome 1", "", ""), ("Tome 1", "", "", "")),
+      (("Special_Issue_Number_2", "", "", ""), ("", "Special_Issue_Number_2", "", "")),
+      (("Special-Issue-1", "", "", ""), ("", "Special-Issue-1", "", "")),
+      (("Special 13", "", "", ""), ("", "Special 13", "", "")),
+      (("Especial 2", "", "", ""), ("", "Especial 2", "", "")),
+      (("esp.2", "", "", ""), ("", "esp.2", "", "")),
+      (("spe.2", "", "", ""), ("", "spe.2", "", "")),
+      (("1 S.2", "", "", ""), ("", "1 S.2", "", "")),
+      (("Özel Sayı 5", "", "", "journal volume"), ("", "Özel Sayı 5", "", "journal issue")),
+      (("ÖS1", "", "", ""), ("", "ÖS1", "", "")),
+      (("N° Hors série 10", "", "", ""), ("", "N° Hors série 10", "", "")),
+      (("Hors-série 5", "", "", ""), ("", "Hors-série 5", "", "")),
+      (("특별호", "", "", ""), ("", "특별호", "", "")),
+      (("(13/72) Education", "", "", ""), ("(13/72) Education", "", "", "")),
+      (("(13/72) Language-Literature", "", "", ""), ("(13/72) Language-Literature", "", "", "")),
+      (("Sayı: 24", "", "", ""), ("", "Sayı: 24", "", "")),
+      (("Issue 11, Supplement 6", "", "", ""), ("", "Issue 11, Supplement 6", "", "")),
+      (("Issue 2. pp. 94-185", "", "", ""), ("", "Issue 2. pp. 94-185", "", "")),
+      (("5", "6", "", ""), ("5", "6", "", "")),
+      (("Issue 2. pp. 94-185", "6", "", ""), ("Issue 2. pp. 94-185", "6", "", "")),
+      (("", "6", "", ""), ("", "6", "", "")),
+      (("5", "", "", ""), ("5", "", "", "")),
+      (("Not Available", "not available", "", ""), ("", "", "", "")),
+    )
+    val failures = cases.zipWithIndex.flatMap { case (((v, i, d, t), want), idx) =>
+      val got = VolumeIssue.cleanVolumeAndIssue(v, i, d, t)
+      val gotT = (got.volume, got.issue, got.pubDate, got.typ)
+      if (gotT != want) Some(s"case $idx: input=(${(v, i, d, t)}) got=$gotT want=$want") else None
+    }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
+}
