@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalQueries => RQ, TextQueries => TQ}
+import graft.operators.{Dedup, RelationalQueries => RQ, Similarity, TextAnalysis => TA, TextQueries => TQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,18 @@ object SparkEntry {
     "q18_running_sum" -> (TQ.q18RunningSum _),
     "q19_levenshtein" -> (TQ.q19Levenshtein _),
     "q20_first_nonempty" -> (TQ.q20FirstNonEmpty _),
+    "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
+    "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q32_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q33_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q34_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
+    "q35_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q36_lang_id" -> (TA.q36LangId _),
+    "q37_quality_score" -> (TA.q37Quality _),
+    "q38_token_count" -> (TA.q38TokenCount _),
+    "q39_fingerprint" -> (TA.q39Fingerprint _),
+    "q40_sessionize" -> (TA.q40Sessionize _),
+    "q41_binary_meta" -> (TA.q41BinaryMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +75,18 @@ object SparkEntry {
     "q18_running_sum" -> TQ.q18Sql,
     "q19_levenshtein" -> TQ.q19Sql,
     "q20_first_nonempty" -> TQ.q20Sql,
+    "q30_dedup_exact" -> Dedup.q30Sql,
+    "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
+    "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,
+    // q33_dedup_simhash: signature hash is engine-internal — no SQL oracle,
+    // driver records the weaker rows-only check; spec-tested instead.
+    "q34_dedup_embedding_cosine" -> Dedup.q34Sql,
+    "q35_ann_topk" -> Similarity.q35Sql,
+    "q36_lang_id" -> TA.q36Sql,
+    "q37_quality_score" -> TA.q37Sql,
+    "q38_token_count" -> TA.q38Sql,
+    "q39_fingerprint" -> TA.q39Sql,
+    "q40_sessionize" -> TA.q40Sql,
+    "q41_binary_meta" -> TA.q41Sql,
   )
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. Heuristics are
+  * implemented twice — as codegen'd Column expressions here and as the
+  * equivalent ANSI SQL oracle — so the driver's DuckDB gate verifies the
+  * exact arithmetic, not just row counts.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword tables for the n-gram/stopword-ratio
+    * language heuristic. Scoring = |tokens in list| / |tokens|. */
+  val StopwordTable: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "con", "del", "non"),
+  )
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > lit(0))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** q36 — language-ID heuristic: stopword-hit ratio per language, argmax
+    * (ties -> lexicographically first language). */
+  def q36LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scoreCols = StopwordTable.map { case (lang, words) =>
+      struct((stopwordHits(toks, words).cast("double") / size(toks)).as("score"),
+        lit(lang).as("lang"))
+    }
+    documents(s, dir)
+      .withColumn("best", sort_array(array(scoreCols: _*), asc = false)(0))
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"best.lang".as("pred_lang"), round($"best.score", 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  val q36Sql: String = {
+    val score = StopwordTable.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"(len(list_filter(toks, t -> t IN ($inList)))::DOUBLE / len(toks)) AS s_$lang"
+    }.mkString(",\n  ")
+    // argmax, ties broken by lang DESC — identical to Spark's struct sort
+    // over (score, lang) with asc=false.
+    val langs = StopwordTable.map(_._1)
+    val structs = langs.map(l => s"{'score': s_$l, 'lang': '$l'}").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks FROM documents
+       |), sc AS (
+       |  SELECT doc_id,
+       |  $score
+       |  FROM t
+       |), best AS (
+       |  SELECT doc_id, list_sort([$structs], 'DESC')[1] AS b FROM sc
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, b.lang AS pred_lang, round(b.score, 6) AS score
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  /** q37 — quality scoring: length, mean token length, stopword ratio,
+    * punctuation ratio (all exact-integer-derived, round(6)). */
+  def q37Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val enWords = StopwordTable.head._2
+    documents(s, dir)
+      .withColumn("n_tok", size(toks))
+      .withColumn("mean_tok_len",
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / $"n_tok", 6))
+      .withColumn("stop_ratio",
+        round(stopwordHits(toks, enWords).cast("double") / $"n_tok", 6))
+      .withColumn("punct_ratio",
+        round((length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast("double")
+          / length($"text"), 6))
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"n_tok".cast("long").as("n_tok"),
+        $"mean_tok_len", $"stop_ratio", $"punct_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val q37Sql: String = {
+    val inList = StopwordTable.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks FROM documents
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  round(list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks), 6) AS mean_tok_len,
+       |  round(len(list_filter(toks, t -> t IN ($inList)))::DOUBLE / len(toks), 6) AS stop_ratio,
+       |  round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / len(text), 6) AS punct_ratio
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** q38 — token counting: whitespace tokens and a BPE-ish regex token
+    * count (alnum runs + single non-alnum marks). */
+  def q38TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"),
+        size(tokens($"text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("re_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q38Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q39 — document fingerprint: position-weighted rolling hash over
+    * tokens, all arithmetic kept exact (<2^53 per term) and mod 1e6+3 so
+    * Spark and DuckDB agree bit-for-bit. Token hash = first 8 hex digits
+    * of md5. */
+  def q39Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val hashed = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val fp = aggregate(
+      zip_with(hashed, sequence(lit(1), size(toks)), (h, p) => pmod(h * p, lit(1000003L))),
+      lit(0L), (acc, v) => pmod(acc + v, lit(1000003L)))
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"), fp.as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q39Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks FROM documents
+      |), h AS (
+      |  SELECT doc_id, [(('0x' || substr(md5(toks[i]), 1, 8))::BIGINT * i) % 1000003 FOR i IN range(1, len(toks)+1)] AS hs FROM t
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(list_aggregate(hs, 'sum') % 1000003 AS BIGINT) AS fingerprint
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** q40 — sessionization (streaming-shape computed in batch): session
+    * boundary = gap > 30 min; per-user session and event counts. The same
+    * logic drives the Structured Streaming path (graft.streaming). */
+  def q40Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapNs = 30L * 60 * 1000000000L
+    events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || ($"ts" - $"prev_ts") > gapNs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").cast("long").as("n_sessions"),
+        count(lit(1)).cast("long").as("n_events"))
+      .select($"user_id".cast("long").as("user_id"), $"n_sessions", $"n_events")
+      .orderBy($"user_id")
+  }
+
+  val q40Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_tns
+      |  FROM events
+      |)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(sum(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q41 — multimodal plumbing baseline: opaque binary payload metadata
+    * (byte length + md5) — the schema/partitioning shape media pipelines
+    * use; decode itself is stubbed (see graft.operators.Multimodal). */
+  def q41BinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"),
+        octet_length($"text").cast("long").as("n_bytes"),
+        md5($"text").as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val q41Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Behavioral specs for the approximate operators (the DuckDB oracle covers
+  * the exact ones): MinHash recall vs the exact-Jaccard baseline, SimHash
+  * pigeonhole completeness, LSH-ANN vs brute force. Runs at sf0.001.
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  test("minhash LSH pairs equal exact ngram-jaccard pairs (full recall at tau=0.8)") {
+    val exact = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, dir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-duplicate pairs")
+    assert(lsh == exact)
+  }
+
+  test("simhash pigeonhole block join finds exactly the pairs within maxDist") {
+    // brute-force ground truth over all signature pairs (computed
+    // driver-side with the same kernel the operator UDF uses)
+    val sigs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0),
+        Dedup.simhash64(r.getString(1).split(" ").filter(_.nonEmpty).toSeq)))
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    val joined = Dedup.simhashPairs(spark, dir).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == brute)
+  }
+
+  test("simhash64 is deterministic and order-sensitive to content not order") {
+    val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
+    val b = Dedup.simhash64(Seq("gamma", "beta", "alpha"))
+    val c = Dedup.simhash64(Seq("alpha", "beta", "delta"))
+    assert(a == b)          // bag-of-words signature
+    assert(a != c)          // content changes flip bits
+    assert(java.lang.Long.bitCount(a ^ c) < 32) // but only a few
+  }
+
+  test("LSH ANN top-k achieves decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(spark, dir, nQueries = 10, k = 5, nBits = 4, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low — bucketing broken?")
+    // sanity: LSH returns at most k per query and only valid neighbors
+    assert(lsh.size <= brute.size)
+  }
+
+  test("exact dedup groups: every text maps to exactly one group") {
+    val total = graft.Tables.documents(spark, dir).count()
+    val groups = Dedup.exactDupGroups(spark, dir)
+    import org.apache.spark.sql.functions._
+    val sum = groups.agg(coalesce(org.apache.spark.sql.functions.sum("n"), lit(0L))).head.getLong(0)
+    assert(sum == total)
+  }
+}
