@@ -1,0 +1,59 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a bipartite membership relation
+  * (entity, key): two entities are connected when they share a key. This is
+  * the Spark-native replacement for the reference's in-memory union-find
+  * (`oc_meta/lib/merge_registry.py:25-143`, SURVEY §2.6 D1).
+  *
+  * Algorithm: alternating min-label propagation on the bipartite graph —
+  *   keyLabel(k)    = min entityLabel(e) over members e of k
+  *   entityLabel(e) = min(entityLabel(e), min keyLabel(k) over keys of e)
+  * repeated to fixpoint. Each round is two shuffles (groupBy key, groupBy
+  * entity); rounds needed = half the graph diameter, which for id-sharing
+  * graphs is tiny (entities linked through chains of shared identifiers).
+  * No driver-side state beyond the loop counter and convergence check;
+  * lineage is cut with localCheckpoint each round so plans stay flat at
+  * scale.
+  */
+object ConnectedComponents {
+
+  /** @param membership DataFrame with columns (entity: Long, key: any type)
+    * @return DataFrame (entity: Long, component: Long) — component is the
+    *         min entity label of the connected group. Entities absent from
+    *         `membership` are their own components (callers union them in).
+    */
+  def byShardKey(membership: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = membership.sparkSession
+    import spark.implicits._
+    val m = membership.select($"entity".cast("long").as("entity"), $"key")
+      .distinct()
+      .localCheckpoint()
+
+    var labels = m.select($"entity").distinct()
+      .withColumn("label", $"entity")
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keyLabels = m.join(labels, "entity")
+        .groupBy($"key").agg(min($"label").as("keyLabel"))
+      val proposed = m.join(keyLabels, "key")
+        .groupBy($"entity").agg(min($"keyLabel").as("proposal"))
+      val next = labels.join(proposed, Seq("entity"), "left")
+        .select($"entity",
+          least($"label", coalesce($"proposal", $"label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "entity")
+        .filter($"n.label" =!= $"o.label")
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels.select($"entity", $"label".as("component"))
+  }
+}

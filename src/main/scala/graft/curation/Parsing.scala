@@ -1,0 +1,78 @@
+package graft.curation
+
+import org.apache.spark.sql.functions.udf
+import graft.functions.Cleaning
+
+/** Micro-syntax parsers for the 11-column bibliographic CSV (SURVEY §1.2):
+  * id-list cells, `Name [id id]` people cells, venue cells. Pure Scala
+  * kernels wrapped as UDFs; the heavy regex work happens once per cell.
+  */
+object Parsing {
+
+  /** E12 — `clean_id_list` (curator.py:744-780) fresh-world flavor:
+    * hyphen-normalize, validate via E9, order-preserving dedup. `omid:`
+    * tokens are separated out (returned first element); in a fresh store
+    * they cannot resolve, so callers treat rows with unknown omids per
+    * D2(2). */
+  def cleanIdList(tokens: Seq[String]): (Option[String], Seq[String]) = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var omid: Option[String] = None
+    for (tok0 <- tokens; tok = Cleaning.normalizeHyphens(tok0.trim) if tok.nonEmpty) {
+      if (tok.toLowerCase.startsWith("omid:")) {
+        if (omid.isEmpty) omid = Some(tok.substring(5))
+      } else if (!tok.toLowerCase.startsWith("temp:")) { // F7
+        Cleaning.normalizeId(tok).foreach(seen += _)
+      }
+    }
+    (omid, seen.toSeq)
+  }
+
+  /** E11 + E12 over a raw id cell. */
+  def parseIdCell(cell: String): Seq[String] = {
+    if (cell == null || cell.trim.isEmpty) return Seq.empty
+    val tokens = cell.replaceAll(":\\s+", ":").split("\\s+").toSeq
+    cleanIdList(tokens)._2
+  }
+
+  final case class Agent(name: String, ids: Seq[String])
+
+  /** People-cell parser: split on `;` outside brackets
+    * (master_of_regex.py:8), E8 clean_ra_list, then per agent E10
+    * split_name_and_ids + E5 clean_name + E12 id cleaning. */
+  def parseAgents(cell: String): Seq[Agent] = {
+    if (cell == null || cell.trim.isEmpty) return Seq.empty
+    val raw = cell.split("\\s*;\\s*(?=[^\\]]*(?:\\[|$))").toSeq.filter(_.nonEmpty)
+    val cleaned = Cleaning.cleanRaList(raw)
+    cleaned.map { ra =>
+      val (rawName, idsStr) = Cleaning.splitNameAndIds(ra)
+      val name = Cleaning.cleanName(rawName)
+      val ids = cleanIdList(idsStr.split("\\s+").toSeq.filter(_.nonEmpty))._2
+      Agent(name, ids)
+    }.filter(a => a.name.nonEmpty || a.ids.nonEmpty)
+  }
+
+  final case class Venue(name: String, ids: Seq[String])
+
+  /** Venue-cell parser (curator.py:481-517): `Title [ids]`; the title is
+    * kept verbatim (normalize_titles defaults to false in the reference
+    * settings) minus surrounding whitespace. */
+  def parseVenue(cell: String): Option[Venue] = {
+    if (cell == null || cell.trim.isEmpty) return None
+    val (rawName, idsStr) = Cleaning.splitNameAndIds(cell.trim)
+    val ids = cleanIdList(idsStr.split("\\s+").toSeq.filter(_.nonEmpty))._2
+    val name = if (rawName.trim.nonEmpty) rawName.trim else cell.trim
+    Some(Venue(name, ids))
+  }
+
+  val parseIdCellUdf = udf(parseIdCell _)
+  val parseAgentsUdf = udf((c: String) => parseAgents(c).map(a => (a.name, a.ids)))
+  val parseVenueUdf = udf((c: String) => parseVenue(c).map(v => (v.name, v.ids)))
+  val cleanDateUdf = udf((c: String) =>
+    if (c == null) "" else Cleaning.cleanDate(Cleaning.normalizeHyphens(c)))
+  val normalizeHyphensUdf = udf((c: String) =>
+    if (c == null) "" else Cleaning.normalizeHyphens(c))
+  val cleanVolumeIssueUdf = udf((v: String, i: String, d: String, t: String) => {
+    val r = graft.functions.VolumeIssue.cleanVolumeAndIssue(v, i, d, t)
+    (r.volume, r.issue, r.pubDate, r.typ)
+  })
+}

@@ -1,0 +1,36 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic global sequence assignment — the Spark-native replacement
+  * for the reference's mutable OMID counters (`core/curator.py:1024-1032`,
+  * SURVEY §7.4 risk 1).
+  *
+  * `row_number()` over an unpartitioned window funnels everything through
+  * one task; instead we range-repartition on the sort key (partitions are
+  * globally ordered), sort within partitions, and use RDD `zipWithIndex`,
+  * which computes per-partition offsets with a single O(#partitions)
+  * driver round. Deterministic for a total sort key, stable across
+  * retries, and scales to any batch size.
+  */
+object Sequencing {
+
+  /** Appends `indexName` = offset + dense 1-based position of each row in
+    * the total order defined by `sortCols` (must be a total order — add a
+    * tiebreaker column if needed). */
+  def globalSequence(df: DataFrame, sortCols: Seq[Column], indexName: String,
+      offset: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val n = math.max(1, math.min(df.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val sorted =
+      if (df.isEmpty) df
+      else df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add(indexName, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L + offset))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+}
