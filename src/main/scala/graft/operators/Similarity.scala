@@ -35,13 +35,13 @@ object Similarity {
       |  CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Sum of elementwise products of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Sum of elementwise products of two double-array columns — a native
+    * codegen'd Expression (graft.plans.VectorExpressions.DotProduct); the
+    * HOF formulation allocates an intermediate array per pair. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** float[] -> unit-length double[] (so cosine becomes a plain dot). */
   def normalized(v: Column): Column = {
@@ -57,8 +57,10 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     import s.implicits._
+    // materialized so the per-row normalization isn't re-run per (row,query)
     val e = embeddings(s, dir)
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
+      .localCheckpoint()
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
     val scored = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
@@ -108,6 +110,7 @@ object Similarity {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
+      .localCheckpoint()
       .withColumn("bucket",
         explode(array((0 until nTables).map(t => lshBucket($"nv", dim, nBits, t)): _*)))
     val queries = e.filter($"vec_id" < nQueries)
