@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming operators.
+  *
+  * The reference has no stream processors (SURVEY §2.9) — its incremental
+  * unit is "new CSV file in a directory + done-cache" (`run/meta_process
+  * .py:181-193,692-712`). `incrementalCurate` reproduces exactly that with
+  * a file stream + `Trigger.AvailableNow` + checkpointed progress, with
+  * the curation batch pipeline inside `foreachBatch`. The windowed /
+  * stateful operators cover the training-pipeline streaming needs the
+  * engine adds on top (event-time windows + watermark, session state via
+  * flatMapGroupsWithState).
+  */
+object EventStreams {
+
+  /** Incremental curation driver: watches `inputDir` for new CSV batches,
+    * curates each new file exactly once (checkpoint = the done-cache), and
+    * appends curated parquet to `outDir`. `Trigger.AvailableNow` processes
+    * the backlog and stops — the reference's batch-by-file semantics. */
+  def incrementalCurate(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.curation.Validation.InputColumns.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType, true)))
+    spark.readStream
+      .option("header", "true")
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .csv(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleaned = batch.select(graft.curation.Validation.InputColumns.map(c =>
+            coalesce(col(c), lit("")).as(c)): _*)
+          val curated = graft.curation.Curator.curateFresh(cleaned)
+          curated.rows.write.mode("append").parquet(s"$outDir/curated")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark: events per
+    * (window, event_type) with 10-minute lateness tolerance. `ts` is a
+    * proper timestamp column here (streaming sources deliver typed rows).
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+  final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Long, total: Double)
+
+  /** Custom session state via flatMapGroupsWithState: a session closes
+    * after `gapMs` of inactivity per user; closed sessions are emitted
+    * (Append mode). The stateful analog of TextAnalysis.q40Sessionize. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.lastSeen, s.nEvents, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs: incremental file curation with exactly-once
+  * per-file semantics, watermarked windows, stateful sessionization. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("incremental curate: file stream processes backlog exactly once and resumes") {
+    val in = Files.createTempDirectory("graft_in").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    // batch 1: two files from the reference input split
+    val src = scala.io.Source.fromFile("/root/reference/example_metadata.csv", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      (lines.head +: lines.slice(1, 5)).mkString("\n").getBytes)
+    val q1 = EventStreams.incrementalCurate(spark, in, out, ckpt)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(s"$out/curated").count()
+    assert(n1 == 4)
+    // batch 2: a new file arrives; only IT is processed on restart
+    Files.write(java.nio.file.Paths.get(s"$in/b.csv"),
+      (lines.head +: lines.slice(5, 8)).mkString("\n").getBytes)
+    val q2 = EventStreams.incrementalCurate(spark, in, out, ckpt)
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(s"$out/curated").count()
+    assert(n2 == 7, s"expected 4 + 3 rows, got $n2 (file reprocessed or skipped)")
+  }
+
+  test("windowed counts groups events into correct event-time windows") {
+    import spark.implicits._
+    val t0 = 1700000000000L // on a minute boundary? not necessarily; windows align to epoch
+    val df = Seq(
+      (1L, new java.sql.Timestamp(t0), "click", 1.0),
+      (2L, new java.sql.Timestamp(t0 + 60 * 1000), "click", 2.0),
+      (3L, new java.sql.Timestamp(t0 + 6 * 60 * 1000), "click", 4.0),
+      (4L, new java.sql.Timestamp(t0 + 6 * 60 * 1000), "view", 8.0),
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = EventStreams.windowedCounts(df, "5 minutes", "10 minutes")
+      .select($"event_type", $"n", $"total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // first 5-min window holds events 1+2 (clicks), the next holds 3 and 4
+    assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+  }
+
+  test("stateful sessionize closes sessions on gap") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val evs = Seq(
+      EventStreams.Event(1, new java.sql.Timestamp(t0), 1.0),
+      EventStreams.Event(1, new java.sql.Timestamp(t0 + 60000), 2.0),
+      EventStreams.Event(1, new java.sql.Timestamp(t0 + 100 * 60000), 3.0),
+      EventStreams.Event(2, new java.sql.Timestamp(t0), 5.0),
+    ).toDS()
+    val out = EventStreams.sessionize(evs, gapMs = 30 * 60000).collect()
+    // user 1's first session (2 events) closed by the 100-minute gap;
+    // open sessions are retained in state, not emitted
+    assert(out.length == 1)
+    assert(out.head.user_id == 1 && out.head.nEvents == 2 && out.head.total == 3.0)
+  }
+}
