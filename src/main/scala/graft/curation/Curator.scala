@@ -37,13 +37,29 @@ object Curator {
     * and venue mentions resolving to a row inherit its component. */
   private val VenueOffset = 1L << 40
 
+  /** Curated batch: user-facing tables (rows + the reference's index
+    * tables) plus normalized entity-level frames feeding RDF emission
+    * (graft.rdf.TriplesEmitter):
+    *  - entities(meta, kind, type_label, title, date, seq_id)
+    *  - entityIds(owner_meta, id_meta, scheme, literal)
+    *  - roles(br_meta, role, pos, ar_meta, ra_meta)
+    *  - raNames(ra_meta, name) — "Family, Given" or org name
+    *  - pages(br_meta, re_meta, start_page, end_page)
+    *  - partOf(child_meta, parent_meta)
+    */
   final case class CuratedBatch(
       rows: DataFrame,
       indexIdBr: DataFrame,
       indexIdRa: DataFrame,
       arIndex: DataFrame,
       reIndex: DataFrame,
-      vviIndex: DataFrame)
+      vviIndex: DataFrame,
+      entities: DataFrame,
+      entityIds: DataFrame,
+      roles: DataFrame,
+      raNames: DataFrame,
+      pages: DataFrame,
+      partOf: DataFrame)
 
   /** S1 — CSV scan (file_manager.py:99-120): 11 string columns, header,
     * quoted cells, NULs stripped, nulls -> "". */
@@ -420,6 +436,133 @@ object Curator {
         .orderBy($"venue_meta", $"vol_seq", $"iss_seq")
     }
 
-    CuratedBatch(outRows, indexIdBr, indexIdRa, arIndex, reIndex, vviIndex)
+    // ---- entity-level frames for RDF emission (R1 inputs) ---------------
+    val volMetaDf = volEntities
+      .join(volToOmid, Seq("venue_ent", "vol_seq"), "left")
+      .join(compToOmid.withColumnRenamed("ent", "row_entity"), Seq("row_entity"), "left")
+      .select($"venue_ent", $"vol_seq", coalesce($"vvi_meta", $"br_meta").as("vol_meta"),
+        $"vvi_meta".isNotNull.as("vol_is_fresh"))
+    val issMetaDf = issEntities
+      .join(issToOmid, Seq("venue_ent", "vol_seq", "iss_seq"), "left")
+      .join(compToOmid.withColumnRenamed("ent", "row_entity"), Seq("row_entity"), "left")
+      .select($"venue_ent", $"vol_seq", $"iss_seq", coalesce($"vvi_meta", $"br_meta").as("iss_meta"),
+        $"vvi_meta".isNotNull.as("iss_is_fresh"))
+    val venueOmid = compToOmid.select($"ent".as("venue_ent"), $"br_meta".as("venue_omid"))
+
+    // partOf chain (creator.py:372-391): row -> issue | volume | venue;
+    // issue -> volume | venue; volume -> venue.
+    val volForRows = volMetaDf
+      .select($"venue_ent".as("vve"), $"vol_seq".as("vvs"), $"vol_meta")
+    val issForRows = issMetaDf
+      .select($"venue_ent".as("ive"), $"vol_seq".as("ivs"), $"iss_seq".as("iis"), $"iss_meta")
+    val rowParents = rows
+      .join(venueOmid, Seq("venue_ent"), "left")
+      .join(volForRows, $"venue_ent" === $"vve" && $"vol3" === $"vvs", "left")
+      .join(issForRows,
+        $"venue_ent" === $"ive" && coalesce($"vol3", lit("")) === $"ivs" && $"iss3" === $"iis", "left")
+      .withColumn("parent_meta",
+        when($"type2" === "journal volume", $"venue_omid")
+          .when($"type2" === "journal issue", coalesce($"vol_meta", $"venue_omid"))
+          .otherwise(coalesce(when($"type2" === "journal article", $"iss_meta"),
+            when($"type2" === "journal article", $"vol_meta"), $"venue_omid")))
+      .filter($"parent_meta".isNotNull)
+      .groupBy($"br_comp").agg(min_by($"parent_meta", $"row_idx").as("parent_meta"))
+      .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
+      .select($"br_meta".as("child_meta"), $"parent_meta")
+      .filter($"child_meta" =!= $"parent_meta")
+    val volParents = volMetaDf.filter($"vol_is_fresh")
+      .join(venueOmid, Seq("venue_ent"))
+      .select($"vol_meta".as("child_meta"), $"venue_omid".as("parent_meta"))
+    val issParents = issMetaDf.filter($"iss_is_fresh")
+      .join(volMetaDf.select($"venue_ent", $"vol_seq", $"vol_meta"), Seq("venue_ent", "vol_seq"), "left")
+      .join(venueOmid, Seq("venue_ent"))
+      .select($"iss_meta".as("child_meta"), coalesce($"vol_meta", $"venue_omid").as("parent_meta"))
+    val partOf = rowParents.unionByName(volParents).unionByName(issParents).distinct()
+
+    // entities: row BRs, fresh venues (type inferred per E19 simplified:
+    // issn -> journal, isbn -> book, both -> undecidable, else from the
+    // first child's type), fresh volumes/issues.
+    val rowEntities = compAgg
+      .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
+      .select($"br_meta".as("meta"), lit("br").as("kind"),
+        coalesce($"o_type", lit("")).as("type_label"),
+        coalesce($"o_title", lit("")).as("title"),
+        coalesce($"o_date", lit("")).as("date"),
+        when($"o_type" === "journal volume", $"o_volume")
+          .when($"o_type" === "journal issue", $"o_issue").as("seq_id"))
+    val venueSchemas = rows.filter($"venue_ent".isNotNull && $"venue_ent" >= VenueOffset)
+      .select($"venue_ent", explode($"venue_p._2").as("literal"))
+      .withColumn("scheme", substring_index($"literal", ":", 1))
+      .groupBy($"venue_ent").agg(collect_set($"scheme").as("schemes"))
+    val venueChildTypes = rows.filter($"venue_ent".isNotNull)
+      .groupBy($"venue_ent").agg(min_by($"type2", $"row_idx").as("child_type"))
+    val venueEntities = venueMeta
+      .filter($"venue_ent" >= VenueOffset)
+      .join(venueSchemas, Seq("venue_ent"), "left")
+      .join(venueChildTypes, Seq("venue_ent"), "left")
+      .withColumn("type_label",
+        when(array_contains(coalesce($"schemes", array()), "issn") &&
+          array_contains(coalesce($"schemes", array()), "isbn"), lit(""))
+          .when(array_contains(coalesce($"schemes", array()), "issn"), lit("journal"))
+          .when(array_contains(coalesce($"schemes", array()), "isbn"), lit("book"))
+          .when($"child_type".isin("journal article", "journal issue", "journal volume"), lit("journal"))
+          .when($"child_type".startsWith("book"), lit("book"))
+          .when($"child_type" === "proceedings article", lit("proceedings"))
+          .otherwise(lit("")))
+      .join(venueTitles, Seq("venue_ent"))
+      .select($"venue_meta".as("meta"), lit("br").as("kind"), $"type_label",
+        coalesce($"venue_title", lit("")).as("title"), lit("").as("date"),
+        lit(null).cast("string").as("seq_id"))
+    val volEntitiesOut = volMetaDf.filter($"vol_is_fresh")
+      .select($"vol_meta".as("meta"), lit("br").as("kind"),
+        lit("journal volume").as("type_label"), lit("").as("title"),
+        lit("").as("date"), $"vol_seq".as("seq_id"))
+    val issEntitiesOut = issMetaDf.filter($"iss_is_fresh")
+      .select($"iss_meta".as("meta"), lit("br").as("kind"),
+        lit("journal issue").as("type_label"), lit("").as("title"),
+        lit("").as("date"), $"iss_seq".as("seq_id"))
+    val entities = rowEntities.unionByName(venueEntities)
+      .unionByName(volEntitiesOut).unionByName(issEntitiesOut)
+
+    // entityIds: owner meta -> id entity + scheme/literal value
+    val idMetaByLiteral = idNumbered.select($"literal", $"id_meta")
+    val brOwnerIds = rows.select($"br_comp", explode($"br_ids").as("literal"))
+      .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
+      .select($"br_meta".as("owner_meta"), $"literal")
+    val venueOwnerIds = rows.filter($"venue_ent".isNotNull)
+      .select($"venue_ent", explode($"venue_p._2").as("literal"))
+      .join(venueOmid, Seq("venue_ent"))
+      .select($"venue_omid".as("owner_meta"), $"literal")
+    val raOwnerIds = resolved.select($"ra_comp", explode($"ids").as("literal"))
+      .join(raNumbered, Seq("ra_comp"))
+      .select($"ra_meta".as("owner_meta"), $"literal")
+    val entityIds = brOwnerIds.unionByName(venueOwnerIds).unionByName(raOwnerIds)
+      .distinct()
+      .join(idMetaByLiteral, Seq("literal"))
+      .select($"owner_meta", $"id_meta",
+        substring_index($"literal", ":", 1).as("scheme"),
+        expr("substring(literal, instr(literal, ':') + 1)").as("value"))
+
+    // roles with positions (hasNext order = ar_n order within attach+role)
+    val roleWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy($"attach", $"role").orderBy($"ar_n")
+    val roles = arWithRa
+      .withColumn("pos", row_number().over(roleWindow))
+      .join(compToOmid.withColumnRenamed("ent", "attach"), Seq("attach"))
+      .select($"br_meta", $"role", $"pos".cast("long").as("pos"), $"ar_meta", $"ra_meta")
+
+    val raNamesOut = raNumbered.join(raNames, Seq("ra_comp"))
+      .select($"ra_meta", $"ra_name".as("name"))
+
+    // pages: start/end split, single-sided duplicated (E22)
+    val pages = reNumbered
+      .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
+      .withColumn("start_page", substring_index($"page", "-", 1))
+      .withColumn("end_page",
+        when($"page".contains("-"), substring_index($"page", "-", -1)).otherwise($"page"))
+      .select($"br_meta", $"re_meta", $"start_page", $"end_page")
+
+    CuratedBatch(outRows, indexIdBr, indexIdRa, arIndex, reIndex, vviIndex,
+      entities, entityIds, roles, raNamesOut, pages, partOf)
   }
 }

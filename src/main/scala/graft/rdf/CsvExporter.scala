@@ -1,0 +1,175 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** R5 — RDF -> CSV export (`oc_meta/run/meta/generate_csv.py`, 730 LoC of
+  * join-by-file-seek re-expressed as ordinary joins over the triples
+  * table). Journal volume/issue entities are folded into their articles'
+  * volume/issue cells rather than exported as rows (generate_csv.py
+  * skips them). Includes R4: author order reconstructed from the
+  * `hasNext` pointer chain by iterative join (pointer-chasing with a
+  * bounded frontier, `lib/finder.py:313-408`).
+  */
+object CsvExporter {
+
+  /** @param triples (s, p, o, o_datatype) as produced by TriplesEmitter */
+  def export(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    val t = triples.cache()
+    def objOf(p: String) = t.filter($"p" === p).select($"s", $"o")
+
+    val classToLabel = typedLit(Vocab.ClassToTypeLabel)
+    val types = objOf(Vocab.RdfType)
+      .withColumn("label", classToLabel($"o"))
+      .filter($"label".isNotNull && length($"label") > 0)
+      .groupBy($"s").agg(min($"label").as("type_label"))
+    val titles = objOf(Vocab.Title).groupBy($"s").agg(min($"o").as("title"))
+    val dates = objOf(Vocab.PublicationDate).groupBy($"s").agg(min($"o").as("pub_date"))
+    val seqs = objOf(Vocab.HasSequenceIdentifier).groupBy($"s").agg(min($"o").as("seq_id"))
+
+    // id entities -> "scheme:value"
+    val idStrings = objOf(Vocab.UsesIdentifierScheme)
+      .select($"s".as("id_uri"), expr(s"substring(o, ${Vocab.Datacite.length + 1})").as("scheme"))
+      .join(objOf(Vocab.HasLiteralValue).select($"s".as("id_uri"), $"o".as("value")), "id_uri")
+      .withColumn("id_str", concat($"scheme", lit(":"), $"value"))
+    def shortMeta(c: org.apache.spark.sql.Column) =
+      expr(s"substring(${c.toString()}, ${Vocab.BaseIri.length + 2})")
+    val idsOfEntity = objOf(Vocab.HasIdentifier)
+      .select($"s".as("owner"), $"o".as("id_uri"))
+      .join(idStrings, "id_uri")
+      .groupBy($"owner")
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(
+        length($"id_uri"), $"id_uri", $"id_str"))), x => x.getField("id_str"))).as("ids_str"))
+
+    // R4: hasNext chain order. Heads = ARs that are nobody's next; then
+    // iterative frontier join assigns positions (bounded, cycle-safe).
+    val brAr = objOf(Vocab.IsDocumentContextFor).select($"s".as("br"), $"o".as("ar"))
+    val arRole = objOf(Vocab.WithRole)
+      .select($"s".as("ar"), expr(s"substring(o, ${Vocab.Pro.length + 1})").as("role"))
+    val arRa = objOf(Vocab.IsHeldBy).select($"s".as("ar"), $"o".as("ra"))
+    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar")).cache()
+    val heads = brAr.join(next.select($"next_ar".as("ar")), Seq("ar"), "left_anti")
+      .select($"ar").withColumn("pos", lit(1L))
+    var ordered = heads.localCheckpoint()
+    var frontier = heads
+    var iter = 0
+    var done = false
+    while (!done && iter < 100) {
+      val nxt = frontier.join(next, Seq("ar"))
+        .select($"next_ar".as("ar"), ($"pos" + 1).as("pos"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        // a cycle would revisit an ar: drop already-ordered ones
+        frontier = nxt.join(ordered.select($"ar"), Seq("ar"), "left_anti").localCheckpoint()
+        ordered = ordered.union(frontier).localCheckpoint()
+        if (frontier.isEmpty) done = true
+      }
+      iter += 1
+    }
+
+    // RA display names
+    val family = objOf(Vocab.FoafFamilyName).groupBy($"s").agg(min($"o").as("family"))
+    val given = objOf(Vocab.FoafGivenName).groupBy($"s").agg(min($"o").as("given"))
+    val orgName = objOf(Vocab.FoafName).groupBy($"s").agg(min($"o").as("org_name"))
+    val raNames = family.join(given, Seq("s"), "full").join(orgName, Seq("s"), "full")
+      .withColumn("name", coalesce(
+        when($"family".isNotNull,
+          concat($"family", lit(", "), coalesce($"given", lit("")))),
+        $"org_name"))
+      .select($"s".as("ra"), $"name")
+
+    // role cells: "Name [ids omid:ra/N]; ..." in hasNext order
+    val agentCells = brAr
+      .join(arRole, "ar").join(arRa, "ar")
+      .join(ordered, Seq("ar"), "left")
+      .join(raNames, Seq("ra"), "left")
+      .join(idsOfEntity.withColumnRenamed("owner", "ra"), Seq("ra"), "left")
+      .withColumn("agent_str", concat(coalesce($"name", lit("")), lit(" ["),
+        concat_ws(" ", when(length(coalesce($"ids_str", lit(""))) > 0, $"ids_str"),
+          concat(lit("omid:"), shortMeta($"ra"))), lit("]")))
+      .groupBy($"br", $"role")
+      .agg(concat_ws("; ", transform(array_sort(collect_list(
+        struct(coalesce($"pos", lit(999999L)).as("pos"), $"ar", $"agent_str"))),
+        x => x.getField("agent_str"))).as("cell"))
+
+    // partOf climb: br -> p1 -> p2 -> p3 (issue -> volume -> venue chains)
+    val po = objOf(Vocab.PartOf).select($"s".as("child"), $"o".as("parent"))
+    def kindOf(col: String) = types.select($"s".as(col), $"type_label".as(col + "_kind"))
+    val chain = po.withColumnRenamed("child", "br").withColumnRenamed("parent", "p1")
+      .join(po.select($"child".as("p1"), $"parent".as("p2")), Seq("p1"), "left")
+      .join(po.select($"child".as("p2"), $"parent".as("p3")), Seq("p2"), "left")
+      .join(kindOf("p1"), Seq("p1"), "left")
+      .join(kindOf("p2"), Seq("p2"), "left")
+      .join(seqs.select($"s".as("p1"), $"seq_id".as("p1_seq")), Seq("p1"), "left")
+      .join(seqs.select($"s".as("p2"), $"seq_id".as("p2_seq")), Seq("p2"), "left")
+      .withColumn("issue",
+        when($"p1_kind" === "journal issue", $"p1_seq").otherwise(lit("")))
+      .withColumn("volume",
+        when($"p1_kind" === "journal volume", $"p1_seq")
+          .when($"p2_kind" === "journal volume", $"p2_seq").otherwise(lit("")))
+      .withColumn("venue_uri",
+        when($"p1_kind" === "journal issue",
+          when($"p2_kind" === "journal volume", $"p3").otherwise($"p2"))
+          .when($"p1_kind" === "journal volume", $"p2")
+          .otherwise($"p1"))
+      .select($"br", $"issue", $"volume", $"venue_uri")
+
+    val venueCell = chain.filter($"venue_uri".isNotNull)
+      .join(titles.select($"s".as("venue_uri"), $"title".as("venue_title")), Seq("venue_uri"), "left")
+      .join(idsOfEntity.withColumnRenamed("owner", "venue_uri"), Seq("venue_uri"), "left")
+      .withColumn("venue", concat(coalesce($"venue_title", lit("")), lit(" ["),
+        concat_ws(" ", when(length(coalesce($"ids_str", lit(""))) > 0, $"ids_str"),
+          concat(lit("omid:"), shortMeta($"venue_uri"))), lit("]")))
+      .select($"br", $"venue", $"issue", $"volume")
+
+    // pages
+    val pages = objOf(Vocab.Embodiment).select($"s".as("br"), $"o".as("re"))
+      .join(objOf(Vocab.StartingPage).select($"s".as("re"), $"o".as("sp")), Seq("re"), "left")
+      .join(objOf(Vocab.EndingPage).select($"s".as("re"), $"o".as("ep")), Seq("re"), "left")
+      .withColumn("page", concat_ws("-", $"sp", $"ep"))
+      .select($"br", $"page")
+
+    // BR rows: typed Expressions minus journal volume/issue entities and
+    // minus venue containers (those have no Expression row semantics of
+    // their own unless they carried metadata as input rows — the
+    // reference exports every br file; we export BRs that look like
+    // works: anything not journal volume/issue).
+    val brs = objOf(Vocab.RdfType).filter($"o" === Vocab.Expression).select($"s").distinct()
+      .join(types, Seq("s"), "left")
+      .filter(coalesce($"type_label", lit("")) =!= "journal volume" &&
+        coalesce($"type_label", lit("")) =!= "journal issue")
+
+    def cellOf(role: String) = agentCells.filter($"role" === role)
+      .select($"br".as("s"), $"cell".as(role))
+
+    brs
+      .join(idsOfEntity.withColumnRenamed("owner", "s"), Seq("s"), "left")
+      .join(titles, Seq("s"), "left")
+      .join(dates, Seq("s"), "left")
+      .join(cellOf("author"), Seq("s"), "left")
+      .join(cellOf("publisher"), Seq("s"), "left")
+      .join(cellOf("editor"), Seq("s"), "left")
+      .join(venueCell.withColumnRenamed("br", "s"), Seq("s"), "left")
+      .join(pages.withColumnRenamed("br", "s"), Seq("s"), "left")
+      .withColumn("id", concat_ws(" ",
+        when(length(coalesce($"ids_str", lit(""))) > 0, $"ids_str"),
+        concat(lit("omid:"), shortMeta($"s"))))
+      .select(
+        $"id",
+        coalesce($"title", lit("")).as("title"),
+        coalesce($"author", lit("")).as("author"),
+        coalesce($"pub_date", lit("")).as("pub_date"),
+        coalesce($"venue", lit("")).as("venue"),
+        coalesce($"volume", lit("")).as("volume"),
+        coalesce($"issue", lit("")).as("issue"),
+        coalesce($"page", lit("")).as("page"),
+        coalesce($"type_label", lit("")).as("type"),
+        coalesce($"publisher", lit("")).as("publisher"),
+        coalesce($"editor", lit("")).as("editor"))
+      .orderBy($"id")
+  }
+}

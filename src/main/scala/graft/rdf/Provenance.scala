@@ -1,0 +1,86 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.curation.Curator.CuratedBatch
+
+/** R3 — provenance snapshot generation (SURVEY §1.1/§2.7): the SCD2-style
+  * `prov_snapshots` table. A fresh load creates snapshot 1 ("entity
+  * created") for every minted entity; subsequent batches append new
+  * snapshots and invalidate the previous one (upsert), with merge
+  * provenance recording multiple `wasDerivedFrom` (J10/G8 feed off this
+  * table). Snapshot URIs follow the reference layout `{entity}/prov/se/N`
+  * (`lib/finder.py:201-250`).
+  */
+object Provenance {
+
+  /** All entity metas minted by a batch (br + id + ar + ra + re). */
+  def allEntities(batch: CuratedBatch): DataFrame = {
+    import batch.entities.sparkSession.implicits._
+    batch.entities.select($"meta")
+      .unionByName(batch.entityIds.select($"id_meta".as("meta")).distinct())
+      .unionByName(batch.roles.select($"ar_meta".as("meta")))
+      .unionByName(batch.raNames.select($"ra_meta".as("meta")))
+      .unionByName(batch.pages.select($"re_meta".as("meta")))
+      .distinct()
+  }
+
+  /** Snapshot 1 for every entity of a fresh batch.
+    * @param generatedAt ISO timestamp of the batch run (caller-supplied so
+    *   runs are reproducible). */
+  def freshSnapshots(batch: CuratedBatch, generatedAt: String,
+      agent: String = "https://w3id.org/oc/meta/prov/pa/1"): DataFrame = {
+    import batch.entities.sparkSession.implicits._
+    allEntities(batch)
+      .select(
+        $"meta".as("entity"),
+        lit(1L).as("snapshot_n"),
+        lit(generatedAt).as("generated_at"),
+        lit(null).cast("string").as("invalidated_at"),
+        array().cast("array<string>").as("derived_from"),
+        lit("Entity created").as("description"),
+        lit(agent).as("attributed_to"))
+  }
+
+  /** SCD2 upsert: close the currently-open snapshot of touched entities
+    * and append the new ones. Pure DataFrame set logic — the MERGE the
+    * reference performs via per-entity SPARQL updates. */
+  def upsert(existing: DataFrame, incoming: DataFrame, closedAt: String): DataFrame = {
+    import existing.sparkSession.implicits._
+    val touched = incoming.select($"entity").distinct()
+    val closed = existing.alias("e")
+      .join(touched.alias("t"), Seq("entity"), "left_semi")
+      .filter($"invalidated_at".isNull)
+      .withColumn("invalidated_at", lit(closedAt))
+    val untouched = existing.join(touched, Seq("entity"), "left_anti")
+    val maxN = existing.groupBy($"entity").agg(max($"snapshot_n").as("prev_n"))
+    val renumbered = incoming.join(maxN, Seq("entity"), "left")
+      .withColumn("snapshot_n", coalesce($"prev_n", lit(0L)) + $"snapshot_n")
+      .drop("prev_n")
+    untouched
+      .unionByName(closed)
+      .unionByName(renumbered.select(untouched.columns.map(col): _*))
+  }
+
+  /** Merge provenance: the surviving entity's new snapshot derives from
+    * both its own prior snapshot and the merged entities' last snapshots
+    * (`run/find/merged_entities.py` reads these back, G8). */
+  def mergeSnapshot(existing: DataFrame, surviving: String, merged: Seq[String],
+      generatedAt: String): DataFrame = {
+    import existing.sparkSession.implicits._
+    val spark = existing.sparkSession
+    val latest = existing.filter($"invalidated_at".isNull &&
+        $"entity".isin((surviving +: merged): _*))
+      .select($"entity", $"snapshot_n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val derived = (surviving +: merged).flatMap(e =>
+      latest.get(e).map(n => s"${Vocab.uri(e)}/prov/se/$n"))
+    val incoming = spark.createDataFrame(Seq(
+      (surviving, 1L, generatedAt, null.asInstanceOf[String], derived,
+        s"Entity merged with ${merged.mkString(", ")}",
+        "https://w3id.org/oc/meta/prov/pa/1")))
+      .toDF("entity", "snapshot_n", "generated_at", "invalidated_at",
+        "derived_from", "description", "attributed_to")
+    upsert(existing, incoming, generatedAt)
+  }
+}
