@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's CLI tool suite (SURVEY §2: J7-J9, G7-G8, R7, D10,
+  * S12) re-expressed as DataFrame programs over curated outputs and the
+  * triples/prov tables. Each function is one tool's dataflow; the
+  * process pools, Redis pipelines, and per-file loops of the originals
+  * disappear into ordinary distributed joins.
+  */
+object Tools {
+
+  /** J7 — citation id -> OMID resolution (`run/meta/convert_citations.py`):
+    * build the external-id -> omid map from curated rows (lowercased ids,
+    * reference line 46), then map citing/cited. Unresolved rows keep NULL.
+    * Both joins are plain equi-joins; the map side is broadcast when small,
+    * sort-merge otherwise (left to AQE). */
+  def idToOmidMapping(curatedRows: DataFrame): DataFrame = {
+    import curatedRows.sparkSession.implicits._
+    curatedRows
+      .select(split($"id", " ").as("parts"))
+      .select(
+        filter($"parts", p => p.startsWith("omid:")).as("omids"),
+        filter($"parts", p => !p.startsWith("omid:")).as("others"))
+      .select(explode($"omids").as("omid"), $"others")
+      .select($"omid", explode($"others").as("ext_id"))
+      .select(lower($"ext_id").as("ext_id"), $"omid")
+      // last-write-wins in the reference dict; here keep min omid for determinism
+      .groupBy($"ext_id").agg(min($"omid").as("omid"))
+  }
+
+  def convertCitations(citations: DataFrame, curatedRows: DataFrame): DataFrame = {
+    import citations.sparkSession.implicits._
+    val mapping = idToOmidMapping(curatedRows)
+    citations
+      .join(mapping.select(lower($"ext_id").as("citing_key"), $"omid".as("citing_omid")),
+        lower($"citing_id") === $"citing_key", "left")
+      .join(mapping.select(lower($"ext_id").as("cited_key"), $"omid".as("cited_omid")),
+        lower($"cited_id") === $"cited_key", "left")
+      .select($"citing_id", $"citing_omid", $"cited_id", $"cited_omid",
+        ($"citing_omid".isNotNull && $"cited_omid".isNotNull).as("resolved"))
+  }
+
+  /** J8 — input pre-filter (`run/meta/preprocess_input.py:49-123`): drop
+    * rows where ALL ids are already known. `known` = one-column frame of
+    * known external ids. */
+  def preprocessInput(input: DataFrame, known: DataFrame): DataFrame = {
+    import input.sparkSession.implicits._
+    val knownSet = known.select(lower(col(known.columns.head)).as("kid")).distinct()
+    val withIds = input.withColumn("_ids",
+      filter(split(col("id"), "\\s+"), x => length(x) > 0))
+    val anyUnknown = withIds
+      .select(col("id").as("_row_id"), explode($"_ids").as("one_id"))
+      .join(knownSet, lower($"one_id") === $"kid", "left_anti")
+      .select($"_row_id").distinct()
+    withIds
+      .join(anyUnknown, withIds("id") === anyUnknown("_row_id"), "left_semi")
+      .drop("_ids")
+      .union(input.filter(length(trim(col("id"))) === 0).select(input.columns.map(col): _*))
+  }
+
+  /** G7 — duplicate-id scan (`run/find/duplicated_ids.py`): identifier
+    * literals attached to more than one entity. Input: entityIds frame
+    * (owner_meta, scheme, value). */
+  def duplicatedIds(entityIds: DataFrame): DataFrame = {
+    import entityIds.sparkSession.implicits._
+    entityIds
+      .groupBy($"scheme", $"value")
+      .agg(collect_set($"owner_meta").as("entities"), countDistinct($"owner_meta").as("n"))
+      .filter($"n" > 1)
+      .select($"scheme", $"value", array_sort($"entities").as("entities"), $"n")
+      .orderBy($"scheme", $"value")
+  }
+
+  /** G8 — prov-derived merge pairs (`run/find/merged_entities.py`):
+    * snapshots with >=2 wasDerivedFrom yield (surviving, merged...) pairs. */
+  def mergedEntityPairs(provSnapshots: DataFrame): DataFrame = {
+    import provSnapshots.sparkSession.implicits._
+    provSnapshots
+      .filter(size($"derived_from") >= 2)
+      .select($"entity".as("surviving"), explode($"derived_from").as("derived"))
+      .select($"surviving",
+        regexp_extract($"derived", "meta/((?:br|ra|ar|re|id)/\\d+)/prov", 1).as("merged"))
+      .filter($"merged" =!= $"surviving" && length($"merged") > 0)
+      .orderBy($"surviving", $"merged")
+  }
+
+  /** R7 — counter (info-dir) regeneration (`run/infodir/gen.py`): max
+    * entity number per (kind, prefix) from the entity corpus. */
+  def regenerateCounters(entityMetas: DataFrame, prefix: String): DataFrame = {
+    import entityMetas.sparkSession.implicits._
+    entityMetas
+      .select(col(entityMetas.columns.head).as("meta"))
+      .withColumn("kind", substring_index($"meta", "/", 1))
+      .withColumn("n", expr(s"CAST(substring(substring_index(meta, '/', -1), ${prefix.length + 1}) AS BIGINT)"))
+      .filter($"n".isNotNull)
+      .groupBy($"kind").agg(max($"n").as("next_n"))
+      .withColumn("prefix", lit(prefix))
+      .select($"kind", $"prefix", $"next_n")
+      .orderBy($"kind")
+  }
+
+  /** D10 — post-hoc merge (`run/merge/entities.py`, `core/editor.py:190-276`):
+    * redirect every (s,p,merged) triple to the surviving entity, move the
+    * merged entities' identifiers/roles, and drop the merged subjects.
+    * `pairs` = (surviving, merged) URIs. Group transitivity (the tool's
+    * UnionFind batching) is the caller's concern — pairs here are final. */
+  def applyMerges(triples: DataFrame, pairs: DataFrame): DataFrame = {
+    import triples.sparkSession.implicits._
+    val redirect = pairs.select($"merged".as("from"), $"surviving".as("to"))
+    val objRedirected = triples
+      .join(redirect, triples("o") === redirect("from"), "left")
+      .withColumn("o", coalesce($"to", $"o")).drop("from", "to")
+    val subjRedirected = objRedirected
+      .join(redirect, objRedirected("s") === redirect("from"), "left")
+      // identifier/role/partOf edges move to the survivor; type and
+      // literal facts of the merged entity are dropped with it
+      .withColumn("keep", $"to".isNull ||
+        col("p").isin(graft.rdf.Vocab.HasIdentifier,
+          graft.rdf.Vocab.IsDocumentContextFor, graft.rdf.Vocab.Embodiment))
+      .filter($"keep")
+      .withColumn("s", coalesce($"to", $"s"))
+      .drop("from", "to", "keep")
+    subjRedirected.distinct()
+  }
+}
