@@ -36,6 +36,9 @@ object ConnectedComponents {
       .withColumn("label", $"entity")
       .localCheckpoint()
 
+    // labels only ever decrease, so an unchanged sum(label) means a fixed
+    // point — one cheap aggregate per round instead of a join-based diff.
+    var prevSum = labels.agg(sum($"label")).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -47,11 +50,10 @@ object ConnectedComponents {
         .select($"entity",
           least($"label", coalesce($"proposal", $"label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "entity")
-        .filter($"n.label" =!= $"o.label")
-        .limit(1).count() > 0
+      val newSum = next.agg(sum($"label")).head.getLong(0)
       labels = next
-      converged = !changed
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     labels.select($"entity", $"label".as("component"))

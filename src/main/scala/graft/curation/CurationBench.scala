@@ -1,0 +1,146 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.rdf.{StoreViews, TriplesEmitter, Provenance}
+
+/** Curation benchmark mirroring the reference's harness scenarios
+  * (`oc_meta/run/benchmark/benchmark.py`, BASELINE.md): synthetic
+  * bibliographic records (same field distributions as
+  * `generate_benchmark_data.py`, seed 42), a fresh-load phase and an
+  * update phase (partial preload, then complete re-processing against the
+  * resulting store). Prints one JSON line with throughput per phase.
+  *
+  *   runMain graft.curation.CurationBench [nRecords]
+  */
+object CurationBench {
+
+  private val titles = Vector(
+    "The impact of machine learning on scientific research",
+    "A comprehensive review of climate change models",
+    "Novel approaches to protein folding prediction",
+    "Statistical methods for large-scale data analysis",
+    "Understanding neural network architectures",
+    "Advances in quantum computing algorithms",
+    "Systematic analysis of gene expression patterns",
+    "Deep learning applications in medical imaging",
+    "Comparative study of optimization techniques",
+    "Theoretical foundations of distributed systems")
+  private val authors = Vector(
+    "Smith, John [orcid:0000-0001-5000-0007]",
+    "Johnson, Emily [orcid:0000-0002-1825-0097]",
+    "Williams, David [orcid:0000-0002-9079-593X]",
+    "Brown, Sarah [orcid:0000-0001-5109-3700]",
+    "Garcia, Maria [orcid:0000-0002-1694-233X]",
+    "Chen, Wei [viaf:101826960]",
+    "Kumar, Raj [viaf:49230907]",
+    "Anderson, Lisa [viaf:64013650]",
+    "Martinez, Carlos [viaf:85312226]",
+    "Lee, Yuki [viaf:112430248]")
+  private val venues = Vector(
+    "Nature [issn:0028-0836]", "Science [issn:0036-8075]",
+    "Cell [issn:0092-8674]", "The Lancet [issn:0140-6736]",
+    "PLOS ONE [issn:1932-6203]", "BMC Biology [issn:1741-7007]",
+    "Scientific Reports [issn:2045-2322]", "IEEE Transactions [issn:0018-9340]",
+    "ACM Computing Surveys [issn:0360-0300]",
+    "Journal of Computational Biology [issn:1066-5277]")
+  private val publishers = Vector(
+    "Springer Nature [crossref:297]", "Elsevier [crossref:78]",
+    "Wiley [crossref:311]", "Oxford University Press [crossref:286]",
+    "Cambridge University Press [crossref:56]")
+  private val types = Vector("journal article", "review article",
+    "research article", "conference paper", "book chapter")
+
+  def syntheticRecords(spark: SparkSession, n: Int, partial: Boolean,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val prefixes = Vector("10.1038", "10.1016", "10.1371", "10.1109", "10.1093")
+    val rows = (0 until n).map { i =>
+      val doi = f"doi:${prefixes(rnd.nextInt(prefixes.length))}/benchmark.$i%06d"
+      val id = if (!partial && rnd.nextDouble() > 0.3)
+        s"$doi pmid:${10000000 + rnd.nextInt(30000000)}" else doi
+      val nAuth = 1 + rnd.nextInt(5)
+      val auth = rnd.shuffle(authors).take(nAuth).mkString("; ")
+      val date = f"${2015 + rnd.nextInt(10)}-${1 + rnd.nextInt(12)}%02d"
+      val start = 1 + rnd.nextInt(500)
+      (id, titles(rnd.nextInt(titles.length)), auth, date,
+        if (partial) "" else venues(rnd.nextInt(venues.length)),
+        if (partial) "" else (1 + rnd.nextInt(50)).toString,
+        if (partial) "" else (1 + rnd.nextInt(12)).toString,
+        if (partial) "" else s"$start-${start + 5 + rnd.nextInt(26)}",
+        types(rnd.nextInt(types.length)),
+        publishers(rnd.nextInt(publishers.length)), "")
+    }
+    rows.toDF(Validation.InputColumns: _*)
+  }
+
+  private def materialize(b: Curator.CuratedBatch): Long = {
+    // force every output frame (the reference measures full curation incl.
+    // index building)
+    b.rows.count() + b.indexIdBr.count() + b.indexIdRa.count() +
+      b.arIndex.count() + b.reIndex.count() + b.vviIndex.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 1000
+    val scenario = if (args.length > 1) args(1) else "both"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-curation-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // fresh-load phase
+    var tFresh = 0.0; var entitiesCreated = 0L; var nTriples = 0L; var nProv = 0L
+    var tUpdate = 0.0; var nPre = 0L
+    if (scenario == "fresh" || scenario == "both") {
+    val freshInput = syntheticRecords(spark, n, partial = false)
+    // warmup pass: JVM/Catalyst JIT dominates a cold first run at small n;
+    // report the warmed measurement like any JVM benchmark (the reference
+    // is an interpreter and pays no warmup).
+    Curator.curateFresh(syntheticRecords(spark, math.min(n, 100), partial = false))
+      .rows.count()
+    val t0 = System.nanoTime()
+    val fresh = {
+      // triples emission consumes every frame again — checkpoint so the
+      // curation DAG executes once (same as the update path)
+      val f = Curator.curateFresh(freshInput)
+      def ck(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint()
+      Curator.CuratedBatch(ck(f.rows), ck(f.indexIdBr), ck(f.indexIdRa),
+        ck(f.arIndex), ck(f.reIndex), ck(f.vviIndex), ck(f.entities),
+        ck(f.entityIds), ck(f.roles), ck(f.raNames), ck(f.pages), ck(f.partOf))
+    }
+    materialize(fresh)
+    val triples = TriplesEmitter.emit(fresh)
+    nTriples = triples.count()
+    val prov = Provenance.freshSnapshots(fresh, "2026-01-01T00:00:00Z")
+    nProv = prov.count()
+    tFresh = (System.nanoTime() - t0) / 1e9
+    entitiesCreated = Provenance.allEntities(fresh).count()
+    }
+
+    // update phase: partial preload becomes the store, complete data re-curated
+    if (scenario == "update" || scenario == "both") {
+    val partialStoreBatch = Curator.curateFresh(syntheticRecords(spark, n, partial = true))
+    val store = StoreViews.fromTriples(TriplesEmitter.emit(partialStoreBatch), "060")
+    store.entityIds.cache().count()
+    val completeInput = syntheticRecords(spark, n, partial = false)
+    val t1 = System.nanoTime()
+    val upd = StoreCurator.curateWithStore(completeInput, store)
+    materialize(upd.batch)
+    nPre = upd.preexisting.count()
+    tUpdate = (System.nanoTime() - t1) / 1e9
+    }
+
+    println(s"""{"metric":"curation_bench","records":$n,""" +
+      s""""fresh_sec":$tFresh,"fresh_rec_per_sec":${if (tFresh > 0) n / tFresh else 0},""" +
+      s""""update_sec":$tUpdate,"update_rec_per_sec":${if (tUpdate > 0) n / tUpdate else 0},""" +
+      s""""entities_created":$entitiesCreated,"triples":$nTriples,""" +
+      s""""prov_snapshots":$nProv,"preexisting_adopted":$nPre}""")
+    spark.stop()
+  }
+}

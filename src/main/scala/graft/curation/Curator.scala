@@ -89,7 +89,8 @@ object Curator {
   private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
     min(when(nonBlank(valueCol), struct(rowIdx, valueCol))).getField(valueCol.toString())
 
-  def curateFresh(input: DataFrame, prefix: String = "060"): CuratedBatch = {
+  def curateFresh(input: DataFrame, prefix: String = "060",
+      numberOffset: Long = 0L): CuratedBatch = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -203,7 +204,7 @@ object Curator {
         lit(null).cast(newIss.schema("ik").dataType).as("ik"), $"phase", $"k1", $"k2")
       .unionByName(volKeyed).unionByName(issKeyed)
     val allBrNumbered = Sequencing.globalSequence(allBrEnts,
-      Seq($"phase", $"k1", $"k2"), "br_n").localCheckpoint()
+      Seq($"phase", $"k1", $"k2"), "br_n", numberOffset).localCheckpoint()
 
     def brOmid(n: Column): Column = concat(lit("br/" + prefix), n)
 
@@ -256,7 +257,7 @@ object Curator {
 
     // RA numbering by first appearance (min seq of component).
     val raEnts = resolved.groupBy($"ra_comp").agg(min($"seq").as("first_seq"))
-    val raNumbered = Sequencing.globalSequence(raEnts, Seq($"first_seq"), "ra_n")
+    val raNumbered = Sequencing.globalSequence(raEnts, Seq($"first_seq"), "ra_n", numberOffset)
       .select($"ra_comp", concat(lit("ra/" + prefix), $"ra_n").as("ra_meta"))
 
     // RA display name: first mention's name, given-name-enriched (E15).
@@ -273,7 +274,7 @@ object Curator {
     // AR entities: one per (attach, role, ra_comp), numbered by first seq.
     val arEnts = resolved.groupBy($"attach", $"role", $"ra_comp")
       .agg(min($"seq").as("first_seq"))
-    val arNumbered = Sequencing.globalSequence(arEnts, Seq($"first_seq"), "ar_n")
+    val arNumbered = Sequencing.globalSequence(arEnts, Seq($"first_seq"), "ar_n", numberOffset)
       .withColumn("ar_meta", concat(lit("ar/" + prefix), $"ar_n"))
       .localCheckpoint()
 
@@ -290,7 +291,7 @@ object Curator {
       min(struct($"phase", $"row_idx", $"slot", $"p0", $"p1")).as("fk"),
       max(when($"kind" === "br", 1).otherwise(0)).as("is_br"),
       max(when($"kind" === "ra", 1).otherwise(0)).as("is_ra"))
-    val idNumbered = Sequencing.globalSequence(idFirst, Seq($"fk"), "id_n")
+    val idNumbered = Sequencing.globalSequence(idFirst, Seq($"fk"), "id_n", numberOffset)
       .withColumn("id_meta", concat(lit("id/" + prefix), $"id_n"))
       .localCheckpoint()
 
@@ -298,7 +299,7 @@ object Curator {
     val reEnts = rows.filter(nonBlank($"page_n"))
       .groupBy($"br_comp").agg(min($"row_idx").as("first_row"),
         min_by($"page_n", $"row_idx").as("page"))
-    val reNumbered = Sequencing.globalSequence(reEnts, Seq($"first_row"), "re_n")
+    val reNumbered = Sequencing.globalSequence(reEnts, Seq($"first_row"), "re_n", numberOffset)
       .withColumn("re_meta", concat(lit("re/" + prefix), $"re_n"))
 
     // ---- P5': output assembly -------------------------------------------

@@ -18,8 +18,27 @@ object Sequencing {
 
   /** Appends `indexName` = offset + dense 1-based position of each row in
     * the total order defined by `sortCols` (must be a total order — add a
-    * tiebreaker column if needed). */
+    * tiebreaker column if needed).
+    *
+    * LAZY single-partition window implementation: correct at the scale it
+    * is used for — per-BATCH entity/mention frames, which are bounded by
+    * the curation batch size (one input file), not by corpus size. Being
+    * lazy it folds into downstream jobs instead of forcing an eager
+    * zipWithIndex job per sequence (the fresh-load pipeline assigns ~6
+    * sequences; eager assignment doubled its wall time at small n).
+    * For corpus-scale sequences use [[globalSequenceDistributed]]. */
   def globalSequence(df: DataFrame, sortCols: Seq[Column], indexName: String,
+      offset: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    val w = Window.orderBy(sortCols: _*)
+    df.withColumn(indexName, row_number().over(w).cast(LongType) + lit(offset))
+  }
+
+  /** Distributed variant for corpus-scale inputs: range-repartition on the
+    * sort key (globally ordered partitions) + RDD zipWithIndex (one
+    * O(#partitions) driver round). Eager. */
+  def globalSequenceDistributed(df: DataFrame, sortCols: Seq[Column], indexName: String,
       offset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val n = math.max(1, math.min(df.rdd.getNumPartitions,

@@ -1,0 +1,155 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rdf.StoreViews
+
+/** Store-backed curation — the reference's "update" scenario (SURVEY §6,
+  * D2 store branches / J5 equalizer / D8 / D9): a batch is resolved
+  * against an existing triples snapshot instead of an empty world.
+  *
+  * Strategy (set-oriented equivalent of the row-by-row id_worker):
+  *  1. run the fresh pipeline in a TEMPORARY number space (offset 10^9 —
+  *     disjoint from any real store numbering);
+  *  2. match batch entities to store entities by shared identifier:
+  *     exactly one store match -> ADOPT the store meta (D2(5) hit);
+  *     two-plus -> CONFLICT, keep the new entity (D2(3): components
+  *     spanning >=2 store entities must not union them);
+  *  3. compactly renumber the remaining new entities per kind from the
+  *     store's counters (stable first-appearance order preserved);
+  *  4. rewrite every output frame through the resulting meta->meta map
+  *     (broadcast — bounded by batch entity count, not store size) and
+  *     apply the equalizer precedence (J5): store wins for title,
+  *     pub_date, type, volume, issue, page; batch fills what the store
+  *     lacks. Adopted entities are flagged preexisting (D9).
+  */
+object StoreCurator {
+
+  private val TempBase = 1000000000L
+
+  final case class UpdateResult(batch: Curator.CuratedBatch, preexisting: DataFrame)
+
+  def curateWithStore(input: DataFrame, store: StoreViews.Store,
+      prefix: String = "060"): UpdateResult = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    // Phase 1: fresh curation in the temp number space. Every frame is
+    // consumed several times below (adoption joins, renumber collect,
+    // remapping) — checkpoint once so the curation DAG runs once.
+    val fresh = {
+      val f = Curator.curateFresh(input, prefix, numberOffset = TempBase)
+      def ck(df: DataFrame) = df.localCheckpoint()
+      Curator.CuratedBatch(ck(f.rows), ck(f.indexIdBr), ck(f.indexIdRa),
+        ck(f.arIndex), ck(f.reIndex), ck(f.vviIndex), ck(f.entities),
+        ck(f.entityIds), ck(f.roles), ck(f.raNames), ck(f.pages), ck(f.partOf))
+    }
+
+    // Phase 2: adoption by shared identifier, per entity kind.
+    def adoptions(batchIds: DataFrame, storeKindPrefix: String): DataFrame = {
+      val storeIds = store.entityIds
+        .filter($"owner_meta".startsWith(storeKindPrefix))
+        .select($"literal", $"owner_meta".as("store_meta"))
+      batchIds
+        .join(storeIds, "literal")
+        .groupBy($"owner_meta")
+        .agg(countDistinct($"store_meta").as("n_matches"),
+          min($"store_meta").as("adopted"))
+        // D2(3): two-plus distinct store entities -> conflict, no adoption
+        .filter($"n_matches" === 1)
+        .select($"owner_meta".as("from_meta"), $"adopted".as("to_meta"))
+    }
+    val batchIdLiterals = fresh.entityIds
+      .select($"owner_meta", concat($"scheme", lit(":"), $"value").as("literal"))
+    val brAdopt = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("br/")), "br/")
+    val raAdopt = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("ra/")), "ra/")
+    // id entities adopt by literal equality directly
+    val idAdopt = fresh.entityIds.select($"id_meta",
+        concat($"scheme", lit(":"), $"value").as("literal")).distinct()
+      .join(store.entityIds.select($"literal", $"id_meta".as("store_id")).distinct(), "literal")
+      .groupBy($"id_meta").agg(min($"store_id").as("to_meta"))
+      .select($"id_meta".as("from_meta"), $"to_meta")
+    // re entities of adopted BRs adopt the store re (store page wins, D8)
+    val reAdopt = fresh.pages.select($"br_meta", $"re_meta".as("from_meta"))
+      .join(brAdopt.withColumnRenamed("from_meta", "br_meta")
+        .withColumnRenamed("to_meta", "store_br"), Seq("br_meta"))
+      .join(store.pages.select($"br_meta".as("store_br"), $"re_meta".as("to_meta")),
+        Seq("store_br"))
+      .select($"from_meta", $"to_meta")
+
+    val adoptAll = brAdopt.unionByName(raAdopt).unionByName(idAdopt).unionByName(reAdopt)
+      .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
+
+    // Phase 3: compact renumbering of non-adopted temp entities per kind.
+    val allMetas = graft.rdf.Provenance.allEntities(fresh).select($"meta")
+    val offsets = store.counters.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap.withDefaultValue(0L)
+    val fresh2 = allMetas.join(adoptAll.select($"from_meta".as("meta")), Seq("meta"), "left_anti")
+      .withColumn("kind", substring_index($"meta", "/", 1))
+      .withColumn("temp_n", expr(s"CAST(substring(substring_index(meta, '/', -1), ${prefix.length + 1}) AS BIGINT)"))
+    val renumber: Seq[(String, String)] = fresh2.as[(String, String, Long)].collect()
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (kind, ms) =>
+        val base = offsets(kind)
+        ms.sortBy(_._3).zipWithIndex.map { case ((meta, k, _), i) =>
+          meta -> s"$k/$prefix${base + i + 1}"
+        }.toSeq
+      }
+    val mapping: Map[String, String] =
+      adoptAll.as[(String, String)].collect().toMap ++ renumber.toMap
+
+    // Phase 4: rewrite frames + equalizer.
+    val bMapping = spark.sparkContext.broadcast(mapping)
+    val remapUdf = udf((m: String) => if (m == null) null else bMapping.value.getOrElse(m, m))
+    val remapCellUdf = udf((cell: String) =>
+      if (cell == null) null
+      else "(?:br|ra|ar|re|id)/\\d+".r.replaceAllIn(cell,
+        mm => java.util.regex.Matcher.quoteReplacement(bMapping.value.getOrElse(mm.matched, mm.matched))))
+
+    def remapCols(df: DataFrame, metaCols: Seq[String], cellCols: Seq[String] = Nil): DataFrame = {
+      val afterMeta = metaCols.foldLeft(df)((d, c) => d.withColumn(c, remapUdf(col(c))))
+      cellCols.foldLeft(afterMeta)((d, c) => d.withColumn(c, remapCellUdf(col(c))))
+    }
+
+    // equalizer (J5): store values win for title/date/type/volume/issue/page
+    val storeFacts = store.entities.select($"meta".as("br_meta"),
+      $"title".as("st_title"), $"date".as("st_date"), $"type_label".as("st_type"))
+    val storePages = store.pages.select($"br_meta", $"page".as("st_page"))
+    val rows2 = remapCols(fresh.rows,
+        Seq("br_meta", "re_meta"),
+        Seq("id", "author", "venue", "publisher", "editor"))
+      .join(storeFacts, Seq("br_meta"), "left")
+      .join(storePages, Seq("br_meta"), "left")
+      .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
+      .withColumn("pub_date", when(nonBlank($"st_date"), $"st_date").otherwise($"pub_date"))
+      .withColumn("type", when(nonBlank($"st_type"), $"st_type").otherwise($"type"))
+      .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
+      .drop("st_title", "st_date", "st_type", "st_page")
+
+    val batch2 = Curator.CuratedBatch(
+      rows = rows2,
+      indexIdBr = remapCols(fresh.indexIdBr, Seq("meta")),
+      indexIdRa = remapCols(fresh.indexIdRa, Seq("meta")),
+      arIndex = remapCols(fresh.arIndex, Seq("meta"), Seq("author", "editor", "publisher")),
+      reIndex = remapCols(fresh.reIndex, Seq("br", "re")),
+      vviIndex = remapCols(fresh.vviIndex, Seq("venue_meta", "meta")),
+      entities = remapCols(fresh.entities, Seq("meta"))
+        .join(storeFacts.select($"br_meta".as("meta"), $"st_title", $"st_date", $"st_type"), Seq("meta"), "left")
+        .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
+        .withColumn("date", when(nonBlank($"st_date"), $"st_date").otherwise($"date"))
+        .withColumn("type_label", when(nonBlank($"st_type"), $"st_type").otherwise($"type_label"))
+        .drop("st_title", "st_date", "st_type"),
+      entityIds = remapCols(fresh.entityIds, Seq("owner_meta", "id_meta")),
+      roles = remapCols(fresh.roles, Seq("br_meta", "ar_meta", "ra_meta")),
+      raNames = remapCols(fresh.raNames, Seq("ra_meta")),
+      pages = remapCols(fresh.pages, Seq("br_meta", "re_meta")),
+      partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")))
+
+    val preexisting = adoptAll.select($"to_meta".as("meta")).distinct()
+
+    UpdateResult(batch2, preexisting)
+  }
+
+  private def nonBlank(c: org.apache.spark.sql.Column) = c.isNotNull && length(c) > 0
+}

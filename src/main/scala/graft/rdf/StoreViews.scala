@@ -1,0 +1,118 @@
+package graft.rdf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Derived relational views of a triples snapshot (SURVEY §7.1): the
+  * Spark-managed replacement for the reference's triplestore. Built once
+  * per batch by pivoting `triples(s,p,o,o_datatype)`; all curation-time
+  * "SPARQL lookups" (J1-J3) become joins against these frames.
+  *
+  * At cluster scale the `triples` table is stored partitioned by `p` (the
+  * reference's reverse PO->S index for hot predicates, finder.py:87-98,
+  * becomes partition pruning on the predicate + a bucketed copy on `o`).
+  */
+object StoreViews {
+
+  final case class Store(
+      entities: DataFrame,   // (meta, kinds: type labels set, title, date, seq_id)
+      entityIds: DataFrame,  // (owner_meta, literal "scheme:value")
+      roles: DataFrame,      // (br_meta, role, pos, ar_meta, ra_meta)
+      raNames: DataFrame,    // (ra_meta, name)
+      pages: DataFrame,      // (br_meta, re_meta, page)
+      partOf: DataFrame,     // (child_meta, parent_meta)
+      counters: DataFrame)   // (kind, prefix, next_n)
+
+  private def short(c: org.apache.spark.sql.Column) =
+    expr(s"substring(${c.toString()}, ${Vocab.BaseIri.length + 2})")
+
+  def fromTriples(triples: DataFrame, prefix: String): Store = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val t = triples.cache()
+    def objOf(p: String) = t.filter($"p" === p).select($"s", $"o")
+
+    val classToLabel = typedLit(Vocab.ClassToTypeLabel)
+    val labels = objOf(Vocab.RdfType)
+      .withColumn("label", classToLabel($"o"))
+      .filter($"label".isNotNull && length($"label") > 0)
+      .groupBy($"s").agg(min($"label").as("type_label"))
+    val titles = objOf(Vocab.Title).groupBy($"s").agg(min($"o").as("title"))
+    val dates = objOf(Vocab.PublicationDate).groupBy($"s").agg(min($"o").as("date"))
+    val seqs = objOf(Vocab.HasSequenceIdentifier).groupBy($"s").agg(min($"o").as("seq_id"))
+    val subjects = t.select($"s").distinct()
+      .filter(!$"s".contains("/prov/"))
+      .filter($"s".startsWith(Vocab.BaseIri))
+    val entities = subjects
+      .join(labels, Seq("s"), "left").join(titles, Seq("s"), "left")
+      .join(dates, Seq("s"), "left").join(seqs, Seq("s"), "left")
+      .select(short($"s").as("meta"),
+        coalesce($"type_label", lit("")).as("type_label"),
+        coalesce($"title", lit("")).as("title"),
+        coalesce($"date", lit("")).as("date"),
+        coalesce($"seq_id", lit("")).as("seq_id"))
+      .filter($"meta".rlike("^(br|ra|ar|re|id)/"))
+
+    val idStrings = objOf(Vocab.UsesIdentifierScheme)
+      .select($"s".as("id_uri"), expr(s"substring(o, ${Vocab.Datacite.length + 1})").as("scheme"))
+      .join(objOf(Vocab.HasLiteralValue).select($"s".as("id_uri"), $"o".as("value")), "id_uri")
+      .select($"id_uri", concat($"scheme", lit(":"), $"value").as("literal"))
+    val entityIds = objOf(Vocab.HasIdentifier)
+      .select($"s".as("owner"), $"o".as("id_uri"))
+      .join(idStrings, "id_uri")
+      .select(short($"owner").as("owner_meta"), $"literal",
+        short($"id_uri").as("id_meta"))
+
+    // roles with hasNext order reconstruction (R4)
+    val brAr = objOf(Vocab.IsDocumentContextFor).select($"s".as("br"), $"o".as("ar"))
+    val arRole = objOf(Vocab.WithRole)
+      .select($"s".as("ar"), expr(s"substring(o, ${Vocab.Pro.length + 1})").as("role"))
+    val arRa = objOf(Vocab.IsHeldBy).select($"s".as("ar"), $"o".as("ra"))
+    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar")).cache()
+    val heads = brAr.join(next.select($"next_ar".as("ar")), Seq("ar"), "left_anti")
+      .select($"ar").withColumn("pos", lit(1L))
+    var ordered = heads.localCheckpoint()
+    var frontier = heads
+    var iter = 0
+    var done = frontier.isEmpty
+    while (!done && iter < 100) {
+      val nxt = frontier.join(next, Seq("ar"))
+        .select($"next_ar".as("ar"), ($"pos" + 1).as("pos")).localCheckpoint()
+      frontier = nxt.join(ordered.select($"ar"), Seq("ar"), "left_anti").localCheckpoint()
+      if (frontier.isEmpty) done = true
+      else ordered = ordered.union(frontier).localCheckpoint()
+      iter += 1
+    }
+    val roles = brAr.join(arRole, "ar").join(arRa, "ar")
+      .join(ordered, Seq("ar"), "left")
+      .select(short($"br").as("br_meta"), $"role",
+        coalesce($"pos", lit(999999L)).as("pos"),
+        short($"ar").as("ar_meta"), short($"ra").as("ra_meta"))
+
+    val family = objOf(Vocab.FoafFamilyName).groupBy($"s").agg(min($"o").as("family"))
+    val given = objOf(Vocab.FoafGivenName).groupBy($"s").agg(min($"o").as("given"))
+    val orgName = objOf(Vocab.FoafName).groupBy($"s").agg(min($"o").as("org_name"))
+    val raNames = family.join(given, Seq("s"), "full").join(orgName, Seq("s"), "full")
+      .withColumn("name", coalesce(
+        when($"family".isNotNull, concat($"family", lit(", "), coalesce($"given", lit("")))),
+        $"org_name"))
+      .select(short($"s").as("ra_meta"), $"name")
+
+    val pages = objOf(Vocab.Embodiment).select($"s".as("br"), $"o".as("re"))
+      .join(objOf(Vocab.StartingPage).select($"s".as("re"), $"o".as("sp")), Seq("re"), "left")
+      .join(objOf(Vocab.EndingPage).select($"s".as("re"), $"o".as("ep")), Seq("re"), "left")
+      .select(short($"br").as("br_meta"), short($"re").as("re_meta"),
+        concat_ws("-", $"sp", $"ep").as("page"))
+
+    val partOf = objOf(Vocab.PartOf)
+      .select(short($"s").as("child_meta"), short($"o").as("parent_meta"))
+
+    val counters = graft.operators.Tools.regenerateCounters(
+      entities.select($"meta"), prefix)
+
+    // views are consumed repeatedly by curation joins — materialize once
+    def ck(df: DataFrame) = df.localCheckpoint()
+    Store(ck(entities), ck(entityIds), ck(roles), ck(raNames), ck(pages),
+      ck(partOf), ck(counters))
+  }
+}

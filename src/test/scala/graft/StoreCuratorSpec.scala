@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curation.{Curator, StoreCurator}
+import graft.rdf.{StoreViews, TriplesEmitter}
+
+/** Update-scenario specs (the reference benchmark's second phase): batch 1
+  * fresh-loads and becomes the store; batch 2 re-processes overlapping
+  * rows against it. D2 store adoption, J5 equalizer precedence, D9
+  * preexisting tracking, counter continuity. */
+class StoreCuratorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val batch1 = Curator.curateFresh(
+    Curator.readInput(spark, "/root/reference/example_metadata.csv"))
+  lazy val store = StoreViews.fromTriples(TriplesEmitter.emit(batch1), "060")
+
+  // batch 2: same first row's DOI with changed metadata + one new row
+  lazy val batch2Input = {
+    import spark.implicits._
+    Seq(
+      ("doi:10.1007/978-3-662-07918-8_3", "A Different Title Someone Typed", "Ushakov, Vasily Y.",
+        "2005", "", "", "", "", "book chapter", "", ""),
+      ("doi:10.9999/new-entry", "A Brand New Work", "Doe, Jane [orcid:0000-0002-1825-0097]",
+        "2024", "", "", "", "11-22", "journal article", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+  }
+  lazy val update = StoreCurator.curateWithStore(batch2Input, store)
+
+  test("store views reconstruct entities, ids, ordered roles from triples") {
+    import spark.implicits._
+    assert(store.entities.filter($"meta".startsWith("br/")).count() ==
+      batch1.entities.count())
+    assert(store.entityIds.count() > 0)
+    // hasNext order round-trips: multi-author BR keeps positions 1..n
+    val multi = store.roles.filter($"role" === "author")
+      .groupBy($"br_meta").agg(count(lit(1)).as("n"), collect_set($"pos").as("ps"))
+      .filter($"n" > 1).collect()
+    assert(multi.nonEmpty)
+    multi.foreach { r =>
+      val ps = r.getAs[scala.collection.Seq[Long]]("ps").sorted
+      assert(ps == (1L to r.getAs[Long]("n")).toSeq, s"${r}")
+    }
+    val counters = store.counters.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(counters("br") == batch1.entities.count())
+  }
+
+  test("update: overlapping row adopts the store OMID, store facts win (J5)") {
+    val rows = update.batch.rows.orderBy("first_row").collect()
+    assert(rows.length == 2)
+    val known = rows(0)
+    assert(known.getAs[String]("br_meta") == "br/0601", "DOI match must adopt store omid")
+    // equalizer: store title and date win over the changed batch values
+    assert(known.getAs[String]("title") ==
+      "Influence of Dielectric Properties, State, and Electrodes on Electric Strength")
+    assert(known.getAs[String]("pub_date") == "2004")
+    // store page wins (27-82 from batch 1)
+    assert(known.getAs[String]("page") == "27-82")
+  }
+
+  test("update: new entities numbered from store counters, no collisions") {
+    import spark.implicits._
+    val storeMax = store.counters.filter($"kind" === "br").collect().head.getLong(2)
+    val newRow = update.batch.rows.orderBy("first_row").collect()(1)
+    val n = newRow.getAs[String]("br_meta").stripPrefix("br/060").toLong
+    assert(n == storeMax + 1, s"new br number $n should be ${storeMax + 1}")
+    // no meta appears in both store and new-entity space except adoptions
+    val updMetas = graft.rdf.Provenance.allEntities(update.batch)
+      .select($"meta").as[String].collect().toSet
+    val adopted = update.preexisting.as[String].collect().toSet
+    val storeMetas = store.entities.select($"meta").as[String].collect().toSet
+    assert((updMetas -- adopted).intersect(storeMetas).isEmpty)
+  }
+
+  test("update: preexisting tracking flags adopted entities (D9)") {
+    import spark.implicits._
+    val pre = update.preexisting.as[String].collect().toSet
+    assert(pre.contains("br/0601"))
+    // orcid author of the new row is new; Ushakov (no ids) is NOT adopted
+    // cross-batch (name matching is per-BR-sequence, and the store
+    // sequence name match requires the same BR) — documented semantics
+    assert(pre.forall(m => !m.startsWith("ar/")))
+  }
+}
