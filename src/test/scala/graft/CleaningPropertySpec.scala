@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Cleaning
+
+/** ScalaCheck property tests for the pure expression library — laws the
+  * reference never states but relies on (SURVEY §5 implication). */
+class CleaningPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val anyString = Gen.asciiPrintableStr
+  private val unicodeString = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '-', '­', '–', '—', ',', ';', '[', ']', ':'),
+    Gen.choose('À', 'ɏ'))).map(_.mkString)
+
+  test("normalize_hyphens is idempotent and length-preserving") {
+    check(Prop.forAll(unicodeString) { s =>
+      val once = Cleaning.normalizeHyphens(s)
+      Cleaning.normalizeHyphens(once) == once && once.length == s.length
+    })
+  }
+
+  test("normalize_spaces is idempotent after first application") {
+    check(Prop.forAll(unicodeString) { s =>
+      val once = Cleaning.normalizeSpaces(s)
+      Cleaning.normalizeSpaces(once) == once
+    })
+  }
+
+  test("clean_title is idempotent") {
+    check(Prop.forAll(unicodeString) { s =>
+      val once = Cleaning.cleanTitle(s)
+      Cleaning.cleanTitle(once) == once
+    })
+  }
+
+  test("clean_date output is always '' or canonical ISO prefix") {
+    check(Prop.forAll(anyString) { s =>
+      val d = Cleaning.cleanDate(s)
+      d.isEmpty || d.matches("\\d{4}(-\\d{2}(-\\d{2})?)?")
+    })
+  }
+
+  test("clean_date is idempotent on its own output") {
+    check(Prop.forAll(Gen.choose(1, 9999), Gen.choose(1, 13), Gen.choose(1, 32)) {
+      (y, m, d) =>
+        val out = Cleaning.cleanDate(f"$y%04d-$m%02d-$d%02d")
+        Cleaning.cleanDate(out) == out
+    })
+  }
+
+  test("normalize_id never returns an invalid checksum id") {
+    val idGen = for {
+      schema <- Gen.oneOf("doi", "isbn", "issn", "orcid", "viaf", "pmid")
+      value <- anyString
+    } yield s"$schema:$value"
+    check(Prop.forAll(idGen) { id =>
+      Cleaning.normalizeId(id) match {
+        case Some(norm) => norm.contains(":") && !norm.startsWith(":")
+        case None => true
+      }
+    })
+  }
+
+  test("valid ISSN checksums always normalize") {
+    val issnGen = Gen.listOfN(7, Gen.numChar).map(_.mkString).map { d7 =>
+      val sum = d7.zipWithIndex.map { case (c, i) => (8 - i) * (c - '0') }.sum
+      val check = (11 - sum % 11) % 11
+      d7 + (if (check == 10) "X" else check.toString)
+    }
+    check(Prop.forAll(issnGen) { issn =>
+      val norm = issn.substring(0, 4) + "-" + issn.substring(4)
+      norm == "0000-0000" ||
+        Cleaning.normalizeIssn(issn).contains(s"issn:$norm")
+    })
+  }
+
+  test("split_name_and_ids never throws and round-trips the ids block") {
+    // bracket-free names: the FIRST [ids] block must round-trip exactly
+    val bracketFree = unicodeString.map(_.filterNot(c => c == '[' || c == ']'))
+    check(Prop.forAll(bracketFree, Gen.listOf(Gen.identifier)) { (name, ids) =>
+      val idStr = ids.map(i => s"x:$i").mkString(" ")
+      val cell = if (idStr.isEmpty) name else s"$name [$idStr]"
+      val (_, gotIds) = Cleaning.splitNameAndIds(cell)
+      gotIds == idStr
+    })
+  }
+
+  test("clean_ra_list is idempotent") {
+    val agentGen = for {
+      last <- Gen.alphaStr.suchThat(_.nonEmpty)
+      first <- Gen.alphaStr
+      ids <- Gen.listOf(Gen.oneOf("viaf:1", "viaf:2", "wikidata:Q3"))
+    } yield s"$last, $first" + (if (ids.nonEmpty) s" [${ids.distinct.mkString(" ")}]" else "")
+    check(Prop.forAll(Gen.listOf(agentGen)) { ras =>
+      val once = Cleaning.cleanRaList(ras)
+      Cleaning.cleanRaList(once) == once
+    })
+  }
+
+  test("simhash: identical token multisets collide, per-bit flip count bounded") {
+    check(Prop.forAll(Gen.listOf(Gen.identifier)) { toks =>
+      val a = graft.operators.Dedup.simhash64(toks)
+      val b = graft.operators.Dedup.simhash64(scala.util.Random.shuffle(toks))
+      a == b
+    })
+  }
+}
