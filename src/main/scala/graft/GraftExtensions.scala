@@ -39,6 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Session-level registration of the scalar cleaning functions (UDFs carry
   * their own registration path — callable from SQL after this). */
 object GraftFunctions {
+
+  /** Register the native expressions on an ALREADY-RUNNING session (the
+    * builder-time `withExtensions` path doesn't apply to a session
+    * obtained from getOrCreate reuse). */
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      args => VectorExpressions.DotProduct(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      args => Divide(VectorExpressions.DotProduct(args(0), args(1)),
+        Multiply(Sqrt(VectorExpressions.DotProduct(args(0), args(0))),
+          Sqrt(VectorExpressions.DotProduct(args(1), args(1))))), "scala_udf")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.functions.Cleaning
     spark.udf.register("graft_clean_date",

@@ -38,7 +38,7 @@ object ConnectedComponents {
 
     // labels only ever decrease, so an unchanged sum(label) means a fixed
     // point — one cheap aggregate per round instead of a join-based diff.
-    var prevSum = labels.agg(sum($"label")).head.getLong(0)
+    var prevSum = labels.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -50,7 +50,7 @@ object ConnectedComponents {
         .select($"entity",
           least($"label", coalesce($"proposal", $"label")).as("label"))
         .localCheckpoint()
-      val newSum = next.agg(sum($"label")).head.getLong(0)
+      val newSum = next.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
       labels = next
       converged = newSum == prevSum
       prevSum = newSum

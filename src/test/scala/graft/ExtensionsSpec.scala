@@ -16,6 +16,9 @@ class ExtensionsSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("SQL extensions: graft_dot/graft_cosine resolve and compute") {
+    // getOrCreate may reuse another suite's session (builder extensions
+    // then don't apply) — the runtime registration path covers both.
+    GraftFunctions.registerNative(spark)
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
