@@ -185,6 +185,9 @@ object TextQueries {
     val p2 = part(s, dir).select($"p_brand", $"p_partkey".as("k2"), $"p_name".as("name2"))
     p1.join(p2, Seq("p_brand"))
       .filter($"k1" < $"k2")
+      // NOTE: a |len(a)-len(b)|<=8 pre-filter was measured SLOWER here —
+      // TPC-H part names are length-uniform so it prunes nothing and adds
+      // per-pair work. Plain levenshtein + threshold filter wins.
       .withColumn("dist", levenshtein($"name1", $"name2"))
       .filter($"dist" <= 8)
       .select($"p_brand", $"k1".cast("long").as("k1"), $"k2".cast("long").as("k2"),
