@@ -30,7 +30,8 @@ object StoreCurator {
   final case class UpdateResult(batch: Curator.CuratedBatch, preexisting: DataFrame)
 
   def curateWithStore(input: DataFrame, store: StoreViews.Store,
-      prefix: String = "060"): UpdateResult = {
+      prefix: String = "060",
+      silencedRoles: Set[String] = Set.empty): UpdateResult = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -116,7 +117,29 @@ object StoreCurator {
     val storeFacts = store.entities.select($"meta".as("br_meta"),
       $"title".as("st_title"), $"date".as("st_date"), $"type_label".as("st_type"))
     val storePages = store.pages.select($"br_meta", $"page".as("st_page"))
-    val rows2 = remapCols(fresh.rows,
+
+    // D6 silencer: for adopted BRs whose store graph ALREADY carries a
+    // sequence for a silenced role, the batch's agents are ignored and the
+    // store sequence is kept (curator.py:661-662 / creator.py:127-159).
+    // Store cells are rebuilt from the store role/name/id frames.
+    val storeRoleCells = store.roles
+      .join(store.raNames, Seq("ra_meta"), "left")
+      .join(store.entityIds.groupBy($"owner_meta".as("ra_meta"))
+        .agg(concat_ws(" ", sort_array(collect_list($"literal"))).as("ra_ids")), Seq("ra_meta"), "left")
+      .withColumn("agent_cell", concat(coalesce($"name", lit("")), lit(" ["),
+        concat_ws(" ", when(nonBlank($"ra_ids"), $"ra_ids"),
+          concat(lit("omid:"), $"ra_meta")), lit("]")))
+      .groupBy($"br_meta", $"role")
+      .agg(concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"agent_cell"))),
+        x => x.getField("agent_cell"))).as("st_cell"),
+        concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"ra_meta"))),
+          x => concat(x.getField("ar_meta"), lit(", "), x.getField("ra_meta")))).as("st_pairs"))
+    def silencedCell(role: String) =
+      if (!silencedRoles.contains(role)) Seq.empty
+      else Seq(storeRoleCells.filter($"role" === role)
+        .select($"br_meta", $"st_cell".as(s"st_${role}_cell")))
+
+    val rows2base = remapCols(fresh.rows,
         Seq("br_meta", "re_meta"),
         Seq("id", "author", "venue", "publisher", "editor"))
       .join(storeFacts, Seq("br_meta"), "left")
@@ -126,6 +149,14 @@ object StoreCurator {
       .withColumn("type", when(nonBlank($"st_type"), $"st_type").otherwise($"type"))
       .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
       .drop("st_title", "st_date", "st_type", "st_page")
+    val rows2 = Seq("author", "publisher", "editor").foldLeft(rows2base) { (df, role) =>
+      silencedCell(role).foldLeft(df) { (d, cellDf) =>
+        d.join(cellDf, Seq("br_meta"), "left")
+          .withColumn(role, when(nonBlank(col(s"st_${role}_cell")), col(s"st_${role}_cell"))
+            .otherwise(col(role)))
+          .drop(s"st_${role}_cell")
+      }
+    }
 
     val batch2 = Curator.CuratedBatch(
       rows = rows2,
@@ -141,7 +172,22 @@ object StoreCurator {
         .withColumn("type_label", when(nonBlank($"st_type"), $"st_type").otherwise($"type_label"))
         .drop("st_title", "st_date", "st_type"),
       entityIds = remapCols(fresh.entityIds, Seq("owner_meta", "id_meta")),
-      roles = remapCols(fresh.roles, Seq("br_meta", "ar_meta", "ra_meta")),
+      roles = {
+        val remapped = remapCols(fresh.roles, Seq("br_meta", "ar_meta", "ra_meta"))
+        if (silencedRoles.isEmpty) remapped
+        else {
+          // silenced (br, role) pairs with a store sequence use the store
+          // roles; the batch's roles for those pairs are dropped
+          val silencedKeys = store.roles
+            .filter($"role".isin(silencedRoles.toSeq: _*))
+            .select($"br_meta", $"role").distinct()
+          val kept = remapped.join(silencedKeys, Seq("br_meta", "role"), "left_anti")
+          val substituted = store.roles
+            .join(silencedKeys, Seq("br_meta", "role"), "left_semi")
+            .select($"br_meta", $"role", $"pos", $"ar_meta", $"ra_meta")
+          kept.unionByName(substituted)
+        }
+      },
       raNames = remapCols(fresh.raNames, Seq("ra_meta")),
       pages = remapCols(fresh.pages, Seq("br_meta", "re_meta")),
       partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")))

@@ -79,6 +79,24 @@ class StoreCuratorSpec extends AnyFunSuite {
     assert((updMetas -- adopted).intersect(storeMetas).isEmpty)
   }
 
+  test("update: silencer keeps store role sequences for silenced roles (D6)") {
+    import spark.implicits._
+    val silenced = StoreCurator.curateWithStore(batch2Input, store,
+      silencedRoles = Set("author"))
+    val known = silenced.batch.rows.orderBy("first_row").collect()(0)
+    // batch-1 author cell for br/0601 was "Ushakov, Vasily Y. [omid:ra/0601]"
+    assert(known.getAs[String]("author").contains("Ushakov"))
+    assert(known.getAs[String]("author").contains("omid:ra/0601"))
+    // roles frame for the adopted BR uses the STORE sequence
+    val roles = silenced.batch.roles
+      .filter($"br_meta" === "br/0601" && $"role" === "author").collect()
+    assert(roles.length == 1 && roles.head.getAs[String]("ra_meta") == "ra/0601")
+    // unsilenced run: the new-batch author resolves independently but the
+    // cell still names Ushakov (same person re-parsed)
+    val unsilenced = update.batch.rows.orderBy("first_row").collect()(0)
+    assert(unsilenced.getAs[String]("author").contains("Ushakov"))
+  }
+
   test("update: preexisting tracking flags adopted entities (D9)") {
     import spark.implicits._
     val pre = update.preexisting.as[String].collect().toSet
