@@ -115,6 +115,7 @@ object Curator {
     val parsed = parsed0
       .withColumn("venue3", ven3).withColumn("vol3", vol3).withColumn("iss3", iss3)
       .withColumn("br_ids", Parsing.parseIdCellUdf($"id"))
+      .withColumn("explicit_omid", Parsing.explicitOmidUdf($"id"))
       .withColumn("date", Parsing.cleanDateUdf($"date0"))
       .withColumn("page_n", Parsing.normalizeHyphensUdf($"page"))
       .withColumn("venue_p", Parsing.parseVenueUdf($"venue3"))
@@ -372,7 +373,8 @@ object Curator {
       firstNonEmpty($"type2", $"row_idx").as("o_type"),
       firstNonEmpty($"vol3", $"row_idx").as("o_volume"),
       firstNonEmpty($"iss3", $"row_idx").as("o_issue"),
-      min(when($"venue_ent".isNotNull, struct($"row_idx", $"venue_ent"))).getField("venue_ent").as("o_venue_ent"))
+      min(when($"venue_ent".isNotNull, struct($"row_idx", $"venue_ent"))).getField("venue_ent").as("o_venue_ent"),
+      array_distinct(collect_list($"explicit_omid")).as("explicit_omids"))
 
     val outRows = compAgg
       .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
@@ -388,7 +390,7 @@ object Curator {
       .withColumn("o_id", concat_ws(" ",
         concat(coalesce($"id_list", array()), array(concat(lit("omid:"), $"br_meta")))))
       .select(
-        $"br_comp", $"first_row", $"br_meta", $"re_meta",
+        $"br_comp", $"first_row", $"br_meta", $"re_meta", $"explicit_omids",
         $"o_id".as("id"), coalesce($"o_title", lit("")).as("title"),
         coalesce($"author_cell", lit("")).as("author"),
         coalesce($"o_date", lit("")).as("pub_date"),

@@ -65,6 +65,14 @@ object Parsing {
   }
 
   val parseIdCellUdf = udf(parseIdCell _)
+
+  /** Explicit `omid:` token of an id cell (D2(1)/(2) input), as "br/N". */
+  def explicitOmid(cell: String): Option[String] = {
+    if (cell == null || cell.trim.isEmpty) return None
+    val tokens = cell.replaceAll(":\\s+", ":").split("\\s+").toSeq
+    cleanIdList(tokens)._1
+  }
+  val explicitOmidUdf = udf((c: String) => explicitOmid(c))
   val parseAgentsUdf = udf((c: String) => parseAgents(c).map(a => (a.name, a.ids)))
   val parseVenueUdf = udf((c: String) => parseVenue(c).map(v => (v.name, v.ids)))
   val cleanDateUdf = udf((c: String) =>

@@ -78,7 +78,27 @@ object StoreCurator {
         Seq("store_br"))
       .select($"from_meta", $"to_meta")
 
-    val adoptAll = brAdopt.unionByName(raAdopt).unionByName(idAdopt).unionByName(reAdopt)
+    // D2(1): an explicit omid present in the store adopts it outright
+    // (highest priority); D2(2): an explicit omid UNKNOWN to the store
+    // invalidates the row — those components are dropped from every frame.
+    val explicitPerComp = fresh.rows
+      .select($"br_meta".as("from_meta"), explode($"explicit_omids").as("ex"))
+      .filter($"ex".isNotNull)
+      .groupBy($"from_meta")
+      .agg(countDistinct($"ex").as("n_ex"), min($"ex").as("ex_omid"))
+      .filter($"n_ex" === 1)
+    val storeBrs = store.entities.select($"meta".as("ex_omid")).distinct()
+    val brAdoptExplicit = explicitPerComp
+      .join(storeBrs, Seq("ex_omid"), "left_semi")
+      .select($"from_meta", $"ex_omid".as("to_meta"))
+    val invalidComps = explicitPerComp
+      .join(storeBrs, Seq("ex_omid"), "left_anti")
+      .select($"from_meta".as("br_meta"))
+      .localCheckpoint()
+
+    val adoptAll = brAdoptExplicit
+      .unionByName(brAdopt.join(brAdoptExplicit.select($"from_meta"), Seq("from_meta"), "left_anti"))
+      .unionByName(raAdopt).unionByName(idAdopt).unionByName(reAdopt)
       .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
 
     // Phase 3: compact renumbering of non-adopted temp entities per kind.
@@ -149,7 +169,7 @@ object StoreCurator {
       .withColumn("type", when(nonBlank($"st_type"), $"st_type").otherwise($"type"))
       .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
       .drop("st_title", "st_date", "st_type", "st_page")
-    val rows2 = Seq("author", "publisher", "editor").foldLeft(rows2base) { (df, role) =>
+    val rows2silenced = Seq("author", "publisher", "editor").foldLeft(rows2base) { (df, role) =>
       silencedCell(role).foldLeft(df) { (d, cellDf) =>
         d.join(cellDf, Seq("br_meta"), "left")
           .withColumn(role, when(nonBlank(col(s"st_${role}_cell")), col(s"st_${role}_cell"))
@@ -157,6 +177,14 @@ object StoreCurator {
           .drop(s"st_${role}_cell")
       }
     }
+    // D2(2): drop rows whose explicit omid resolved nowhere. invalidComps
+    // holds TEMP metas; br_meta in rows2 went through the renumber map, so
+    // translate the drop set through the same mapping first.
+    val dropSet = invalidComps.as[String].collect()
+      .map(m => mapping.getOrElse(m, m)).toSet
+    val rows2 =
+      if (dropSet.isEmpty) rows2silenced
+      else rows2silenced.filter(!col("br_meta").isin(dropSet.toSeq: _*))
 
     val batch2 = Curator.CuratedBatch(
       rows = rows2,

@@ -97,6 +97,21 @@ class StoreCuratorSpec extends AnyFunSuite {
     assert(unsilenced.getAs[String]("author").contains("Ushakov"))
   }
 
+  test("update: explicit omid adopts the store entity; unknown omid drops the row (D2(1)/(2))") {
+    import spark.implicits._
+    val input = Seq(
+      ("omid:br/0602 doi:10.555/fresh-doi", "Explicitly Pointed Work", "Poe, Edgar", "1845",
+        "", "", "", "", "journal article", "", ""),
+      ("omid:br/99999 doi:10.555/ghost", "Ghost Row", "Nobody, At All", "1900",
+        "", "", "", "", "journal article", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val upd = StoreCurator.curateWithStore(input, store)
+    val rows = upd.batch.rows.collect()
+    assert(rows.length == 1, "unknown explicit omid must invalidate its row")
+    assert(rows.head.getAs[String]("br_meta") == "br/0602")
+    assert(rows.head.getAs[String]("id").contains("omid:br/0602"))
+  }
+
   test("update: preexisting tracking flags adopted entities (D9)") {
     import spark.implicits._
     val pre = update.preexisting.as[String].collect().toSet
