@@ -31,7 +31,8 @@ object StoreCurator {
 
   def curateWithStore(input: DataFrame, store: StoreViews.Store,
       prefix: String = "060",
-      silencedRoles: Set[String] = Set.empty): UpdateResult = {
+      silencedRoles: Set[String] = Set.empty,
+      prov: Option[DataFrame] = None): UpdateResult = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -79,8 +80,13 @@ object StoreCurator {
       .select($"from_meta", $"to_meta")
 
     // D2(1): an explicit omid present in the store adopts it outright
-    // (highest priority); D2(2): an explicit omid UNKNOWN to the store
-    // invalidates the row — those components are dropped from every frame.
+    // (highest priority). D2(2): an explicit omid UNKNOWN to the store is
+    // looked up in the provenance merge history (finder.py:201-250,
+    // `retrieve_metaid_from_merged_entity`): a dead omid absorbed by a
+    // merge resolves to its surviving successor. If that also fails the
+    // token is simply discarded (curator.py:1196-1205 sets metaval='') and
+    // the component falls through to id-based resolution below or is
+    // minted as a new entity — the row is never dropped.
     val explicitPerComp = fresh.rows
       .select($"br_meta".as("from_meta"), explode($"explicit_omids").as("ex"))
       .filter($"ex".isNotNull)
@@ -88,13 +94,43 @@ object StoreCurator {
       .agg(countDistinct($"ex").as("n_ex"), min($"ex").as("ex_omid"))
       .filter($"n_ex" === 1)
     val storeBrs = store.entities.select($"meta".as("ex_omid")).distinct()
-    val brAdoptExplicit = explicitPerComp
+    val knownExplicit = explicitPerComp
       .join(storeBrs, Seq("ex_omid"), "left_semi")
       .select($"from_meta", $"ex_omid".as("to_meta"))
-    val invalidComps = explicitPerComp
-      .join(storeBrs, Seq("ex_omid"), "left_anti")
-      .select($"from_meta".as("br_meta"))
-      .localCheckpoint()
+    val mergedHopExplicit = prov match {
+      case None => spark.emptyDataFrame
+        .withColumn("from_meta", lit("")).withColumn("to_meta", lit(""))
+        .select($"from_meta", $"to_meta").limit(0)
+      case Some(p) =>
+        // (merged -> surviving) pairs from SCD2 merge snapshots (G8 shape);
+        // follow successor chains so an omid whose successor was itself
+        // later merged still lands on a live entity (the reference's
+        // one-hop query composed to a fixpoint, bounded: chains are the
+        // depth of the merge history, not data-sized).
+        var hop = graft.operators.Tools.mergedEntityPairs(p)
+          .select($"merged", $"surviving").localCheckpoint()
+        var iter = 0
+        var changed = true
+        while (changed && iter < 8) {
+          val next = hop.alias("a")
+            .join(hop.alias("b"), col("a.surviving") === col("b.merged"), "left")
+            .select(col("a.merged"),
+              coalesce(col("b.surviving"), col("a.surviving")).as("surviving"))
+            .groupBy($"merged").agg(min($"surviving").as("surviving"))
+            .localCheckpoint()
+          changed = next.alias("n").join(hop.alias("h"), Seq("merged"))
+            .filter(col("n.surviving") =!= col("h.surviving")).head(1).nonEmpty
+          hop = next
+          iter += 1
+        }
+        explicitPerComp
+          .join(storeBrs, Seq("ex_omid"), "left_anti")
+          .join(hop.withColumnRenamed("merged", "ex_omid"), Seq("ex_omid"))
+          // successor must be a live store entity
+          .join(storeBrs.select($"ex_omid".as("surviving")), Seq("surviving"), "left_semi")
+          .select($"from_meta", $"surviving".as("to_meta"))
+    }
+    val brAdoptExplicit = knownExplicit.unionByName(mergedHopExplicit)
 
     val adoptAll = brAdoptExplicit
       .unionByName(brAdopt.join(brAdoptExplicit.select($"from_meta"), Seq("from_meta"), "left_anti"))
@@ -123,14 +159,26 @@ object StoreCurator {
     // Phase 4: rewrite frames + equalizer.
     val bMapping = spark.sparkContext.broadcast(mapping)
     val remapUdf = udf((m: String) => if (m == null) null else bMapping.value.getOrElse(m, m))
+    // Row cells mix external identifier literals with omids — rewrite only
+    // `omid:`-anchored tokens so a DOI/url segment that happens to look
+    // like `id/123` is never corrupted by the renumbering map.
     val remapCellUdf = udf((cell: String) =>
+      if (cell == null) null
+      else "omid:((?:br|ra|ar|re|id)/\\d+)".r.replaceAllIn(cell, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          "omid:" + bMapping.value.getOrElse(mm.group(1), mm.group(1)))))
+    // Index cells are pure meta lists ("ar/N, ra/N; …") — bare patterns
+    // are metas by construction there.
+    val remapBareCellUdf = udf((cell: String) =>
       if (cell == null) null
       else "(?:br|ra|ar|re|id)/\\d+".r.replaceAllIn(cell,
         mm => java.util.regex.Matcher.quoteReplacement(bMapping.value.getOrElse(mm.matched, mm.matched))))
 
-    def remapCols(df: DataFrame, metaCols: Seq[String], cellCols: Seq[String] = Nil): DataFrame = {
+    def remapCols(df: DataFrame, metaCols: Seq[String], cellCols: Seq[String] = Nil,
+        bareCellCols: Seq[String] = Nil): DataFrame = {
       val afterMeta = metaCols.foldLeft(df)((d, c) => d.withColumn(c, remapUdf(col(c))))
-      cellCols.foldLeft(afterMeta)((d, c) => d.withColumn(c, remapCellUdf(col(c))))
+      val afterCells = cellCols.foldLeft(afterMeta)((d, c) => d.withColumn(c, remapCellUdf(col(c))))
+      bareCellCols.foldLeft(afterCells)((d, c) => d.withColumn(c, remapBareCellUdf(col(c))))
     }
 
     // equalizer (J5): store values win for title/date/type/volume/issue/page
@@ -177,20 +225,14 @@ object StoreCurator {
           .drop(s"st_${role}_cell")
       }
     }
-    // D2(2): drop rows whose explicit omid resolved nowhere. invalidComps
-    // holds TEMP metas; br_meta in rows2 went through the renumber map, so
-    // translate the drop set through the same mapping first.
-    val dropSet = invalidComps.as[String].collect()
-      .map(m => mapping.getOrElse(m, m)).toSet
-    val rows2 =
-      if (dropSet.isEmpty) rows2silenced
-      else rows2silenced.filter(!col("br_meta").isin(dropSet.toSeq: _*))
+    val rows2 = rows2silenced
 
     val batch2 = Curator.CuratedBatch(
       rows = rows2,
       indexIdBr = remapCols(fresh.indexIdBr, Seq("meta")),
       indexIdRa = remapCols(fresh.indexIdRa, Seq("meta")),
-      arIndex = remapCols(fresh.arIndex, Seq("meta"), Seq("author", "editor", "publisher")),
+      arIndex = remapCols(fresh.arIndex, Seq("meta"),
+        bareCellCols = Seq("author", "editor", "publisher")),
       reIndex = remapCols(fresh.reIndex, Seq("br", "re")),
       vviIndex = remapCols(fresh.vviIndex, Seq("venue_meta", "meta")),
       entities = remapCols(fresh.entities, Seq("meta"))

@@ -48,18 +48,20 @@ object Provenance {
   def upsert(existing: DataFrame, incoming: DataFrame, closedAt: String): DataFrame = {
     import existing.sparkSession.implicits._
     val touched = incoming.select($"entity").distinct()
-    val closed = existing.alias("e")
-      .join(touched.alias("t"), Seq("entity"), "left_semi")
-      .filter($"invalidated_at".isNull)
-      .withColumn("invalidated_at", lit(closedAt))
-    val untouched = existing.join(touched, Seq("entity"), "left_anti")
+      .withColumn("_touched", lit(true))
+    // Flip only the open snapshot of touched entities; every other existing
+    // row (incl. previously-closed history) passes through unchanged, so
+    // full SCD2 history survives repeated upserts.
+    val carried = existing.join(touched, Seq("entity"), "left")
+      .withColumn("invalidated_at",
+        when($"_touched" && $"invalidated_at".isNull, lit(closedAt))
+          .otherwise($"invalidated_at"))
+      .drop("_touched")
     val maxN = existing.groupBy($"entity").agg(max($"snapshot_n").as("prev_n"))
     val renumbered = incoming.join(maxN, Seq("entity"), "left")
       .withColumn("snapshot_n", coalesce($"prev_n", lit(0L)) + $"snapshot_n")
       .drop("prev_n")
-    untouched
-      .unionByName(closed)
-      .unionByName(renumbered.select(untouched.columns.map(col): _*))
+    carried.unionByName(renumbered.select(carried.columns.map(col): _*))
   }
 
   /** Merge provenance: the surviving entity's new snapshot derives from

@@ -34,6 +34,35 @@ object Serialization {
       lit("<"), $"s", lit("> <"), $"p", lit("> "), obj, g, lit(" .")).as("value"))
   }
 
+  /** Single left-to-right pass over N-Triples string escapes — chained
+    * global replaces corrupt literals like `\\n` (escaped backslash
+    * followed by 'n'), which must round-trip as backslash+n, not newline. */
+  private[rdf] def unescapeLiteral(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case '"'  => sb.append('"');  i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'U' if i + 10 <= s.length =>
+            sb.append(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private val NtLine = ("^<([^>]+)>\\s+<([^>]+)>\\s+" +
     "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@[A-Za-z-]+)?)" +
     "\\s*(?:<[^>]+>\\s*)?\\.\\s*$").r
@@ -48,8 +77,7 @@ object Serialization {
       .flatMap {
         case NtLine(s, p, iri, lit_, dt) =>
           if (iri != null) Some((s, p, iri, null.asInstanceOf[String]))
-          else Some((s, p,
-            lit_.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"),
+          else Some((s, p, unescapeLiteral(lit_),
             if (dt != null) dt else Vocab.XsdString))
         case _ => None
       }

@@ -62,11 +62,15 @@ object TriplesTable {
     * partition pruning visible to the file index (a filter on `p` alone
     * would scan every directory). */
   def scanPredicate(spark: SparkSession, path: String, predicate: String): DataFrame = {
-    val bucket = KnownPredicates.getOrElse(predicate,
-      "x" + java.lang.Long.remainderUnsigned(
-        // mirror of xxhash64 fallback is not needed for known predicates;
-        // unknown ones re-filter on p below
-        0L, 16L))
+    // Unknown predicates must land on the SAME bucket write() used —
+    // compute it with the identical Spark expression on a one-row frame
+    // (driver-local, no reimplementation drift vs xxhash64).
+    val bucket = KnownPredicates.getOrElse(predicate, {
+      import spark.implicits._
+      Seq(predicate).toDF("p")
+        .select(concat(lit("x"), pmod(xxhash64(col("p")), lit(16))).as("b"))
+        .head().getString(0)
+    })
     spark.read.parquet(path)
       .filter(col("p_bucket") === bucket && col("p") === predicate)
       .drop("p_bucket")

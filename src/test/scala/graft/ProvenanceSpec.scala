@@ -45,6 +45,29 @@ class ProvenanceSpec extends AnyFunSuite {
     assert(merged.filter($"invalidated_at".isNull).count() == t1.count())
   }
 
+  test("repeated upserts preserve full SCD2 history of a touched entity") {
+    import spark.implicits._
+    val t1 = Provenance.freshSnapshots(batch, "2026-08-12T00:00:00Z")
+    val touched = t1.limit(1).select($"entity").collect().head.getString(0)
+    def update(day: Int) = spark.createDataFrame(Seq(
+      (touched, 1L, s"2026-08-1${day}T00:00:00Z", null.asInstanceOf[String],
+        Seq.empty[String], s"Entity updated $day", "pa/1")))
+      .toDF("entity", "snapshot_n", "generated_at", "invalidated_at",
+        "derived_from", "description", "attributed_to")
+    val t2 = Provenance.upsert(t1, update(3), "2026-08-13T00:00:00Z")
+    val t3 = Provenance.upsert(t2, update(4), "2026-08-14T00:00:00Z")
+    val snaps = t3.filter($"entity" === touched).orderBy($"snapshot_n").collect()
+    assert(snaps.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L),
+      "all three snapshots must survive the second upsert")
+    assert(snaps.init.forall(_.getAs[String]("invalidated_at") != null))
+    assert(snaps.last.getAs[String]("invalidated_at") == null)
+    // closed-at stamps remain those of the upsert that closed each snapshot
+    assert(snaps(0).getAs[String]("invalidated_at") == "2026-08-13T00:00:00Z")
+    assert(snaps(1).getAs[String]("invalidated_at") == "2026-08-14T00:00:00Z")
+    // total row count: every entity still has its rows
+    assert(t3.count() == t1.count() + 2)
+  }
+
   test("merge snapshot derives from survivor and merged entities (G8 readable)") {
     import spark.implicits._
     val t1 = Provenance.freshSnapshots(batch, "2026-08-12T00:00:00Z")

@@ -32,6 +32,21 @@ class SerializationSpec extends AnyFunSuite {
     assert(asSet(back) == asSet(triples))
   }
 
+  test("S10: pathological literal escapes round-trip (backslash-n, quotes, tabs)") {
+    import spark.implicits._
+    val nasty = Seq(
+      ("https://w3id.org/oc/meta/br/0601", "http://purl.org/dc/terms/title",
+        "back\\nslash-n literal", graft.rdf.Vocab.XsdString),       // \ + n chars
+      ("https://w3id.org/oc/meta/br/0602", "http://purl.org/dc/terms/title",
+        "real\nnewline \"quoted\" and \\\\ double", graft.rdf.Vocab.XsdString))
+      .toDF("s", "p", "o", "o_datatype")
+    val out = Files.createTempDirectory("graft_nasty").toString + "/nq"
+    Serialization.writeNQuads(nasty, "https://w3id.org/oc/meta/graph", out)
+    val back = Serialization.readNTriples(spark, out)
+    assert(asSet(back) == asSet(nasty),
+      "escaped-backslash-followed-by-n must not decode as newline")
+  }
+
   test("S7/S9: JSON-LD dir-split round-trip preserves every triple") {
     val out = Files.createTempDirectory("graft_jsonld").toString + "/ld"
     Serialization.writeJsonLd(triples, out, dirSplit = 10000, itemsPerFile = 100)

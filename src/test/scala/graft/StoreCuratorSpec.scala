@@ -97,7 +97,7 @@ class StoreCuratorSpec extends AnyFunSuite {
     assert(unsilenced.getAs[String]("author").contains("Ushakov"))
   }
 
-  test("update: explicit omid adopts the store entity; unknown omid drops the row (D2(1)/(2))") {
+  test("update: explicit omid adopts the store entity; unknown omid is discarded, row continues (D2(1)/(2))") {
     import spark.implicits._
     val input = Seq(
       ("omid:br/0602 doi:10.555/fresh-doi", "Explicitly Pointed Work", "Poe, Edgar", "1845",
@@ -106,10 +106,68 @@ class StoreCuratorSpec extends AnyFunSuite {
         "", "", "", "", "journal article", "", ""))
       .toDF(curation.Validation.InputColumns: _*)
     val upd = StoreCurator.curateWithStore(input, store)
+    val rows = upd.batch.rows.orderBy("first_row").collect()
+    // curator.py:1196-1205: an unresolvable omid is discarded (metaval='')
+    // and the row resolves via its remaining ids — here the ghost DOI is
+    // new, so the row becomes a NEW entity, never dropped.
+    assert(rows.length == 2, "unknown explicit omid must not drop the row")
+    assert(rows(0).getAs[String]("br_meta") == "br/0602")
+    assert(rows(0).getAs[String]("id").contains("omid:br/0602"))
+    val ghost = rows(1)
+    val storeMax = store.counters.filter($"kind" === "br").collect().head.getLong(2)
+    val n = ghost.getAs[String]("br_meta").stripPrefix("br/060").toLong
+    assert(n > storeMax, "ghost row must mint a fresh store-numbered entity")
+    assert(!ghost.getAs[String]("id").contains("br/99999"),
+      "the unknown omid token must not survive into the output id cell")
+    assert(ghost.getAs[String]("id").contains("doi:10.555/ghost"))
+  }
+
+  test("update: unknown omid resolves via remaining known ids after discard (D2(2) fall-through)") {
+    import spark.implicits._
+    // br/0601's DOI from batch 1 + a dead omid: the omid is discarded and
+    // the DOI adopts the store entity (curator.py:1290-1292 local match).
+    val input = Seq(
+      ("omid:br/88888 doi:10.1007/978-3-662-07918-8_3", "Fallback Title", "Ushakov, Vasily Y.",
+        "2004", "", "", "", "", "book chapter", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val upd = StoreCurator.curateWithStore(input, store)
     val rows = upd.batch.rows.collect()
-    assert(rows.length == 1, "unknown explicit omid must invalidate its row")
-    assert(rows.head.getAs[String]("br_meta") == "br/0602")
-    assert(rows.head.getAs[String]("id").contains("omid:br/0602"))
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("br_meta") == "br/0601",
+      "after omid discard the DOI must adopt the store entity")
+  }
+
+  test("update: dead omid resolves to its merge successor via provenance (D2 merged-history hop)") {
+    import spark.implicits._
+    // prov history: br/0999 (long dead, absent from the store) was merged
+    // into br/0601; br/0998 was merged into br/0999 (chain of two hops).
+    def se(meta: String, n: Int) = s"https://w3id.org/oc/meta/$meta/prov/se/$n"
+    val prov = spark.createDataFrame(Seq(
+      ("br/0601", 2L, "2025-01-01T00:00:00Z", null.asInstanceOf[String],
+        Seq(se("br/0601", 1), se("br/0999", 1)), "Entity merged with br/0999", "pa/1"),
+      ("br/0999", 2L, "2024-01-01T00:00:00Z", null.asInstanceOf[String],
+        Seq(se("br/0999", 1), se("br/0998", 1)), "Entity merged with br/0998", "pa/1")))
+      .toDF("entity", "snapshot_n", "generated_at", "invalidated_at",
+        "derived_from", "description", "attributed_to")
+    val input = Seq(
+      ("omid:br/0999 doi:10.555/hop-one", "One Hop", "Poe, Edgar", "1845",
+        "", "", "", "", "journal article", "", ""),
+      ("omid:br/0998 doi:10.555/hop-two", "Two Hops", "Poe, Edgar", "1846",
+        "", "", "", "", "journal article", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val upd = StoreCurator.curateWithStore(input, store, prov = Some(prov))
+    val rows = upd.batch.rows.orderBy("first_row").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("br_meta") == "br/0601",
+      "dead omid must hop to its surviving successor")
+    assert(rows(1).getAs[String]("br_meta") == "br/0601",
+      "successor chains must resolve to the live end of the chain")
+    // without prov the same omids are simply discarded -> new entities
+    val noProv = StoreCurator.curateWithStore(input, store)
+    val storeMax = store.counters.filter($"kind" === "br").collect().head.getLong(2)
+    noProv.batch.rows.collect().foreach { r =>
+      assert(r.getAs[String]("br_meta").stripPrefix("br/060").toLong > storeMax)
+    }
   }
 
   test("update: preexisting tracking flags adopted entities (D9)") {

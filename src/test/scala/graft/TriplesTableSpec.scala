@@ -38,4 +38,19 @@ class TriplesTableSpec extends AnyFunSuite {
     assert(prunedDirs == Set("p_bucket=has_id") || plan.contains("isnotnull(p_bucket"),
       s"pruning should isolate has_id, plan:\n${plan.take(2000)}")
   }
+
+  test("scanPredicate finds unknown predicates in their hashed bucket") {
+    import spark.implicits._
+    val custom = "http://example.org/ns#customPredicate"
+    val triples = Seq(
+      ("https://w3id.org/oc/meta/br/0601", custom, "v1", ""),
+      ("https://w3id.org/oc/meta/br/0602", custom, "v2", ""),
+      ("https://w3id.org/oc/meta/br/0601", Vocab.Title, "A Title", ""))
+      .toDF("s", "p", "o", "o_datatype")
+    val path = Files.createTempDirectory("graft_triples_unk").toString + "/t"
+    TriplesTable.write(triples, path)
+    val scan = TriplesTable.scanPredicate(spark, path, custom)
+    assert(scan.count() == 2, "unknown predicate must scan its real hash bucket")
+    assert(scan.select($"o").as[String].collect().toSet == Set("v1", "v2"))
+  }
 }
