@@ -366,13 +366,28 @@ object Curator {
         lit("]")))
       .select($"venue_ent", $"venue_meta", $"venue_cell")
 
+    // J6 precedence: for fresh in-batch duplicates the reference skips
+    // field propagation entirely (merge_duplicate_entities only processes
+    // rows already bound to a real meta, curator.py:1374) and the final
+    // `{id: row}` dedupe (curator.py:333) keeps the LAST occurrence
+    // verbatim — so pub_date/type/volume/issue take the last row's cleaned
+    // value, empty included. Title converges through the entity-store
+    // (first non-empty in row order, curator.py:1299-1300) and the page
+    // through remeta (first non-empty, D8). The first-non-empty variants
+    // (`fne_*`) are carried for StoreCurator: rows resolved against the
+    // store DO propagate first-non-empty before the equalizer applies
+    // store precedence (curator.py:1384-1387).
     val compAgg = rows.groupBy($"br_comp").agg(
       min($"row_idx").as("first_row"),
       firstNonEmpty($"title", $"row_idx").as("o_title"),
-      firstNonEmpty($"date", $"row_idx").as("o_date"),
-      firstNonEmpty($"type2", $"row_idx").as("o_type"),
-      firstNonEmpty($"vol3", $"row_idx").as("o_volume"),
-      firstNonEmpty($"iss3", $"row_idx").as("o_issue"),
+      max(struct($"row_idx", $"date")).getField("date").as("o_date"),
+      max(struct($"row_idx", $"type2")).getField("type2").as("o_type"),
+      max(struct($"row_idx", $"vol3")).getField("vol3").as("o_volume"),
+      max(struct($"row_idx", $"iss3")).getField("iss3").as("o_issue"),
+      firstNonEmpty($"date", $"row_idx").as("fne_date"),
+      firstNonEmpty($"type2", $"row_idx").as("fne_type"),
+      firstNonEmpty($"vol3", $"row_idx").as("fne_volume"),
+      firstNonEmpty($"iss3", $"row_idx").as("fne_issue"),
       min(when($"venue_ent".isNotNull, struct($"row_idx", $"venue_ent"))).getField("venue_ent").as("o_venue_ent"),
       array_distinct(collect_list($"explicit_omid")).as("explicit_omids"))
 
@@ -401,7 +416,11 @@ object Curator {
         coalesce($"o_type", lit("")).as("type"),
         coalesce($"publisher_cell", lit("")).as("publisher"),
         coalesce($"editor_cell", lit("")).as("editor"),
-        $"author_pairs", $"publisher_pairs", $"editor_pairs")
+        $"author_pairs", $"publisher_pairs", $"editor_pairs",
+        coalesce($"fne_date", lit("")).as("fne_date"),
+        coalesce($"fne_type", lit("")).as("fne_type"),
+        coalesce($"fne_volume", lit("")).as("fne_volume"),
+        coalesce($"fne_issue", lit("")).as("fne_issue"))
       .orderBy($"first_row")
 
     // index tables (curator.py:1045-1101 formats)

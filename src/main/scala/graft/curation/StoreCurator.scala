@@ -181,10 +181,49 @@ object StoreCurator {
       bareCellCols.foldLeft(afterCells)((d, c) => d.withColumn(c, remapBareCellUdf(col(c))))
     }
 
-    // equalizer (J5): store values win for title/date/type/volume/issue/page
+    // equalizer (J5/J6, curator.py:1402-1460 + finder retrieve_br_info):
+    // store values win for title/date/type/volume/issue/page; volume/issue
+    // and the venue come from the br's partOf chain (own seq for jv/ji,
+    // parent issue seq, parent/grandparent volume seq, first non-jv/ji
+    // titled container = venue).
     val storeFacts = store.entities.select($"meta".as("br_meta"),
-      $"title".as("st_title"), $"date".as("st_date"), $"type_label".as("st_type"))
+      $"title".as("st_title"), $"date".as("st_date"), $"type_label".as("st_type"),
+      lit(true).as("_adopted"))
     val storePages = store.pages.select($"br_meta", $"page".as("st_page"))
+    val stVvi = {
+      def entAs(n: String) = store.entities.select($"meta".as(s"${n}_meta"),
+        $"type_label".as(s"${n}_type"), $"title".as(s"${n}_title"), $"seq_id".as(s"${n}_seq"))
+      val po = store.partOf
+      store.entities.select($"meta".as("br_meta"), $"type_label".as("own_type"),
+          $"seq_id".as("own_seq"))
+        .join(po.select($"child_meta".as("br_meta"), $"parent_meta".as("c1_meta")), Seq("br_meta"), "left")
+        .join(entAs("c1"), Seq("c1_meta"), "left")
+        .join(po.select($"child_meta".as("c1_meta"), $"parent_meta".as("c2_meta")), Seq("c1_meta"), "left")
+        .join(entAs("c2"), Seq("c2_meta"), "left")
+        .join(po.select($"child_meta".as("c2_meta"), $"parent_meta".as("c3_meta")), Seq("c2_meta"), "left")
+        .join(entAs("c3"), Seq("c3_meta"), "left")
+        .select($"br_meta",
+          when($"own_type" === "journal issue", $"own_seq")
+            .otherwise(when($"c1_type" === "journal issue", $"c1_seq")).as("st_issue"),
+          when($"own_type" === "journal volume", $"own_seq")
+            .otherwise(coalesce(
+              when($"c1_type" === "journal volume", $"c1_seq"),
+              when($"c2_type" === "journal volume", $"c2_seq"))).as("st_volume"),
+          coalesce(
+            when(!$"c1_type".isin("journal volume", "journal issue") && length($"c1_title") > 0, $"c1_meta"),
+            when(!$"c2_type".isin("journal volume", "journal issue") && length($"c2_title") > 0, $"c2_meta"),
+            when(length($"c3_title") > 0, $"c3_meta")).as("st_venue_meta"))
+        .filter($"st_issue".isNotNull || $"st_volume".isNotNull || $"st_venue_meta".isNotNull)
+    }
+    val storeVenueCells = store.entities
+      .join(store.entityIds.groupBy($"owner_meta")
+        .agg(sort_array(collect_set($"literal")).as("st_venue_ids")),
+        $"meta" === $"owner_meta", "left")
+      .select($"meta".as("st_venue_meta"), $"title".as("st_venue_name"),
+        coalesce($"st_venue_ids", array().cast("array<string>")).as("st_venue_ids"),
+        concat($"title", lit(" ["), concat_ws(" ",
+          flatten(array(array(concat(lit("omid:"), $"meta")), coalesce($"st_venue_ids", array())))),
+          lit("]")).as("st_venue_cell"))
 
     // D6 silencer: for adopted BRs whose store graph ALREADY carries a
     // sequence for a silenced role, the batch's agents are ignored and the
@@ -207,16 +246,63 @@ object StoreCurator {
       else Seq(storeRoleCells.filter($"role" === role)
         .select($"br_meta", $"st_cell".as(s"st_${role}_cell")))
 
+    // Per-role store cells for the equalizer's fill-if-empty rule
+    // (curator.py:1419-1421: store agents only when the batch cell is
+    // empty — unlike pub_date/type/volume/issue where the store wins).
+    def roleFillCell(role: String) = storeRoleCells.filter($"role" === role)
+      .select($"br_meta", $"st_cell".as(s"st_fill_${role}"))
+
     val rows2base = remapCols(fresh.rows,
         Seq("br_meta", "re_meta"),
         Seq("id", "author", "venue", "publisher", "editor"))
       .join(storeFacts, Seq("br_meta"), "left")
       .join(storePages, Seq("br_meta"), "left")
+      .join(stVvi, Seq("br_meta"), "left")
+      .join(storeVenueCells, Seq("st_venue_meta"), "left")
+      .join(roleFillCell("author"), Seq("br_meta"), "left")
+      .join(roleFillCell("publisher"), Seq("br_meta"), "left")
+      .join(roleFillCell("editor"), Seq("br_meta"), "left")
       .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
-      .withColumn("pub_date", when(nonBlank($"st_date"), $"st_date").otherwise($"pub_date"))
-      .withColumn("type", when(nonBlank($"st_type"), $"st_type").otherwise($"type"))
+      // J6: adopted components propagate first-non-empty across their rows
+      // (merge_duplicate_entities, curator.py:1384-1387) before store
+      // precedence; fresh components keep the last-row value from Curator.
+      .withColumn("pub_date", when(nonBlank($"st_date"), $"st_date")
+        .otherwise(when($"_adopted", $"fne_date").otherwise($"pub_date")))
+      .withColumn("type", when(nonBlank($"st_type"), $"st_type")
+        .otherwise(when($"_adopted", $"fne_type").otherwise($"type")))
+      .withColumn("volume", when(nonBlank($"st_volume"), $"st_volume")
+        .otherwise(when($"_adopted", $"fne_volume").otherwise($"volume")))
+      .withColumn("issue", when(nonBlank($"st_issue"), $"st_issue")
+        .otherwise(when($"_adopted", $"fne_issue").otherwise($"issue")))
       .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
-      .drop("st_title", "st_date", "st_type", "st_page")
+      // venue equalizer (curator.py:1422-1447): store venue replaces an
+      // empty batch venue outright; with a batch venue, shared ids merge
+      // (store name + sorted id union) and disjoint ids mean the store
+      // venue wins wholesale.
+      .withColumn("_batch_vids",
+        split(regexp_extract($"venue", "\\[([^\\]]*)\\]", 1), "\\s+"))
+      .withColumn("_st_vids_omid",
+        when($"st_venue_meta".isNotNull, flatten(array(
+          array(concat(lit("omid:"), $"st_venue_meta")), $"st_venue_ids"))))
+      .withColumn("venue", when(nonBlank($"st_venue_cell"),
+          when(!nonBlank($"venue"), $"st_venue_cell")
+            .otherwise(when(arrays_overlap($"_batch_vids", $"_st_vids_omid"),
+              concat($"st_venue_name", lit(" ["),
+                concat_ws(" ", sort_array(array_union($"_batch_vids", $"_st_vids_omid"))),
+                lit("]")))
+              .otherwise($"st_venue_cell")))
+        .otherwise($"venue"))
+      // agent cells: fill-if-empty from the store sequences
+      .withColumn("author", when(nonBlank($"author"), $"author")
+        .otherwise(coalesce($"st_fill_author", lit(""))))
+      .withColumn("publisher", when(nonBlank($"publisher"), $"publisher")
+        .otherwise(coalesce($"st_fill_publisher", lit(""))))
+      .withColumn("editor", when(nonBlank($"editor"), $"editor")
+        .otherwise(coalesce($"st_fill_editor", lit(""))))
+      .drop("st_title", "st_date", "st_type", "st_page", "st_volume", "st_issue",
+        "st_venue_meta", "st_venue_name", "st_venue_ids", "st_venue_cell",
+        "st_fill_author", "st_fill_publisher", "st_fill_editor",
+        "_adopted", "_batch_vids", "_st_vids_omid")
     val rows2silenced = Seq("author", "publisher", "editor").foldLeft(rows2base) { (df, role) =>
       silencedCell(role).foldLeft(df) { (d, cellDf) =>
         d.join(cellDf, Seq("br_meta"), "left")
