@@ -38,6 +38,7 @@ object SparkEntry {
     "q18_running_sum" -> (TQ.q18RunningSum _),
     "q19_levenshtein" -> (TQ.q19Levenshtein _),
     "q20_first_nonempty" -> (TQ.q20FirstNonEmpty _),
+    "q21_match_score" -> (TQ.q21MatchScore _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q32_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -75,11 +76,11 @@ object SparkEntry {
     "q18_running_sum" -> TQ.q18Sql,
     "q19_levenshtein" -> TQ.q19Sql,
     "q20_first_nonempty" -> TQ.q20Sql,
+    "q21_match_score" -> TQ.q21Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,
-    // q33_dedup_simhash: signature hash is engine-internal — no SQL oracle,
-    // driver records the weaker rows-only check; spec-tested instead.
+    "q33_dedup_simhash" -> Dedup.q33Sql,
     "q34_dedup_embedding_cosine" -> Dedup.q34Sql,
     "q35_ann_topk" -> Similarity.q35Sql,
     "q36_lang_id" -> TA.q36Sql,

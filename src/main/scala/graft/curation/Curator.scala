@@ -89,8 +89,11 @@ object Curator {
   private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
     min(when(nonBlank(valueCol), struct(rowIdx, valueCol))).getField(valueCol.toString())
 
+  /** @param normalizeTitles the reference's `normalize_titles` setting
+    *   (default False there too; its test suite runs with True): E3
+    *   clean_title applied to the title column and venue names. */
   def curateFresh(input: DataFrame, prefix: String = "060",
-      numberOffset: Long = 0L): CuratedBatch = {
+      numberOffset: Long = 0L, normalizeTitles: Boolean = false): CuratedBatch = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -118,7 +121,15 @@ object Curator {
       .withColumn("explicit_omid", Parsing.explicitOmidUdf($"id"))
       .withColumn("date", Parsing.cleanDateUdf($"date0"))
       .withColumn("page_n", Parsing.normalizeHyphensUdf($"page"))
+      .withColumn("title",
+        if (normalizeTitles) graft.functions.CleaningColumns.cleanTitleCol($"title") else $"title")
       .withColumn("venue_p", Parsing.parseVenueUdf($"venue3"))
+      .withColumn("venue_p",
+        if (normalizeTitles)
+          when($"venue_p".isNotNull, struct(
+            graft.functions.CleaningColumns.cleanTitleCol($"venue_p._1").as("_1"),
+            $"venue_p._2".as("_2")))
+        else $"venue_p")
       .withColumn("authors", Parsing.parseAgentsUdf($"author"))
       .withColumn("publishers", Parsing.parseAgentsUdf($"publisher"))
       .withColumn("editors", Parsing.parseAgentsUdf($"editor"))
@@ -357,12 +368,20 @@ object Curator {
       .withColumn("venue_title", coalesce(
         when($"venue_ent" < VenueOffset, $"row_title"), $"mention_name"))
       .select($"venue_ent", $"venue_title")
+    // A venue that resolved to a ROW entity displays the entity's FULL id
+    // set (row ids ∪ venue-mention ids) — the reference's enrich() writes
+    // the venue cell from the resolved entity's id set (curator.py:990-
+    // 1008), not from the mention that happened to name it.
     val venueMeta = venueTitles
       .join(compToOmid.withColumnRenamed("ent", "venue_ent")
         .withColumnRenamed("br_meta", "venue_meta"), Seq("venue_ent"))
       .join(venueIdsByEnt, Seq("venue_ent"), "left")
+      .join(brIdsByComp.select($"br_comp".as("venue_ent"), $"id_list".as("row_id_list")),
+        Seq("venue_ent"), "left")
+      .withColumn("all_ids", array_distinct(concat(
+        coalesce($"row_id_list", array()), coalesce($"id_list", array()))))
       .withColumn("venue_cell", concat($"venue_title", lit(" ["),
-        concat_ws(" ", concat(coalesce($"id_list", array()), array(concat(lit("omid:"), $"venue_meta")))),
+        concat_ws(" ", concat($"all_ids", array(concat(lit("omid:"), $"venue_meta")))),
         lit("]")))
       .select($"venue_ent", $"venue_meta", $"venue_cell")
 
@@ -399,7 +418,14 @@ object Curator {
       .join(roleCellFor("author").withColumnRenamed("attach", "br_comp"), Seq("br_comp"), "left")
       .join(roleCellFor("publisher").withColumnRenamed("attach", "br_comp"), Seq("br_comp"), "left")
       .join(roleCellFor("editor").withColumnRenamed("attach", "ed_attach")
-        .join(rows.select($"br_comp", coalesce($"venue_ent", $"br_comp").as("ed_attach")).distinct(), Seq("ed_attach"))
+        // the display mapping must use the SAME attach rule as the role
+        // frames (D7): only container-editor types with author+venue hang
+        // their editors on the venue — a plain book/journal article keeps
+        // them on the row even when a venue exists
+        .join(rows.select($"br_comp",
+          when($"author" =!= "" && $"venue" =!= "" &&
+            $"type_c".isin(Validation.ContainerEditorTypes.toSeq: _*) && $"venue_ent".isNotNull,
+            $"venue_ent").otherwise($"br_comp").as("ed_attach")).distinct(), Seq("ed_attach"))
         .groupBy($"br_comp").agg(first($"editor_cell").as("editor_cell"), first($"editor_pairs").as("editor_pairs")),
         Seq("br_comp"), "left")
       .withColumn("o_id", concat_ws(" ",

@@ -27,11 +27,16 @@ object Parsing {
     (omid, seen.toSeq)
   }
 
+  /** E11 — the reference collapses spaces around the colon on BOTH sides
+    * (`RE_COLON_AND_SPACES = \s*:\s*`, master_of_regex.py:16) before
+    * splitting, so "vIAF : 123" tokenizes as one id. */
+  private[curation] def splitIdTokens(s: String): Seq[String] =
+    s.replaceAll("\\s*:\\s*", ":").split("\\s+").toSeq.filter(_.nonEmpty)
+
   /** E11 + E12 over a raw id cell. */
   def parseIdCell(cell: String): Seq[String] = {
     if (cell == null || cell.trim.isEmpty) return Seq.empty
-    val tokens = cell.replaceAll(":\\s+", ":").split("\\s+").toSeq
-    cleanIdList(tokens)._2
+    cleanIdList(splitIdTokens(cell))._2
   }
 
   final case class Agent(name: String, ids: Seq[String])
@@ -46,7 +51,7 @@ object Parsing {
     cleaned.map { ra =>
       val (rawName, idsStr) = Cleaning.splitNameAndIds(ra)
       val name = Cleaning.cleanName(rawName)
-      val ids = cleanIdList(idsStr.split("\\s+").toSeq.filter(_.nonEmpty))._2
+      val ids = cleanIdList(splitIdTokens(idsStr))._2
       Agent(name, ids)
     }.filter(a => a.name.nonEmpty || a.ids.nonEmpty)
   }
@@ -59,7 +64,7 @@ object Parsing {
   def parseVenue(cell: String): Option[Venue] = {
     if (cell == null || cell.trim.isEmpty) return None
     val (rawName, idsStr) = Cleaning.splitNameAndIds(cell.trim)
-    val ids = cleanIdList(idsStr.split("\\s+").toSeq.filter(_.nonEmpty))._2
+    val ids = cleanIdList(splitIdTokens(idsStr))._2
     val name = if (rawName.trim.nonEmpty) rawName.trim else cell.trim
     Some(Venue(name, ids))
   }
@@ -69,8 +74,7 @@ object Parsing {
   /** Explicit `omid:` token of an id cell (D2(1)/(2) input), as "br/N". */
   def explicitOmid(cell: String): Option[String] = {
     if (cell == null || cell.trim.isEmpty) return None
-    val tokens = cell.replaceAll(":\\s+", ":").split("\\s+").toSeq
-    cleanIdList(tokens)._1
+    cleanIdList(splitIdTokens(cell))._1
   }
   val explicitOmidUdf = udf((c: String) => explicitOmid(c))
   val parseAgentsUdf = udf((c: String) => parseAgents(c).map(a => (a.name, a.ids)))

@@ -29,10 +29,18 @@ object StoreCurator {
 
   final case class UpdateResult(batch: Curator.CuratedBatch, preexisting: DataFrame)
 
+  /** @param counterOffsets explicit per-kind numbering offsets for NEW
+    *   entities. The reference numbers new entities from its counter
+    *   FILES, not from the store's maximum (a fresh info_dir starts at 1
+    *   even against a populated store — curator_test.py get_counter_
+    *   handler); None = continue from the store maxima.
+    * @param normalizeTitles forwarded to [[Curator.curateFresh]]. */
   def curateWithStore(input: DataFrame, store: StoreViews.Store,
       prefix: String = "060",
       silencedRoles: Set[String] = Set.empty,
-      prov: Option[DataFrame] = None): UpdateResult = {
+      prov: Option[DataFrame] = None,
+      counterOffsets: Option[Map[String, Long]] = None,
+      normalizeTitles: Boolean = false): UpdateResult = {
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -40,7 +48,8 @@ object StoreCurator {
     // consumed several times below (adoption joins, renumber collect,
     // remapping) — checkpoint once so the curation DAG runs once.
     val fresh = {
-      val f = Curator.curateFresh(input, prefix, numberOffset = TempBase)
+      val f = Curator.curateFresh(input, prefix, numberOffset = TempBase,
+        normalizeTitles = normalizeTitles)
       def ck(df: DataFrame) = df.localCheckpoint()
       Curator.CuratedBatch(ck(f.rows), ck(f.indexIdBr), ck(f.indexIdRa),
         ck(f.arIndex), ck(f.reIndex), ck(f.vviIndex), ck(f.entities),
@@ -139,8 +148,8 @@ object StoreCurator {
 
     // Phase 3: compact renumbering of non-adopted temp entities per kind.
     val allMetas = graft.rdf.Provenance.allEntities(fresh).select($"meta")
-    val offsets = store.counters.collect()
-      .map(r => r.getString(0) -> r.getLong(2)).toMap.withDefaultValue(0L)
+    val offsets = counterOffsets.getOrElse(store.counters.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap).withDefaultValue(0L)
     val fresh2 = allMetas.join(adoptAll.select($"from_meta".as("meta")), Seq("meta"), "left_anti")
       .withColumn("kind", substring_index($"meta", "/", 1))
       .withColumn("temp_n", expr(s"CAST(substring(substring_index(meta, '/', -1), ${prefix.length + 1}) AS BIGINT)"))
@@ -279,8 +288,15 @@ object StoreCurator {
       // empty batch venue outright; with a batch venue, shared ids merge
       // (store name + sorted id union) and disjoint ids mean the store
       // venue wins wholesale.
+      // The batch venue cell carries its own minted/remapped omid token;
+      // when the batch venue resolved to a different meta than the store
+      // venue, unioning it in would emit two omid: tokens — the reference
+      // merges on the pre-curation input venue ids and emits exactly one
+      // omid (curator.py:1422-1447), so strip omid tokens from the batch
+      // side and let the store venue's omid be the only one.
       .withColumn("_batch_vids",
-        split(regexp_extract($"venue", "\\[([^\\]]*)\\]", 1), "\\s+"))
+        filter(split(regexp_extract($"venue", "\\[([^\\]]*)\\]", 1), "\\s+"),
+          t => !t.startsWith("omid:")))
       .withColumn("_st_vids_omid",
         when($"st_venue_meta".isNotNull, flatten(array(
           array(concat(lit("omid:"), $"st_venue_meta")), $"st_venue_ids"))))
@@ -311,7 +327,27 @@ object StoreCurator {
           .drop(s"st_${role}_cell")
       }
     }
-    val rows2 = rows2silenced
+    // Distinct batch components can land on the SAME store entity (shared
+    // ids through the store, or the merged-entity hop). The reference's
+    // enrich() unions all ids per entity and its final `{id: row}` dedupe
+    // keeps the last row's fields (curator.py:333) while the row keeps its
+    // first position — reproduce that by grouping on the final br_meta.
+    val rows2 = {
+      val cols = rows2silenced.columns
+      val others = cols.filterNot(c => c == "br_meta" || c == "id" || c == "first_row")
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        Seq(
+          min($"first_row").as("first_row"),
+          concat_ws(" ", array_distinct(flatten(transform(
+            array_sort(collect_list(struct($"first_row".as("k"), split($"id", " ").as("v")))),
+            x => x.getField("v"))))).as("id")) ++
+        others.map(c =>
+          max(struct($"first_row".as("_k"), col(c).as("_v"))).getField("_v").as(c))
+      val grouped = rows2silenced
+        .groupBy($"br_meta")
+        .agg(aggs.head, aggs.tail: _*)
+      grouped.select(cols.map(col): _*)
+    }
 
     val batch2 = Curator.CuratedBatch(
       rows = rows2,

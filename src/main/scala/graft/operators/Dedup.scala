@@ -53,6 +53,42 @@ object Dedup {
       |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2, round(jac, 6) AS jac
       |FROM j WHERE jac >= 0.8 ORDER BY d1, d2""".stripMargin
 
+  /** q33 oracle — the SAME FNV-1a-64 token hash + bit-vote + signed
+    * signature arithmetic as [[simhash64]], expressed in DuckDB SQL so the
+    * driver hash-compare gates the simhash path like every other query.
+    * 64-bit wraparound multiply is emulated in HUGEINT by hi/lo 32-bit
+    * decomposition (DuckDB has no modular UBIGINT multiply); xor of the
+    * char only touches the low 7 bits so it is applied on `h % 128`.
+    * The oracle brute-forces all pairs — the pigeonhole block join on the
+    * Spark side must find exactly the same Hamming<=3 set. */
+  val q33Sql: String = {
+    val xh = "(h - (h % 128) + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))"
+    val step = s"((($xh % 4294967296) * 1099511628211 + " +
+      s"((($xh // 4294967296) * 1099511628211) % 4294967296) * 4294967296) " +
+      "% 18446744073709551616)"
+    val fnv = "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"[CAST(ord(c) AS HUGEINT) FOR c IN string_split(tok, '')]), (h, c) -> $step)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST($fnv AS UBIGINT) AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, range(64) r(b) GROUP BY doc_id, b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616 ELSE su END AS BIGINT) AS sig
+       |  FROM (SELECT doc_id, sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) * (CAST(1 AS UBIGINT) << b) ELSE 0 END) AS su
+       |        FROM votes GROUP BY doc_id)
+       |)
+       |SELECT CAST(a.doc_id AS BIGINT) AS d1, CAST(b.doc_id AS BIGINT) AS d2,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** q34 oracle — brute-force cosine near-dup pairs. */
   val q34Sql: String =
     """SELECT CAST(a.vec_id AS BIGINT) AS v1, CAST(b.vec_id AS BIGINT) AS v2,
@@ -203,9 +239,14 @@ object Dedup {
     import s.implicits._
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
+    // token-less documents are excluded (a simhash over zero tokens is 0,
+    // which would pair every empty doc with every other — meaningless, and
+    // the oracle's unnest drops them the same way)
     val sigs = documents(s, dir)
       .select($"doc_id".cast("long").as("doc_id"),
-        simhashUdf(filter(split($"text", " "), t => length(t) > lit(0))).as("sig"))
+        filter(split($"text", " "), t => length(t) > lit(0)).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", simhashUdf($"toks").as("sig"))
     val blockCols = (0 until nBlocks).map { b =>
       shiftrightunsigned($"sig", b * width).bitwiseAND(lit((1L << width) - 1))
     }
@@ -214,7 +255,7 @@ object Dedup {
     blocked.as("a").join(blocked.as("b"),
         $"a.blk" === $"b.blk" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("dist"))
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("long").as("dist"))
       .distinct()
       .filter($"dist" <= maxDist)
       .orderBy($"d1", $"d2")

@@ -181,13 +181,20 @@ object TextQueries {
     * (`lib/bibliographic_matching.py:185-259`). */
   def q19Levenshtein(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p1 = part(s, dir).select($"p_brand", $"p_partkey".as("k1"), $"p_name".as("name1"))
-    val p2 = part(s, dir).select($"p_brand", $"p_partkey".as("k2"), $"p_name".as("name2"))
-    p1.join(p2, Seq("p_brand"))
+    // Composite blocking key (brand × first name letter): p_brand alone has
+    // ~25 distinct values, which caps parallelism at 25 and grows blocks
+    // quadratically with SF; adding the first-token letter (the standard
+    // bibliographic blocking move) multiplies blocks ~8× and shrinks the
+    // candidate set ~8× with the usual blocking-recall tradeoff.
+    // NOTE: a |len(a)-len(b)|<=8 pre-filter was measured SLOWER here —
+    // TPC-H part names are length-uniform so it prunes nothing and adds
+    // per-pair work. Plain levenshtein + threshold filter wins.
+    val p1 = part(s, dir).select($"p_brand", substring($"p_name", 1, 1).as("blk"),
+      $"p_partkey".as("k1"), $"p_name".as("name1"))
+    val p2 = part(s, dir).select($"p_brand", substring($"p_name", 1, 1).as("blk"),
+      $"p_partkey".as("k2"), $"p_name".as("name2"))
+    p1.join(p2, Seq("p_brand", "blk"))
       .filter($"k1" < $"k2")
-      // NOTE: a |len(a)-len(b)|<=8 pre-filter was measured SLOWER here —
-      // TPC-H part names are length-uniform so it prunes nothing and adds
-      // per-pair work. Plain levenshtein + threshold filter wins.
       .withColumn("dist", levenshtein($"name1", $"name2"))
       .filter($"dist" <= 8)
       .select($"p_brand", $"k1".cast("long").as("k1"), $"k2".cast("long").as("k2"),
@@ -198,9 +205,77 @@ object TextQueries {
   val q19Sql: String =
     """SELECT a.p_brand AS p_brand, CAST(a.p_partkey AS BIGINT) AS k1, CAST(b.p_partkey AS BIGINT) AS k2,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand
+      |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1) AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 8
       |ORDER BY p_brand, k1, k2""".stripMargin
+
+  /** q21 — G6: the reference's full weighted matching score
+    * (`compute_matching_score`, bibliographic_matching.py:185-259) over
+    * brand-blocked part pairs. The part columns stand in for the
+    * bibliographic metadata dict (family/given/title/venue/issn/year/
+    * volume/issue/pages); the arithmetic is the exact 7/14/5/14 weighted
+    * formula, threshold = the reference's MATCHING_THRESHOLD (25.0). */
+  def q21MatchScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = part(s, dir).select(
+      $"p_partkey", $"p_brand", substring($"p_name", 1, 1).as("blk"),
+      lower($"p_type").as("family"), $"p_type".as("given"),
+      lower($"p_name").as("title"), reverse(lower($"p_name")).as("venue"),
+      when($"p_size" % 3 === 0, $"p_type").otherwise(lit("")).as("issn"),
+      $"p_size".cast("string").as("year"),
+      ($"p_size" % 10).cast("string").as("volume"),
+      ($"p_partkey" % 5).cast("string").as("issue"),
+      ($"p_size" * 10).cast("string").as("start_page"),
+      ($"p_size" * 10 + $"p_partkey" % 3).cast("string").as("end_page"))
+    val blockCols = Seq("p_brand", "blk")
+    def side(n: String) = m.select(blockCols.map(col) ++ m.columns
+      .filterNot(blockCols.contains).map(c => col(c).as(s"${c}_$n")): _*)
+    side("a").join(side("b"), blockCols)
+      .filter($"p_partkey_a" < $"p_partkey_b")
+      .withColumn("score", graft.functions.BiblioMatch.matchingScore(
+        $"family_a", $"family_b", $"given_a", $"given_b",
+        $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
+        $"year_a", $"year_b", $"volume_a", $"volume_b",
+        $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
+        $"end_page_a", $"end_page_b"))
+      .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
+      .select($"p_partkey_a".cast("long").as("k1"),
+        $"p_partkey_b".cast("long").as("k2"), $"score")
+      .orderBy($"k1", $"k2")
+  }
+
+  val q21Sql: String =
+    """WITH m AS (
+      |  SELECT p_partkey, p_brand, substr(p_name, 1, 1) AS blk,
+      |    lower(p_type) AS family, p_type AS given, lower(p_name) AS title,
+      |    reverse(lower(p_name)) AS venue,
+      |    CASE WHEN p_size % 3 = 0 THEN p_type ELSE '' END AS issn,
+      |    CAST(p_size AS VARCHAR) AS year,
+      |    CAST(p_size % 10 AS VARCHAR) AS volume,
+      |    CAST(p_partkey % 5 AS VARCHAR) AS issue,
+      |    CAST(p_size * 10 AS VARCHAR) AS start_page,
+      |    CAST(p_size * 10 + p_partkey % 3 AS VARCHAR) AS end_page
+      |  FROM part
+      |), sc AS (
+      |  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |    7 * (CASE WHEN len(a.family)=0 OR len(b.family)=0 THEN 0.0
+      |         ELSE 0.8 * (1.0 - CAST(levenshtein(a.family,b.family) AS DOUBLE)/CAST(greatest(len(a.family),len(b.family)) AS DOUBLE))
+      |              + (CASE WHEN len(a.given)>0 AND len(b.given)>0 AND lower(substr(a.given,1,1))=lower(substr(b.given,1,1)) THEN 0.2 ELSE 0.0 END) END)
+      |    + 14 * (CASE WHEN len(a.title)=0 OR len(b.title)=0 THEN 0.0
+      |         ELSE 1.0 - CAST(levenshtein(a.title,b.title) AS DOUBLE)/CAST(greatest(len(a.title),len(b.title)) AS DOUBLE) END)
+      |    + 5 * (CASE WHEN len(a.issn)>0 AND len(b.issn)>0 AND a.issn=b.issn THEN 1.0
+      |           WHEN len(a.venue)=0 OR len(b.venue)=0 THEN 0.0
+      |           ELSE greatest(0.0, 1.0 - CAST(levenshtein(a.venue,b.venue) - abs(len(a.venue)-len(b.venue)) AS DOUBLE)/CAST(least(len(a.venue),len(b.venue)) AS DOUBLE)) END)
+      |    + 14 * ((CASE WHEN len(a.year)>0 AND len(b.year)>0 AND a.year=b.year THEN 0.1 ELSE 0.0 END)
+      |          + (CASE WHEN len(a.volume)>0 AND len(b.volume)>0 AND a.volume=b.volume THEN 0.2 ELSE 0.0 END)
+      |          + (CASE WHEN len(a.issue)>0 AND len(b.issue)>0 AND a.issue=b.issue THEN 0.1 ELSE 0.0 END)
+      |          + (CASE WHEN len(a.start_page)>0 AND len(b.start_page)>0 AND a.start_page=b.start_page THEN 0.3 ELSE 0.0 END)
+      |          + (CASE WHEN len(a.end_page)>0 AND len(b.end_page)>0 AND a.end_page=b.end_page THEN 0.3 ELSE 0.0 END)) AS score
+      |  FROM m a JOIN m b ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey < b.p_partkey
+      |)
+      |SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, score
+      |FROM sc WHERE score >= 25.0 ORDER BY k1, k2""".stripMargin
 
   /** q20 — J6/G3: first-non-empty propagation per entity (curator.py
     * 1370-1386): earliest non-empty props value per user. */

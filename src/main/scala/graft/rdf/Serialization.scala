@@ -19,9 +19,14 @@ object Serialization {
 
   // ---- N-Triples / N-Quads (S10) ----------------------------------------
 
-  private def escapeLiteral(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+  private def escapeLiteral(c: org.apache.spark.sql.Column) = {
+    // \r and \t must be escaped symmetrically with unescapeLiteral: a raw
+    // carriage return would be split by Hadoop's line reader on re-read,
+    // silently losing the triple.
+    val esc = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"",
+      "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+    esc.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+  }
 
   /** Render (s,p,o,o_datatype) as N-Triples lines (or N-Quads when a graph
     * IRI is supplied). */
@@ -32,6 +37,15 @@ object Serialization {
     val g = graph.map(gu => concat(lit(" <"), lit(gu), lit(">"))).getOrElse(lit(""))
     triples.select(concat(
       lit("<"), $"s", lit("> <"), $"p", lit("> "), obj, g, lit(" .")).as("value"))
+  }
+
+  private def isHex(s: String, from: Int, n: Int): Boolean = {
+    var i = from
+    while (i < from + n) {
+      if (Character.digit(s.charAt(i), 16) < 0) return false
+      i += 1
+    }
+    true
   }
 
   /** Single left-to-right pass over N-Triples string escapes — chained
@@ -52,9 +66,10 @@ object Serialization {
           case '"'  => sb.append('"');  i += 2
           case '\'' => sb.append('\''); i += 2
           case '\\' => sb.append('\\'); i += 2
-          case 'u' if i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length && isHex(s, i + 2, 4) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case 'U' if i + 10 <= s.length =>
+          case 'U' if i + 10 <= s.length && isHex(s, i + 2, 8) &&
+              Character.isValidCodePoint(java.lang.Long.parseLong(s.substring(i + 2, i + 10), 16).toInt) =>
             sb.append(Character.toChars(Integer.parseInt(s.substring(i + 2, i + 10), 16))); i += 10
           case _ => sb.append(c); i += 1
         }
@@ -93,6 +108,101 @@ object Serialization {
   def writeNQuads(triples: DataFrame, graph: String, outDir: String): Unit =
     toNTriples(triples, Some(graph)).write.mode("overwrite")
       .option("compression", "gzip").text(outDir)
+
+  // ---- Turtle subset reader (S10 companion; loads .ttl seed fixtures) ---
+
+  /** Parse the Turtle subset used by the reference's testcase seeds
+    * (`test/testcases/ts/` .ttl fixtures): @prefix declarations,
+    * `a`, `;`/`,` lists, IRIs, prefixed names, plain and `^^`-typed string
+    * literals. Driver-side (seeds are KB-sized fixtures); returns
+    * (s, p, o, o_datatype) rows — plain literals get xsd:string. */
+  def parseTurtle(text: String): Seq[(String, String, String, String)] = {
+    // tokenizer
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && text.charAt(i) != '\n') i += 1 }
+      else if (c == '<') { val j = text.indexOf('>', i); toks += text.substring(i, j + 1); i = j + 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        while (i < n && text.charAt(i) != '"') {
+          if (text.charAt(i) == '\\' && i + 1 < n) { sb.append(text.charAt(i)).append(text.charAt(i + 1)); i += 2 }
+          else { sb.append(text.charAt(i)); i += 1 }
+        }
+        sb.append('"'); i += 1
+        // optional ^^datatype suffix glued to the literal token
+        if (i + 1 < n && text.charAt(i) == '^' && text.charAt(i + 1) == '^') {
+          sb.append("^^"); i += 2
+          if (i < n && text.charAt(i) == '<') { val j = text.indexOf('>', i); sb.append(text.substring(i, j + 1)); i = j + 1 }
+          else { while (i < n && !text.charAt(i).isWhitespace && !";,.".contains(text.charAt(i))) { sb.append(text.charAt(i)); i += 1 } }
+        }
+        toks += sb.toString
+      }
+      else if (c == ';' || c == ',') { toks += c.toString; i += 1 }
+      else if (c == '.' && (i + 1 >= n || text.charAt(i + 1).isWhitespace)) { toks += "."; i += 1 }
+      else {
+        val sb = new StringBuilder
+        while (i < n && !text.charAt(i).isWhitespace && !";,".contains(text.charAt(i)) &&
+            !(text.charAt(i) == '.' && (i + 1 >= n || text.charAt(i + 1).isWhitespace))) {
+          sb.append(text.charAt(i)); i += 1
+        }
+        toks += sb.toString
+      }
+    }
+    // parser
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
+    def resolve(t: String): String =
+      if (t.startsWith("<")) t.substring(1, t.length - 1)
+      else if (t == "a") Vocab.RdfType
+      else {
+        val ci = t.indexOf(':')
+        prefixes.getOrElse(t.substring(0, ci + 1), "") + t.substring(ci + 1)
+      }
+    var k = 0
+    while (k < toks.length) {
+      if (toks(k) == "@prefix") {
+        prefixes(toks(k + 1)) = toks(k + 2).substring(1, toks(k + 2).length - 1)
+        k += 4 // @prefix ns: <iri> .
+      } else {
+        val s = resolve(toks(k)); k += 1
+        var stop = false
+        while (!stop) {
+          val p = resolve(toks(k)); k += 1
+          var more = true
+          while (more) {
+            val ot = toks(k); k += 1
+            if (ot.startsWith("\"")) {
+              val endQ = ot.lastIndexOf('"')
+              val lit = unescapeLiteral(ot.substring(1, endQ))
+              val dt = if (endQ + 3 <= ot.length && ot.startsWith("^^", endQ + 1)) {
+                val d = ot.substring(endQ + 3)
+                if (d.startsWith("<")) d.substring(1, d.length - 1) else resolve(d)
+              } else Vocab.XsdString
+              out += ((s, p, lit, dt))
+            } else out += ((s, p, resolve(ot), null))
+            if (k < toks.length && toks(k) == ",") { k += 1 } else more = false
+          }
+          if (k < toks.length && toks(k) == ";") {
+            k += 1
+            if (k < toks.length && toks(k) == ".") { k += 1; stop = true } // trailing ;.
+          } else { if (k < toks.length && toks(k) == ".") k += 1; stop = true }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a .ttl fixture into the triples frame. */
+  def readTurtle(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    parseTurtle(text).toDF("s", "p", "o", "o_datatype")
+  }
 
   // ---- JSON-LD (S7 read / S9 write) -------------------------------------
 

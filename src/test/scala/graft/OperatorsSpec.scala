@@ -46,6 +46,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined == brute)
   }
 
+  test("G6 matching score reproduces the reference formula (golden values)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // goldens computed from bibliographic_matching.py:185-259 arithmetic
+    val cases = Seq(
+      ("smith", "smyth", "john", "jane", "the great paper", "the grate paper",
+        "journal of x", "journal of xy", "", "", "2020", "2020", "5", "5",
+        "1", "2", "10", "10", "20", "20", 35.61333333333334),
+      // empty family -> author term 0; equal ISSNs short-circuit source to 1
+      ("", "smyth", "john", "jane", "t", "t", "v", "v", "1111-2222", "1111-2222",
+        "2020", "2020", "", "", "", "", "", "", "", "", 20.4),
+      // source clamp at 0 (len-diff-forgiving ratio would go negative)
+      ("smith", "smith", "j", "j", "completely different", "unrelated words here",
+        "aaaa", "zzzzzzzzzz", "", "", "2019", "2020", "5", "6", "1", "1",
+        "10", "11", "20", "21", 11.9))
+    val df = cases.toDF("fa", "fb", "ga", "gb", "ta", "tb", "va", "vb",
+      "ia", "ib", "ya", "yb", "voa", "vob", "isa", "isb", "spa", "spb",
+      "epa", "epb", "expected")
+    val got = df.withColumn("score", graft.functions.BiblioMatch.matchingScore(
+      col("fa"), col("fb"), col("ga"), col("gb"), col("ta"), col("tb"),
+      col("va"), col("vb"), col("ia"), col("ib"), col("ya"), col("yb"),
+      col("voa"), col("vob"), col("isa"), col("isb"), col("spa"), col("spb"),
+      col("epa"), col("epb"))).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("score") - r.getAs[Double]("expected")) < 1e-12,
+        s"score ${r.getAs[Double]("score")} != golden ${r.getAs[Double]("expected")}")
+    }
+  }
+
   test("simhash64 is deterministic and order-sensitive to content not order") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("gamma", "beta", "alpha"))

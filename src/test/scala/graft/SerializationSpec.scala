@@ -38,13 +38,32 @@ class SerializationSpec extends AnyFunSuite {
       ("https://w3id.org/oc/meta/br/0601", "http://purl.org/dc/terms/title",
         "back\\nslash-n literal", graft.rdf.Vocab.XsdString),       // \ + n chars
       ("https://w3id.org/oc/meta/br/0602", "http://purl.org/dc/terms/title",
-        "real\nnewline \"quoted\" and \\\\ double", graft.rdf.Vocab.XsdString))
+        "real\nnewline \"quoted\" and \\\\ double", graft.rdf.Vocab.XsdString),
+      ("https://w3id.org/oc/meta/br/0603", "http://purl.org/dc/terms/title",
+        "carriage\rreturn and\ttab", graft.rdf.Vocab.XsdString))
       .toDF("s", "p", "o", "o_datatype")
     val out = Files.createTempDirectory("graft_nasty").toString + "/nq"
     Serialization.writeNQuads(nasty, "https://w3id.org/oc/meta/graph", out)
     val back = Serialization.readNTriples(spark, out)
     assert(asSet(back) == asSet(nasty),
-      "escaped-backslash-followed-by-n must not decode as newline")
+      "escaped-backslash-followed-by-n must not decode as newline; raw \\r must not split the line")
+  }
+
+  test("S10: malformed \\u escapes are tolerated, not fatal") {
+    import spark.implicits._
+    val lines = Seq(
+      // malformed hex after \u: kept verbatim, line still parses
+      "<http://x/s> <http://x/p> \"bad\\uZZZZescape\" .",
+      // out-of-range \U code point: kept verbatim
+      "<http://x/s2> <http://x/p> \"huge\\UFFFFFFFFcp\" .",
+      // valid \u for comparison
+      "<http://x/s3> <http://x/p> \"ok\\u0041\" .").toDF("value")
+    val parsed = Serialization.fromNTriples(lines).collect()
+    assert(parsed.length == 3, "no line may crash the read job")
+    val byS = parsed.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byS("http://x/s") == "bad\\uZZZZescape")
+    assert(byS("http://x/s2") == "huge\\UFFFFFFFFcp")
+    assert(byS("http://x/s3") == "okA")
   }
 
   test("S7/S9: JSON-LD dir-split round-trip preserves every triple") {

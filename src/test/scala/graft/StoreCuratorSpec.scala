@@ -157,11 +157,19 @@ class StoreCuratorSpec extends AnyFunSuite {
       .toDF(curation.Validation.InputColumns: _*)
     val upd = StoreCurator.curateWithStore(input, store, prov = Some(prov))
     val rows = upd.batch.rows.orderBy("first_row").collect()
-    assert(rows.length == 2)
+    // both rows land on br/0601 and — like the reference's `{id: row}`
+    // keep-last dedupe (curator.py:333) — collapse into ONE output row
+    // whose id cell unions both rows' ids.
+    assert(rows.length == 1,
+      "rows adopting the same store entity must collapse to one output row")
     assert(rows(0).getAs[String]("br_meta") == "br/0601",
       "dead omid must hop to its surviving successor")
-    assert(rows(1).getAs[String]("br_meta") == "br/0601",
-      "successor chains must resolve to the live end of the chain")
+    val idCell = rows(0).getAs[String]("id")
+    assert(idCell.contains("doi:10.555/hop-one") && idCell.contains("doi:10.555/hop-two"),
+      s"id cell must union both rows' ids, got: $idCell")
+    assert(rows(0).getAs[String]("title") ==
+      "Influence of Dielectric Properties, State, and Electrodes on Electric Strength",
+      "equalizer: store title still wins on the collapsed row")
     // without prov the same omids are simply discarded -> new entities
     val noProv = StoreCurator.curateWithStore(input, store)
     val storeMax = store.counters.filter($"kind" === "br").collect().head.getLong(2)
