@@ -105,15 +105,9 @@ object CurationBench {
     Curator.curateFresh(syntheticRecords(spark, math.min(n, 100), partial = false))
       .rows.count()
     val t0 = System.nanoTime()
-    val fresh = {
-      // triples emission consumes every frame again — checkpoint so the
-      // curation DAG executes once (same as the update path)
-      val f = Curator.curateFresh(freshInput)
-      def ck(df: org.apache.spark.sql.DataFrame) = df.localCheckpoint()
-      Curator.CuratedBatch(ck(f.rows), ck(f.indexIdBr), ck(f.indexIdRa),
-        ck(f.arIndex), ck(f.reIndex), ck(f.vviIndex), ck(f.entities),
-        ck(f.entityIds), ck(f.roles), ck(f.raNames), ck(f.pages), ck(f.partOf))
-    }
+    // triples emission consumes every frame again — checkpoint so the
+    // curation DAG executes once (same as the update path)
+    val fresh = Curator.curateFresh(freshInput).checkpointed
     materialize(fresh)
     val triples = TriplesEmitter.emit(fresh)
     nTriples = triples.count()

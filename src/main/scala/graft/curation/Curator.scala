@@ -59,7 +59,23 @@ object Curator {
       roles: DataFrame,
       raNames: DataFrame,
       pages: DataFrame,
-      partOf: DataFrame)
+      partOf: DataFrame,
+      /** explicit `omid:` references carried by venue/agent cells
+        * (owner_meta, ref) — unresolvable in a fresh world (D2(2)
+        * discards them) but the store-adoption key for StoreCurator. */
+      explicitRefs: DataFrame) {
+    /** Every frame localCheckpoint'ed — callers that consume the batch
+      * more than once use this so the curation DAG executes exactly once
+      * (see the graft-driver-contract checkpoint discipline). */
+    def checkpointed: CuratedBatch = CuratedBatch(
+      rows.localCheckpoint(), indexIdBr.localCheckpoint(),
+      indexIdRa.localCheckpoint(), arIndex.localCheckpoint(),
+      reIndex.localCheckpoint(), vviIndex.localCheckpoint(),
+      entities.localCheckpoint(), entityIds.localCheckpoint(),
+      roles.localCheckpoint(), raNames.localCheckpoint(),
+      pages.localCheckpoint(), partOf.localCheckpoint(),
+      explicitRefs.localCheckpoint())
+  }
 
   /** S1 — CSV scan (file_manager.py:99-120): 11 string columns, header,
     * quoted cells, NULs stripped, nulls -> "". */
@@ -128,7 +144,8 @@ object Curator {
         if (normalizeTitles)
           when($"venue_p".isNotNull, struct(
             graft.functions.CleaningColumns.cleanTitleCol($"venue_p._1").as("_1"),
-            $"venue_p._2".as("_2")))
+            $"venue_p._2".as("_2"),
+            $"venue_p._3".as("_3")))
         else $"venue_p")
       .withColumn("authors", Parsing.parseAgentsUdf($"author"))
       .withColumn("publishers", Parsing.parseAgentsUdf($"publisher"))
@@ -241,7 +258,7 @@ object Curator {
               $"venue_ent").otherwise($"br_comp")
           else $"br_comp")
         .select($"row_idx", $"slot", $"pos", $"role", $"attach",
-          $"agent._1".as("name"), $"agent._2".as("ids"))
+          $"agent._1".as("name"), $"agent._2".as("ids"), $"agent._3".as("ref"))
     }
     val mentions0 = roleFrames.reduce(_ unionByName _)
     val mentions = Sequencing.globalSequence(mentions0,
@@ -417,21 +434,34 @@ object Curator {
       .join(venueMeta.withColumnRenamed("venue_ent", "o_venue_ent"), Seq("o_venue_ent"), "left")
       .join(roleCellFor("author").withColumnRenamed("attach", "br_comp"), Seq("br_comp"), "left")
       .join(roleCellFor("publisher").withColumnRenamed("attach", "br_comp"), Seq("br_comp"), "left")
-      .join(roleCellFor("editor").withColumnRenamed("attach", "ed_attach")
+      .join({
         // the display mapping must use the SAME attach rule as the role
         // frames (D7): only container-editor types with author+venue hang
         // their editors on the venue — a plain book/journal article keeps
-        // them on the row even when a venue exists
-        .join(rows.select($"br_comp",
+        // them on the row even when a venue exists. Deterministic pick
+        // when a component's rows disagree on the attach target: prefer a
+        // row whose attach HAS an editor sequence, then the LAST such row
+        // (the reference's final `{id: row}` dedupe keeps the last row).
+        val edAttachRows = rows.select($"br_comp", $"row_idx",
           when($"author" =!= "" && $"venue" =!= "" &&
             $"type_c".isin(Validation.ContainerEditorTypes.toSeq: _*) && $"venue_ent".isNotNull,
-            $"venue_ent").otherwise($"br_comp").as("ed_attach")).distinct(), Seq("ed_attach"))
-        .groupBy($"br_comp").agg(first($"editor_cell").as("editor_cell"), first($"editor_pairs").as("editor_pairs")),
-        Seq("br_comp"), "left")
+            $"venue_ent").otherwise($"br_comp").as("ed_attach"))
+        edAttachRows
+          .join(roleCellFor("editor").withColumnRenamed("attach", "ed_attach"), Seq("ed_attach"), "left")
+          .groupBy($"br_comp").agg(
+            max_by(struct($"editor_cell", $"editor_pairs", $"ed_attach"),
+              struct($"editor_cell".isNotNull, $"row_idx")).as("ed"))
+          .select($"br_comp", $"ed.editor_cell".as("editor_cell"),
+            $"ed.editor_pairs".as("editor_pairs"), $"ed.ed_attach".as("ed_attach_ent"))
+      }, Seq("br_comp"), "left")
+      .join(compToOmid.select($"ent".as("ed_attach_ent"), $"br_meta".as("ed_attach_meta")),
+        Seq("ed_attach_ent"), "left")
       .withColumn("o_id", concat_ws(" ",
         concat(coalesce($"id_list", array()), array(concat(lit("omid:"), $"br_meta")))))
       .select(
         $"br_comp", $"first_row", $"br_meta", $"re_meta", $"explicit_omids",
+        coalesce($"ed_attach_meta", $"br_meta").as("ed_attach_meta"),
+        $"venue_meta",
         $"o_id".as("id"), coalesce($"o_title", lit("")).as("title"),
         coalesce($"author_cell", lit("")).as("author"),
         coalesce($"o_date", lit("")).as("pub_date"),
@@ -527,9 +557,11 @@ object Curator {
       .select($"iss_meta".as("child_meta"), coalesce($"vol_meta", $"venue_omid").as("parent_meta"))
     val partOf = rowParents.unionByName(volParents).unionByName(issParents).distinct()
 
-    // entities: row BRs, fresh venues (type inferred per E19 simplified:
-    // issn -> journal, isbn -> book, both -> undecidable, else from the
-    // first child's type), fresh volumes/issues.
+    // entities: row BRs, fresh venues (E19 type inference — the full
+    // get_venue_type branch set, evaluated per row and resolved to the
+    // FIRST creating row's verdict like the reference, where only the row
+    // that instantiates the venue graph sets its class), fresh
+    // volumes/issues.
     val rowEntities = compAgg
       .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
       .select($"br_meta".as("meta"), lit("br").as("kind"),
@@ -538,25 +570,14 @@ object Curator {
         coalesce($"o_date", lit("")).as("date"),
         when($"o_type" === "journal volume", $"o_volume")
           .when($"o_type" === "journal issue", $"o_issue").as("seq_id"))
-    val venueSchemas = rows.filter($"venue_ent".isNotNull && $"venue_ent" >= VenueOffset)
-      .select($"venue_ent", explode($"venue_p._2").as("literal"))
-      .withColumn("scheme", substring_index($"literal", ":", 1))
-      .groupBy($"venue_ent").agg(collect_set($"scheme").as("schemes"))
-    val venueChildTypes = rows.filter($"venue_ent".isNotNull)
-      .groupBy($"venue_ent").agg(min_by($"type2", $"row_idx").as("child_type"))
+    val venueRowTypes = rows.filter($"venue_ent".isNotNull && $"venue_ent" >= VenueOffset)
+      .select($"venue_ent", $"row_idx",
+        graft.functions.CleaningColumns.venueTypeCol($"type2", $"venue_p._2").as("vtype"))
+      .groupBy($"venue_ent").agg(min_by($"vtype", $"row_idx").as("type_label"))
     val venueEntities = venueMeta
       .filter($"venue_ent" >= VenueOffset)
-      .join(venueSchemas, Seq("venue_ent"), "left")
-      .join(venueChildTypes, Seq("venue_ent"), "left")
-      .withColumn("type_label",
-        when(array_contains(coalesce($"schemes", array()), "issn") &&
-          array_contains(coalesce($"schemes", array()), "isbn"), lit(""))
-          .when(array_contains(coalesce($"schemes", array()), "issn"), lit("journal"))
-          .when(array_contains(coalesce($"schemes", array()), "isbn"), lit("book"))
-          .when($"child_type".isin("journal article", "journal issue", "journal volume"), lit("journal"))
-          .when($"child_type".startsWith("book"), lit("book"))
-          .when($"child_type" === "proceedings article", lit("proceedings"))
-          .otherwise(lit("")))
+      .join(venueRowTypes, Seq("venue_ent"), "left")
+      .withColumn("type_label", coalesce($"type_label", lit("")))
       .join(venueTitles, Seq("venue_ent"))
       .select($"venue_meta".as("meta"), lit("br").as("kind"), $"type_label",
         coalesce($"venue_title", lit("")).as("title"), lit("").as("date"),
@@ -610,7 +631,21 @@ object Curator {
         when($"page".contains("-"), substring_index($"page", "-", -1)).otherwise($"page"))
       .select($"br_meta", $"re_meta", $"start_page", $"end_page")
 
+    // explicit omid references of venue/agent cells (D2(1) store keys);
+    // fresh-world curation itself never resolves them.
+    val explicitRefs = {
+      val raRefs = resolved.filter($"ref".isNotNull)
+        .groupBy($"ra_comp").agg(min_by($"ref", $"seq").as("ref"))
+        .join(raNumbered, Seq("ra_comp"))
+        .select($"ra_meta".as("owner_meta"), $"ref")
+      val venueRefs = rows.filter($"venue_ent".isNotNull && $"venue_p._3".isNotNull)
+        .groupBy($"venue_ent").agg(min_by($"venue_p._3", $"row_idx").as("ref"))
+        .join(compToOmid.withColumnRenamed("ent", "venue_ent"), Seq("venue_ent"))
+        .select($"br_meta".as("owner_meta"), $"ref")
+      raRefs.unionByName(venueRefs)
+    }
+
     CuratedBatch(outRows, indexIdBr, indexIdRa, arIndex, reIndex, vviIndex,
-      entities, entityIds, roles, raNamesOut, pages, partOf)
+      entities, entityIds, roles, raNamesOut, pages, partOf, explicitRefs)
   }
 }

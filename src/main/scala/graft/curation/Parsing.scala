@@ -39,7 +39,9 @@ object Parsing {
     cleanIdList(splitIdTokens(cell))._2
   }
 
-  final case class Agent(name: String, ids: Seq[String])
+  /** @param omid explicit `omid:` token ("ra/N"), if any — resolvable only
+    *   against a store (D2(1)); discarded in fresh-world curation. */
+  final case class Agent(name: String, ids: Seq[String], omid: Option[String])
 
   /** People-cell parser: split on `;` outside brackets
     * (master_of_regex.py:8), E8 clean_ra_list, then per agent E10
@@ -51,12 +53,12 @@ object Parsing {
     cleaned.map { ra =>
       val (rawName, idsStr) = Cleaning.splitNameAndIds(ra)
       val name = Cleaning.cleanName(rawName)
-      val ids = cleanIdList(splitIdTokens(idsStr))._2
-      Agent(name, ids)
-    }.filter(a => a.name.nonEmpty || a.ids.nonEmpty)
+      val (omid, ids) = cleanIdList(splitIdTokens(idsStr))
+      Agent(name, ids, omid)
+    }.filter(a => a.name.nonEmpty || a.ids.nonEmpty || a.omid.nonEmpty)
   }
 
-  final case class Venue(name: String, ids: Seq[String])
+  final case class Venue(name: String, ids: Seq[String], omid: Option[String])
 
   /** Venue-cell parser (curator.py:481-517): `Title [ids]`; the title is
     * kept verbatim (normalize_titles defaults to false in the reference
@@ -64,9 +66,9 @@ object Parsing {
   def parseVenue(cell: String): Option[Venue] = {
     if (cell == null || cell.trim.isEmpty) return None
     val (rawName, idsStr) = Cleaning.splitNameAndIds(cell.trim)
-    val ids = cleanIdList(splitIdTokens(idsStr))._2
+    val (omid, ids) = cleanIdList(splitIdTokens(idsStr))
     val name = if (rawName.trim.nonEmpty) rawName.trim else cell.trim
-    Some(Venue(name, ids))
+    Some(Venue(name, ids, omid))
   }
 
   val parseIdCellUdf = udf(parseIdCell _)
@@ -77,8 +79,8 @@ object Parsing {
     cleanIdList(splitIdTokens(cell))._1
   }
   val explicitOmidUdf = udf((c: String) => explicitOmid(c))
-  val parseAgentsUdf = udf((c: String) => parseAgents(c).map(a => (a.name, a.ids)))
-  val parseVenueUdf = udf((c: String) => parseVenue(c).map(v => (v.name, v.ids)))
+  val parseAgentsUdf = udf((c: String) => parseAgents(c).map(a => (a.name, a.ids, a.omid)))
+  val parseVenueUdf = udf((c: String) => parseVenue(c).map(v => (v.name, v.ids, v.omid)))
   val cleanDateUdf = udf((c: String) =>
     if (c == null) "" else Cleaning.cleanDate(Cleaning.normalizeHyphens(c)))
   val normalizeHyphensUdf = udf((c: String) =>

@@ -1,27 +1,44 @@
 package graft.curation
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.rdf.StoreViews
 
 /** Store-backed curation — the reference's "update" scenario (SURVEY §6,
-  * D2 store branches / J5 equalizer / D8 / D9): a batch is resolved
-  * against an existing triples snapshot instead of an empty world.
+  * D2 store branches / J5 equalizer / D5 AR-sequence union / D8 / D9): a
+  * batch is resolved against an existing triples snapshot instead of an
+  * empty world.
   *
-  * Strategy (set-oriented equivalent of the row-by-row id_worker):
+  * Strategy (set-oriented equivalent of the row-by-row id_worker +
+  * clean_ra/clean_vvi store paths, curator.py:575-742/421-570):
   *  1. run the fresh pipeline in a TEMPORARY number space (offset 10^9 —
   *     disjoint from any real store numbering);
-  *  2. match batch entities to store entities by shared identifier:
-  *     exactly one store match -> ADOPT the store meta (D2(5) hit);
-  *     two-plus -> CONFLICT, keep the new entity (D2(3): components
-  *     spanning >=2 store entities must not union them);
-  *  3. compactly renumber the remaining new entities per kind from the
-  *     store's counters (stable first-appearance order preserved);
-  *  4. rewrite every output frame through the resulting meta->meta map
-  *     (broadcast — bounded by batch entity count, not store size) and
-  *     apply the equalizer precedence (J5): store wins for title,
-  *     pub_date, type, volume, issue, page; batch fills what the store
-  *     lacks. Adopted entities are flagged preexisting (D9).
+  *  2. ADOPTION joins, in the reference's precedence order:
+  *     explicit row omid (D2(1), with the merged-entity provenance hop
+  *     D2(2)) > explicit venue/agent-cell omid > shared external
+  *     identifier. Multi-store-id matches take the FIRST store entity and
+  *     union the ids (id_worker keeps sparql_match[0] and merges all
+  *     matches' ids — curator.py:1270-1297; its conflict branch is
+  *     commented out there);
+  *  3. AR-SEQUENCE alignment (clean_ra, curator.py:634-742): for every
+  *     adopted BR the store's role sequence is the prefix; batch agents
+  *     match a sequence element by shared id, else by exact name, and
+  *     matched elements reuse the store (ar, ra) — unmatched agents mint
+  *     new ARs appended after the store prefix;
+  *  4. store VVI adoption (clean_vvi, curator.py:502-528): batch
+  *     volume/issue entities under an adopted venue adopt the store's
+  *     volume/issue with the same sequence value; the venue's full store
+  *     subtree is materialized into the vvi index
+  *     (retrieve_venue_from_local_graph);
+  *  5. compact renumbering of the remaining new entities per kind from
+  *     the store's counters — distributed (no driver-side entity maps);
+  *  6. assembly: every cell is REBUILT from the final frames (id cells
+  *     union the adopted entity's store ids — enrich(), curator.py:990;
+  *     agent cells render the final sequences with store-name precedence
+  *     and given-name fill — name_check, curator.py:1016-1024), and the
+  *     equalizer applies store precedence for date/type/volume/issue/
+  *     page/venue (curator.py:1402-1460).
   */
 object StoreCurator {
 
@@ -45,77 +62,36 @@ object StoreCurator {
     import spark.implicits._
 
     // Phase 1: fresh curation in the temp number space. Every frame is
-    // consumed several times below (adoption joins, renumber collect,
-    // remapping) — checkpoint once so the curation DAG runs once.
-    val fresh = {
-      val f = Curator.curateFresh(input, prefix, numberOffset = TempBase,
-        normalizeTitles = normalizeTitles)
-      def ck(df: DataFrame) = df.localCheckpoint()
-      Curator.CuratedBatch(ck(f.rows), ck(f.indexIdBr), ck(f.indexIdRa),
-        ck(f.arIndex), ck(f.reIndex), ck(f.vviIndex), ck(f.entities),
-        ck(f.entityIds), ck(f.roles), ck(f.raNames), ck(f.pages), ck(f.partOf))
-    }
+    // consumed several times below — checkpoint once.
+    val fresh = Curator.curateFresh(input, prefix, numberOffset = TempBase,
+      normalizeTitles = normalizeTitles).checkpointed
 
-    // Phase 2: adoption by shared identifier, per entity kind.
-    def adoptions(batchIds: DataFrame, storeKindPrefix: String): DataFrame = {
-      val storeIds = store.entityIds
-        .filter($"owner_meta".startsWith(storeKindPrefix))
-        .select($"literal", $"owner_meta".as("store_meta"))
-      batchIds
-        .join(storeIds, "literal")
-        .groupBy($"owner_meta")
-        .agg(countDistinct($"store_meta").as("n_matches"),
-          min($"store_meta").as("adopted"))
-        // D2(3): two-plus distinct store entities -> conflict, no adoption
-        .filter($"n_matches" === 1)
-        .select($"owner_meta".as("from_meta"), $"adopted".as("to_meta"))
-    }
-    val batchIdLiterals = fresh.entityIds
-      .select($"owner_meta", concat($"scheme", lit(":"), $"value").as("literal"))
-    val brAdopt = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("br/")), "br/")
-    val raAdopt = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("ra/")), "ra/")
-    // id entities adopt by literal equality directly
-    val idAdopt = fresh.entityIds.select($"id_meta",
-        concat($"scheme", lit(":"), $"value").as("literal")).distinct()
-      .join(store.entityIds.select($"literal", $"id_meta".as("store_id")).distinct(), "literal")
-      .groupBy($"id_meta").agg(min($"store_id").as("to_meta"))
-      .select($"id_meta".as("from_meta"), $"to_meta")
-    // re entities of adopted BRs adopt the store re (store page wins, D8)
-    val reAdopt = fresh.pages.select($"br_meta", $"re_meta".as("from_meta"))
-      .join(brAdopt.withColumnRenamed("from_meta", "br_meta")
-        .withColumnRenamed("to_meta", "store_br"), Seq("br_meta"))
-      .join(store.pages.select($"br_meta".as("store_br"), $"re_meta".as("to_meta")),
-        Seq("store_br"))
-      .select($"from_meta", $"to_meta")
+    val storeMetas = store.entities.select($"meta").distinct()
 
-    // D2(1): an explicit omid present in the store adopts it outright
-    // (highest priority). D2(2): an explicit omid UNKNOWN to the store is
-    // looked up in the provenance merge history (finder.py:201-250,
-    // `retrieve_metaid_from_merged_entity`): a dead omid absorbed by a
-    // merge resolves to its surviving successor. If that also fails the
-    // token is simply discarded (curator.py:1196-1205 sets metaval='') and
-    // the component falls through to id-based resolution below or is
-    // minted as a new entity — the row is never dropped.
+    // ---- Phase 2a: explicit row omids (D2(1)/(2)) -----------------------
+    // An explicit omid present in the store adopts it outright (highest
+    // priority). An omid UNKNOWN to the store is looked up in the
+    // provenance merge history (finder.py:201-250): a dead omid absorbed
+    // by a merge resolves to its surviving successor. If that also fails
+    // the token is discarded (curator.py:1196-1205) and the component
+    // falls through to id-based resolution or is minted new.
     val explicitPerComp = fresh.rows
       .select($"br_meta".as("from_meta"), explode($"explicit_omids").as("ex"))
       .filter($"ex".isNotNull)
       .groupBy($"from_meta")
       .agg(countDistinct($"ex").as("n_ex"), min($"ex").as("ex_omid"))
       .filter($"n_ex" === 1)
-    val storeBrs = store.entities.select($"meta".as("ex_omid")).distinct()
+    val storeBrs = store.entities.filter($"meta".startsWith("br/"))
+      .select($"meta".as("ex_omid")).distinct()
     val knownExplicit = explicitPerComp
       .join(storeBrs, Seq("ex_omid"), "left_semi")
       .select($"from_meta", $"ex_omid".as("to_meta"))
     val mergedHopExplicit = prov match {
-      case None => spark.emptyDataFrame
-        .withColumn("from_meta", lit("")).withColumn("to_meta", lit(""))
-        .select($"from_meta", $"to_meta").limit(0)
+      case None => knownExplicit.limit(0)
       case Some(p) =>
         // (merged -> surviving) pairs from SCD2 merge snapshots (G8 shape);
-        // follow successor chains so an omid whose successor was itself
-        // later merged still lands on a live entity (the reference's
-        // one-hop query composed to a fixpoint, bounded: chains are the
-        // depth of the merge history, not data-sized).
+        // follow successor chains to a fixpoint (bounded by merge-history
+        // depth, not data size).
         var hop = graft.operators.Tools.mergedEntityPairs(p)
           .select($"merged", $"surviving").localCheckpoint()
         var iter = 0
@@ -135,70 +111,272 @@ object StoreCurator {
         explicitPerComp
           .join(storeBrs, Seq("ex_omid"), "left_anti")
           .join(hop.withColumnRenamed("merged", "ex_omid"), Seq("ex_omid"))
-          // successor must be a live store entity
           .join(storeBrs.select($"ex_omid".as("surviving")), Seq("surviving"), "left_semi")
           .select($"from_meta", $"surviving".as("to_meta"))
     }
     val brAdoptExplicit = knownExplicit.unionByName(mergedHopExplicit)
 
-    val adoptAll = brAdoptExplicit
-      .unionByName(brAdopt.join(brAdoptExplicit.select($"from_meta"), Seq("from_meta"), "left_anti"))
-      .unionByName(raAdopt).unionByName(idAdopt).unionByName(reAdopt)
+    // ---- 2b: explicit omids in venue/agent cells ------------------------
+    val refAdopt = fresh.explicitRefs
+      .join(storeMetas.withColumnRenamed("meta", "ref"), Seq("ref"), "left_semi")
+      .select($"owner_meta".as("from_meta"), $"ref".as("to_meta"))
+
+    // ---- 2c: shared-external-identifier adoption ------------------------
+    // Multi-match takes the FIRST store entity in id-list order —
+    // finder_sparql probes the ids in cell order and id_worker keeps
+    // sparql_match[0]; its conflict branch is commented out
+    // (curator.py:799-817, 1270-1297). The batch id-entity numbers encode
+    // first-appearance order, so min(id number) reproduces the pick.
+    val idTempN = (c: Column) =>
+      expr(s"CAST(substring(substring_index(${c.toString()}, '/', -1), ${prefix.length + 1}) AS BIGINT)")
+    val batchIdLiterals = fresh.entityIds
+      .select($"owner_meta", concat($"scheme", lit(":"), $"value").as("literal"),
+        idTempN($"id_meta").as("idn"))
+    def adoptions(batchIds: DataFrame, storeKindPrefix: String): DataFrame = {
+      val storeIds = store.entityIds
+        .filter($"owner_meta".startsWith(storeKindPrefix))
+        .select($"literal", $"owner_meta".as("store_meta"))
+      batchIds
+        .join(storeIds, "literal")
+        .groupBy($"owner_meta")
+        .agg(min(struct($"idn", $"store_meta")).getField("store_meta").as("to_meta"))
+        .select($"owner_meta".as("from_meta"), $"to_meta")
+    }
+    val brAdoptIds = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("br/")), "br/")
+    val raAdoptIds = adoptions(batchIdLiterals.filter($"owner_meta".startsWith("ra/")), "ra/")
+    // id entities adopt by literal equality directly
+    val idAdopt = fresh.entityIds.select($"id_meta",
+        concat($"scheme", lit(":"), $"value").as("literal")).distinct()
+      .join(store.entityIds.select($"literal", $"id_meta".as("store_id")).distinct(), "literal")
+      .groupBy($"id_meta").agg(min($"store_id").as("to_meta"))
+      .select($"id_meta".as("from_meta"), $"to_meta")
+
+    def prioritized(frames: Seq[(DataFrame, Int)]): DataFrame =
+      frames.map { case (df, p) =>
+        df.select($"from_meta", $"to_meta", lit(p).as("prio"))
+      }.reduce(_ unionByName _)
+        .groupBy($"from_meta")
+        .agg(min(struct($"prio", $"to_meta")).getField("to_meta").as("to_meta"))
+
+    val brMap = prioritized(Seq(
+      brAdoptExplicit -> 1,
+      refAdopt.filter($"from_meta".startsWith("br/")) -> 2,
+      brAdoptIds -> 3)).localCheckpoint()
+
+    // ---- 2d: AR-sequence alignment on adopted BRs (clean_ra) ------------
+    val adoptedStoreBrs = brMap.select($"to_meta".as("br_meta")).distinct()
+    val storeSeqAll = store.roles
+      .join(adoptedStoreBrs, Seq("br_meta"), "left_semi")
+      .localCheckpoint()
+    // D6 silencer: a silenced role with a store sequence ignores the
+    // batch's agents entirely (curator.py:661-662) — no matching, no id
+    // union, batch ARs dropped.
+    val silencedKeys = (
+      if (silencedRoles.isEmpty) storeSeqAll.limit(0)
+      else storeSeqAll.filter($"role".isin(silencedRoles.toSeq: _*))
+    ).select($"br_meta", $"role").distinct().localCheckpoint()
+    val batchSeqRoles = fresh.roles
+      .join(brMap.withColumnRenamed("from_meta", "br_meta"), Seq("br_meta"))
+      .join(silencedKeys.withColumnRenamed("br_meta", "to_meta"),
+        Seq("to_meta", "role"), "left_anti")
+      .select($"to_meta".as("store_br"), $"role",
+        $"ar_meta".as("temp_ar"), $"ra_meta".as("temp_ra"))
+    val storeSeq = storeSeqAll.select($"br_meta".as("store_br"), $"role",
+      $"pos".as("st_pos"), $"ar_meta".as("st_ar"), $"ra_meta".as("st_ra"))
+    // candidate pairs are per-(BR, role) — bounded by author-list length
+    // squared per BR, never corpus-quadratic.
+    val cand = batchSeqRoles.join(storeSeq, Seq("store_br", "role"))
+    val batchRaIds = batchIdLiterals.filter($"owner_meta".startsWith("ra/"))
+      .select($"owner_meta".as("temp_ra"), $"literal").distinct()
+    val storeRaIds = store.entityIds.filter($"owner_meta".startsWith("ra/"))
+      .select($"owner_meta".as("st_ra"), $"literal").distinct()
+    val seqIdMatch = cand.join(batchRaIds, Seq("temp_ra"))
+      .join(storeRaIds, Seq("st_ra", "literal"))
+      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(1).as("mprio"))
+    // name match is EXACT (case included): curator.py:699 compares the
+    // store title to the cleaned batch name with ==.
+    val seqNameMatch = cand
+      .join(fresh.raNames.select($"ra_meta".as("temp_ra"), $"name".as("b_name")), Seq("temp_ra"))
+      .join(store.raNames.select($"ra_meta".as("st_ra"), $"name".as("s_name")), Seq("st_ra"))
+      .filter(nonBlank($"b_name") && $"b_name" === $"s_name")
+      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(2).as("mprio"))
+    val seqMatch = seqIdMatch.unionByName(seqNameMatch)
+      .groupBy($"temp_ar", $"temp_ra")
+      .agg(min(struct($"mprio", $"st_pos", $"st_ar", $"st_ra")).as("m"))
+      .select($"temp_ar", $"temp_ra",
+        $"m.st_ar".as("st_ar"), $"m.st_ra".as("st_ra"))
+      .localCheckpoint()
+    val arAdopt = seqMatch.select($"temp_ar".as("from_meta"), $"st_ar".as("to_meta"))
       .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
 
-    // Phase 3: compact renumbering of non-adopted temp entities per kind.
-    val allMetas = graft.rdf.Provenance.allEntities(fresh).select($"meta")
-    val offsets = counterOffsets.getOrElse(store.counters.collect()
+    val raMap = prioritized(Seq(
+      seqMatch.select($"temp_ra".as("from_meta"), $"st_ra".as("to_meta")) -> 1,
+      refAdopt.filter($"from_meta".startsWith("ra/")) -> 2,
+      raAdoptIds -> 3)).localCheckpoint()
+
+    // ---- 2e: re adoption (D8 — store page wins) -------------------------
+    val reAdopt = fresh.pages.select($"br_meta", $"re_meta".as("from_meta"))
+      .join(brMap.withColumnRenamed("from_meta", "br_meta")
+        .withColumnRenamed("to_meta", "store_br"), Seq("br_meta"))
+      .join(store.pages.select($"br_meta".as("store_br"), $"re_meta".as("to_meta")),
+        Seq("store_br"))
+      .select($"from_meta", $"to_meta")
+
+    // ---- 2f: store VVI subtrees + volume/issue adoption (D4-vs-store) ---
+    // Subtree shape mirrors fresh vviIndex conventions: volumes carry
+    // iss_seq NULL, top-level issues carry vol_seq "".
+    val stKind = store.entities.select($"meta", $"type_label", $"seq_id")
+    val stVolsRaw = store.partOf
+      .join(stKind.filter($"type_label" === "journal volume")
+        .select($"meta".as("child_meta"), $"seq_id".as("vol_seq")), Seq("child_meta"))
+      .select($"parent_meta".as("venue_meta"), $"vol_seq", $"child_meta".as("vvi_meta"))
+    val stIssRaw = store.partOf
+      .join(stKind.filter($"type_label" === "journal issue")
+        .select($"meta".as("child_meta"), $"seq_id".as("iss_seq")), Seq("child_meta"))
+      .select($"parent_meta", $"iss_seq", $"child_meta".as("vvi_meta"))
+    val stIssUnder = stIssRaw
+      .join(stVolsRaw.select($"vvi_meta".as("parent_meta"), $"venue_meta",
+        $"vol_seq"), Seq("parent_meta"))
+      .select($"venue_meta", $"vol_seq", $"iss_seq", $"vvi_meta")
+    val stIssTop = stIssRaw
+      .join(stVolsRaw.select($"vvi_meta".as("parent_meta")), Seq("parent_meta"), "left_anti")
+      .select($"parent_meta".as("venue_meta"), lit("").as("vol_seq"), $"iss_seq", $"vvi_meta")
+    val storeSubtree = stVolsRaw
+      .select($"venue_meta", $"vol_seq", lit(null).cast("string").as("iss_seq"), $"vvi_meta")
+      .unionByName(stIssUnder).unionByName(stIssTop)
+      .localCheckpoint()
+
+    val vviVenueFinal = fresh.vviIndex
+      .join(brMap.withColumnRenamed("from_meta", "venue_meta"), Seq("venue_meta"), "left")
+      .withColumn("venue_final", coalesce($"to_meta", $"venue_meta")).drop("to_meta")
+    val vviAdopt = vviVenueFinal.alias("b")
+      .join(storeSubtree.alias("s"),
+        col("b.venue_final") === col("s.venue_meta") &&
+          col("b.vol_seq") <=> col("s.vol_seq") &&
+          col("b.iss_seq") <=> col("s.iss_seq"))
+      .filter(col("b.meta") =!= col("s.vvi_meta"))
+      .select(col("b.meta").as("from_meta"), col("s.vvi_meta").as("to_meta"))
+      .join(brMap.select($"from_meta"), Seq("from_meta"), "left_anti")
+
+    val adoptAll = Seq(brMap, raMap, arAdopt, idAdopt, reAdopt, vviAdopt)
+      .map(_.select($"from_meta", $"to_meta"))
+      .reduce(_ unionByName _)
+      .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
+      .localCheckpoint()
+
+    // ---- Phase 3: compact distributed renumbering -----------------------
+    // No driver-side entity maps: non-adopted temp entities get dense
+    // numbers per kind (first-appearance order = temp number order) via
+    // size-dispatched global sequences, and every frame is rewritten by
+    // JOINING on the mapping, not by broadcast UDFs.
+    val offsets: Map[String, Long] = counterOffsets.getOrElse(store.counters.collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap).withDefaultValue(0L)
-    val fresh2 = allMetas.join(adoptAll.select($"from_meta".as("meta")), Seq("meta"), "left_anti")
+    val tempN = (c: Column) =>
+      expr(s"CAST(substring(substring_index(${c.toString()}, '/', -1), ${prefix.length + 1}) AS BIGINT)")
+    val fresh2 = graft.rdf.Provenance.allEntities(fresh).select($"meta")
+      .join(adoptAll.select($"from_meta".as("meta")), Seq("meta"), "left_anti")
       .withColumn("kind", substring_index($"meta", "/", 1))
-      .withColumn("temp_n", expr(s"CAST(substring(substring_index(meta, '/', -1), ${prefix.length + 1}) AS BIGINT)"))
-    val renumber: Seq[(String, String)] = fresh2.as[(String, String, Long)].collect()
-      .groupBy(_._2)
-      .toSeq
-      .flatMap { case (kind, ms) =>
-        val base = offsets(kind)
-        ms.sortBy(_._3).zipWithIndex.map { case ((meta, k, _), i) =>
-          meta -> s"$k/$prefix${base + i + 1}"
-        }.toSeq
-      }
-    val mapping: Map[String, String] =
-      adoptAll.as[(String, String)].collect().toMap ++ renumber.toMap
+      .withColumn("temp_n", tempN($"meta"))
+      .localCheckpoint()
+    val kinds = fresh2.select($"kind").distinct().as[String].collect().toSeq.sorted
+    val renumberMap =
+      if (kinds.isEmpty)
+        fresh2.select($"meta".as("from_meta"), $"meta".as("to_meta")).limit(0)
+      else kinds.map { k =>
+        Sequencing.globalSequenceAuto(fresh2.filter($"kind" === k), Seq($"temp_n"), "rk", offsets(k))
+          .select($"meta".as("from_meta"),
+            concat($"kind", lit("/" + prefix), $"rk").as("to_meta"))
+      }.reduce(_ unionByName _)
+    // total rewrite mapping; identity for any meta not present
+    val m = adoptAll.unionByName(renumberMap).localCheckpoint()
 
-    // Phase 4: rewrite frames + equalizer.
-    val bMapping = spark.sparkContext.broadcast(mapping)
-    val remapUdf = udf((m: String) => if (m == null) null else bMapping.value.getOrElse(m, m))
-    // Row cells mix external identifier literals with omids — rewrite only
-    // `omid:`-anchored tokens so a DOI/url segment that happens to look
-    // like `id/123` is never corrupted by the renumbering map.
-    val remapCellUdf = udf((cell: String) =>
-      if (cell == null) null
-      else "omid:((?:br|ra|ar|re|id)/\\d+)".r.replaceAllIn(cell, mm =>
-        java.util.regex.Matcher.quoteReplacement(
-          "omid:" + bMapping.value.getOrElse(mm.group(1), mm.group(1)))))
-    // Index cells are pure meta lists ("ar/N, ra/N; …") — bare patterns
-    // are metas by construction there.
-    val remapBareCellUdf = udf((cell: String) =>
-      if (cell == null) null
-      else "(?:br|ra|ar|re|id)/\\d+".r.replaceAllIn(cell,
-        mm => java.util.regex.Matcher.quoteReplacement(bMapping.value.getOrElse(mm.matched, mm.matched))))
-
-    def remapCols(df: DataFrame, metaCols: Seq[String], cellCols: Seq[String] = Nil,
-        bareCellCols: Seq[String] = Nil): DataFrame = {
-      val afterMeta = metaCols.foldLeft(df)((d, c) => d.withColumn(c, remapUdf(col(c))))
-      val afterCells = cellCols.foldLeft(afterMeta)((d, c) => d.withColumn(c, remapCellUdf(col(c))))
-      bareCellCols.foldLeft(afterCells)((d, c) => d.withColumn(c, remapBareCellUdf(col(c))))
+    def remapCol(df: DataFrame, c: String): DataFrame = {
+      val tmp = c + "__to"
+      df.join(m.select($"from_meta".as(c), $"to_meta".as(tmp)), Seq(c), "left")
+        .withColumn(c, coalesce(col(tmp), col(c))).drop(tmp)
     }
+    def remapCols(df: DataFrame, cs: Seq[String]): DataFrame = cs.foldLeft(df)(remapCol)
 
-    // equalizer (J5/J6, curator.py:1402-1460 + finder retrieve_br_info):
-    // store values win for title/date/type/volume/issue/page; volume/issue
-    // and the venue come from the br's partOf chain (own seq for jv/ji,
-    // parent issue seq, parent/grandparent volume seq, first non-jv/ji
-    // titled container = venue).
+    // ---- Phase 4: final role sequences (store prefix ++ new) ------------
+    val storeIdsByOwner = store.entityIds.groupBy($"owner_meta")
+      .agg(sort_array(collect_set($"literal")).as("st_ids"))
+
+    val finalN = (c: Column) => tempN(c) // post-renumber metas parse the same way
+    val batchRolesFinal = remapCols(
+      fresh.roles.join(arAdopt.select($"from_meta".as("ar_meta")), Seq("ar_meta"), "left_anti"),
+      Seq("br_meta", "ar_meta", "ra_meta"))
+      .join(silencedKeys, Seq("br_meta", "role"), "left_anti")
+      .select($"br_meta", $"role", $"ar_meta", $"ra_meta",
+        lit(1).as("src"), finalN($"ar_meta").as("ord"))
+    val rolesW = Window.partitionBy($"br_meta", $"role").orderBy($"src", $"ord", $"ar_meta")
+    val finalRoles = storeSeqAll
+      .select($"br_meta", $"role", $"ar_meta", $"ra_meta", lit(0).as("src"), $"pos".as("ord"))
+      .unionByName(batchRolesFinal)
+      .withColumn("pos", row_number().over(rolesW).cast("long"))
+      .select($"br_meta", $"role", $"pos", $"ar_meta", $"ra_meta")
+      .localCheckpoint()
+
+    // RA display names: store title wins; given-name fill (name_check,
+    // curator.py:1016-1024 + 719-737) completes a family-only store name
+    // from the batch, for non-publisher roles.
+    val batchNames = remapCol(
+      fresh.raNames.withColumn("temp_n", tempN($"ra_meta")), "ra_meta")
+      .groupBy($"ra_meta")
+      .agg(min_by($"name", $"temp_n").as("b_name"),
+        min(when($"name".contains(",") &&
+          length(trim(expr("substring(name, instr(name, ',') + 1)"))) > 0,
+          struct($"temp_n", $"name"))).getField("name").as("b_name_given"))
+    val nonPubRa = finalRoles.filter($"role" =!= "publisher")
+      .select($"ra_meta").distinct().withColumn("name_fill_ok", lit(true))
+    val batchRaIdsByFinal = remapCol(
+      batchIdLiterals.filter($"owner_meta".startsWith("ra/")), "owner_meta")
+      .groupBy($"owner_meta").agg(sort_array(collect_set($"literal")).as("b_ids"))
+      .withColumnRenamed("owner_meta", "ra_meta")
+    val raDisplay = finalRoles.select($"ra_meta").distinct()
+      .join(store.raNames.select($"ra_meta", $"name".as("s_name")), Seq("ra_meta"), "left")
+      .join(batchNames, Seq("ra_meta"), "left")
+      .join(nonPubRa, Seq("ra_meta"), "left")
+      .join(storeIdsByOwner.select($"owner_meta".as("ra_meta"), $"st_ids"), Seq("ra_meta"), "left")
+      .join(batchRaIdsByFinal, Seq("ra_meta"), "left")
+      .withColumn("s_given",
+        when($"s_name".contains(","), trim(expr("substring(s_name, instr(s_name, ',') + 1)"))))
+      .withColumn("b_given",
+        when($"b_name_given".isNotNull, trim(expr("substring(b_name_given, instr(b_name_given, ',') + 1)"))))
+      .withColumn("name",
+        when(nonBlank($"s_name"),
+          when($"s_name".contains(",") && !nonBlank($"s_given") && $"b_given".isNotNull &&
+            coalesce($"name_fill_ok", lit(false)),
+            concat(substring_index($"s_name", ",", 1), lit(", "), $"b_given"))
+            .otherwise($"s_name"))
+          .otherwise(coalesce($"b_name", lit(""))))
+      .withColumn("ra_ids",
+        array_distinct(concat(coalesce($"st_ids", array()), coalesce($"b_ids", array()))))
+      .select($"ra_meta", $"name", $"ra_ids")
+      .localCheckpoint()
+
+    val roleElems = finalRoles.join(raDisplay, Seq("ra_meta"))
+      .withColumn("ids_omid", concat_ws(" ",
+        concat($"ra_ids", array(concat(lit("omid:"), $"ra_meta")))))
+      .withColumn("cell", when(nonBlank($"name"),
+        concat($"name", lit(" ["), $"ids_omid", lit("]")))
+        .otherwise(concat(lit("["), $"ids_omid", lit("]"))))
+    val roleCells = roleElems.groupBy($"br_meta", $"role").agg(
+      concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"cell"))),
+        x => x.getField("cell"))).as("role_cell"),
+      concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"ra_meta"))),
+        x => concat(x.getField("ar_meta"), lit(", "), x.getField("ra_meta")))).as("ar_pairs"))
+      .localCheckpoint()
+    def roleCellFor(role: String, key: String) = roleCells.filter($"role" === role)
+      .select($"br_meta".as(key), $"role_cell".as(role + "_cell2"))
+
+    // ---- equalizer inputs (J5/J6, curator.py:1402-1460) -----------------
     val storeFacts = store.entities.select($"meta".as("br_meta"),
       $"title".as("st_title"), $"date".as("st_date"), $"type_label".as("st_type"),
       lit(true).as("_adopted"))
     val storePages = store.pages.select($"br_meta", $"page".as("st_page"))
+    // volume/issue/venue from the br's store partOf chain (retrieve_br_
+    // info_from_meta): own seq for jv/ji rows, parent issue seq, parent/
+    // grandparent volume seq, first titled non-jv/ji container = venue.
     val stVvi = {
       def entAs(n: String) = store.entities.select($"meta".as(s"${n}_meta"),
         $"type_label".as(s"${n}_type"), $"title".as(s"${n}_title"), $"seq_id".as(s"${n}_seq"))
@@ -234,43 +412,53 @@ object StoreCurator {
           flatten(array(array(concat(lit("omid:"), $"meta")), coalesce($"st_venue_ids", array())))),
           lit("]")).as("st_venue_cell"))
 
-    // D6 silencer: for adopted BRs whose store graph ALREADY carries a
-    // sequence for a silenced role, the batch's agents are ignored and the
-    // store sequence is kept (curator.py:661-662 / creator.py:127-159).
-    // Store cells are rebuilt from the store role/name/id frames.
-    val storeRoleCells = store.roles
-      .join(store.raNames, Seq("ra_meta"), "left")
-      .join(store.entityIds.groupBy($"owner_meta".as("ra_meta"))
-        .agg(concat_ws(" ", sort_array(collect_list($"literal"))).as("ra_ids")), Seq("ra_meta"), "left")
-      .withColumn("agent_cell", concat(coalesce($"name", lit("")), lit(" ["),
-        concat_ws(" ", when(nonBlank($"ra_ids"), $"ra_ids"),
-          concat(lit("omid:"), $"ra_meta")), lit("]")))
-      .groupBy($"br_meta", $"role")
-      .agg(concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"agent_cell"))),
-        x => x.getField("agent_cell"))).as("st_cell"),
-        concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"ra_meta"))),
-          x => concat(x.getField("ar_meta"), lit(", "), x.getField("ra_meta")))).as("st_pairs"))
-    def silencedCell(role: String) =
-      if (!silencedRoles.contains(role)) Seq.empty
-      else Seq(storeRoleCells.filter($"role" === role)
-        .select($"br_meta", $"st_cell".as(s"st_${role}_cell")))
+    // ---- row assembly ---------------------------------------------------
+    val freshEntTitles = fresh.entities
+      .select($"meta".as("venue_meta"), $"title".as("b_vtitle"))
+    val rows0 = fresh.rows
+      .join(freshEntTitles, Seq("venue_meta"), "left")
+      .withColumn("batch_vids",
+        filter(split(regexp_extract($"venue", "\\[([^\\]]*)\\]", 1), "\\s+"),
+          t => !t.startsWith("omid:") && length(t) > 0))
+      .withColumn("batch_id_tokens",
+        filter(split($"id", "\\s+"), t => !t.startsWith("omid:") && length(t) > 0))
+    val rows1 = remapCols(rows0, Seq("br_meta", "re_meta", "ed_attach_meta", "venue_meta"))
+      // venue cell rebuilt from the resolved venue entity (enrich(),
+      // curator.py:995-1008): store title + store-id union when adopted.
+      .join(storeMetas.select($"meta".as("venue_meta"), lit(true).as("v_adopted")),
+        Seq("venue_meta"), "left")
+      .join(storeIdsByOwner.select($"owner_meta".as("venue_meta"), $"st_ids".as("v_st_ids")),
+        Seq("venue_meta"), "left")
+      .join(store.entities.select($"meta".as("venue_meta"), $"title".as("v_st_title")),
+        Seq("venue_meta"), "left")
+      .withColumn("v_name", when(nonBlank($"v_st_title"), $"v_st_title")
+        .otherwise(coalesce($"b_vtitle", lit(""))))
+      .withColumn("v_ids", array_distinct(concat(
+        coalesce($"v_st_ids", array().cast("array<string>")), $"batch_vids")))
+      .withColumn("v_ids_omid", when($"venue_meta".isNotNull,
+        concat($"v_ids", array(concat(lit("omid:"), $"venue_meta")))))
+      .withColumn("venue_resolved", when($"venue_meta".isNotNull,
+        when(nonBlank($"v_name"),
+          concat($"v_name", lit(" ["), concat_ws(" ", $"v_ids_omid"), lit("]")))
+          .otherwise(concat(lit("["), concat_ws(" ", $"v_ids_omid"), lit("]"))))
+        .otherwise(lit("")))
+      // id cell: adopted entity's store ids union the batch ids (enrich():
+      // row id = entity_store ids | omid)
+      .join(storeIdsByOwner.select($"owner_meta".as("br_meta"), $"st_ids".as("br_st_ids")),
+        Seq("br_meta"), "left")
+      .withColumn("id", concat_ws(" ", concat(
+        array_distinct(concat(coalesce($"br_st_ids", array().cast("array<string>")),
+          $"batch_id_tokens")),
+        array(concat(lit("omid:"), $"br_meta")))))
 
-    // Per-role store cells for the equalizer's fill-if-empty rule
-    // (curator.py:1419-1421: store agents only when the batch cell is
-    // empty — unlike pub_date/type/volume/issue where the store wins).
-    def roleFillCell(role: String) = storeRoleCells.filter($"role" === role)
-      .select($"br_meta", $"st_cell".as(s"st_fill_${role}"))
-
-    val rows2base = remapCols(fresh.rows,
-        Seq("br_meta", "re_meta"),
-        Seq("id", "author", "venue", "publisher", "editor"))
+    val rows2base = rows1
       .join(storeFacts, Seq("br_meta"), "left")
       .join(storePages, Seq("br_meta"), "left")
       .join(stVvi, Seq("br_meta"), "left")
       .join(storeVenueCells, Seq("st_venue_meta"), "left")
-      .join(roleFillCell("author"), Seq("br_meta"), "left")
-      .join(roleFillCell("publisher"), Seq("br_meta"), "left")
-      .join(roleFillCell("editor"), Seq("br_meta"), "left")
+      .join(roleCellFor("author", "br_meta"), Seq("br_meta"), "left")
+      .join(roleCellFor("publisher", "br_meta"), Seq("br_meta"), "left")
+      .join(roleCellFor("editor", "ed_attach_meta"), Seq("ed_attach_meta"), "left")
       .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
       // J6: adopted components propagate first-non-empty across their rows
       // (merge_duplicate_entities, curator.py:1384-1387) before store
@@ -284,110 +472,159 @@ object StoreCurator {
       .withColumn("issue", when(nonBlank($"st_issue"), $"st_issue")
         .otherwise(when($"_adopted", $"fne_issue").otherwise($"issue")))
       .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
-      // venue equalizer (curator.py:1422-1447): store venue replaces an
-      // empty batch venue outright; with a batch venue, shared ids merge
-      // (store name + sorted id union) and disjoint ids mean the store
-      // venue wins wholesale.
-      // The batch venue cell carries its own minted/remapped omid token;
-      // when the batch venue resolved to a different meta than the store
-      // venue, unioning it in would emit two omid: tokens — the reference
-      // merges on the pre-curation input venue ids and emits exactly one
-      // omid (curator.py:1422-1447), so strip omid tokens from the batch
-      // side and let the store venue's omid be the only one.
-      .withColumn("_batch_vids",
-        filter(split(regexp_extract($"venue", "\\[([^\\]]*)\\]", 1), "\\s+"),
-          t => !t.startsWith("omid:")))
-      .withColumn("_st_vids_omid",
-        when($"st_venue_meta".isNotNull, flatten(array(
-          array(concat(lit("omid:"), $"st_venue_meta")), $"st_venue_ids"))))
+      // venue equalizer (curator.py:1422-1447): store-chain venue replaces
+      // an empty batch venue outright; same venue or shared ids merge
+      // (store name + sorted id union); disjoint ids mean the store venue
+      // wins wholesale.
       .withColumn("venue", when(nonBlank($"st_venue_cell"),
-          when(!nonBlank($"venue"), $"st_venue_cell")
-            .otherwise(when(arrays_overlap($"_batch_vids", $"_st_vids_omid"),
-              concat($"st_venue_name", lit(" ["),
-                concat_ws(" ", sort_array(array_union($"_batch_vids", $"_st_vids_omid"))),
-                lit("]")))
-              .otherwise($"st_venue_cell")))
-        .otherwise($"venue"))
-      // agent cells: fill-if-empty from the store sequences
-      .withColumn("author", when(nonBlank($"author"), $"author")
-        .otherwise(coalesce($"st_fill_author", lit(""))))
-      .withColumn("publisher", when(nonBlank($"publisher"), $"publisher")
-        .otherwise(coalesce($"st_fill_publisher", lit(""))))
-      .withColumn("editor", when(nonBlank($"editor"), $"editor")
-        .otherwise(coalesce($"st_fill_editor", lit(""))))
-      .drop("st_title", "st_date", "st_type", "st_page", "st_volume", "st_issue",
-        "st_venue_meta", "st_venue_name", "st_venue_ids", "st_venue_cell",
-        "st_fill_author", "st_fill_publisher", "st_fill_editor",
-        "_adopted", "_batch_vids", "_st_vids_omid")
-    val rows2silenced = Seq("author", "publisher", "editor").foldLeft(rows2base) { (df, role) =>
-      silencedCell(role).foldLeft(df) { (d, cellDf) =>
-        d.join(cellDf, Seq("br_meta"), "left")
-          .withColumn(role, when(nonBlank(col(s"st_${role}_cell")), col(s"st_${role}_cell"))
-            .otherwise(col(role)))
-          .drop(s"st_${role}_cell")
-      }
-    }
+        when(!nonBlank($"venue_resolved"), $"st_venue_cell")
+          .when($"venue_meta" === $"st_venue_meta" ||
+            arrays_overlap($"batch_vids", coalesce($"st_venue_ids", array().cast("array<string>"))),
+            concat($"st_venue_name", lit(" ["),
+              concat_ws(" ", sort_array(array_union(
+                coalesce($"v_ids_omid", array().cast("array<string>")),
+                concat(coalesce($"st_venue_ids", array().cast("array<string>")),
+                  array(concat(lit("omid:"), $"st_venue_meta")))))),
+              lit("]")))
+          .otherwise($"st_venue_cell"))
+        .otherwise($"venue_resolved"))
+      // agent cells rebuilt from the final sequences (ra_update)
+      .withColumn("author", coalesce($"author_cell2", lit("")))
+      .withColumn("publisher", coalesce($"publisher_cell2", lit("")))
+      .withColumn("editor", coalesce($"editor_cell2", lit("")))
+
+    // store venues materialized through the equalizer feed the id indexes
+    // and the vvi subtree union below
+    val matVenuesEq = rows2base.filter($"st_venue_meta".isNotNull)
+      .select($"st_venue_meta".as("meta")).distinct()
+
+    val rows2pre = rows2base.drop(
+      "st_title", "st_date", "st_type", "st_page", "st_volume", "st_issue",
+      "st_venue_meta", "st_venue_name", "st_venue_ids", "st_venue_cell",
+      "_adopted", "author_cell2", "publisher_cell2", "editor_cell2",
+      "b_vtitle", "batch_vids", "batch_id_tokens", "v_adopted", "v_st_ids",
+      "v_st_title", "v_name", "v_ids", "v_ids_omid", "venue_resolved", "br_st_ids")
+
     // Distinct batch components can land on the SAME store entity (shared
     // ids through the store, or the merged-entity hop). The reference's
     // enrich() unions all ids per entity and its final `{id: row}` dedupe
     // keeps the last row's fields (curator.py:333) while the row keeps its
     // first position — reproduce that by grouping on the final br_meta.
     val rows2 = {
-      val cols = rows2silenced.columns
+      val cols = rows2pre.columns
       val others = cols.filterNot(c => c == "br_meta" || c == "id" || c == "first_row")
-      val aggs: Seq[org.apache.spark.sql.Column] =
+      val aggs: Seq[Column] =
         Seq(
           min($"first_row").as("first_row"),
           concat_ws(" ", array_distinct(flatten(transform(
             array_sort(collect_list(struct($"first_row".as("k"), split($"id", " ").as("v")))),
             x => x.getField("v"))))).as("id")) ++
-        others.map(c =>
-          max(struct($"first_row".as("_k"), col(c).as("_v"))).getField("_v").as(c))
-      val grouped = rows2silenced
-        .groupBy($"br_meta")
-        .agg(aggs.head, aggs.tail: _*)
-      grouped.select(cols.map(col): _*)
+          others.map(c =>
+            max(struct($"first_row".as("_k"), col(c).as("_v"))).getField("_v").as(c))
+      rows2pre.groupBy($"br_meta").agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col): _*)
     }
+
+    // ---- index tables ---------------------------------------------------
+    // id indexes: batch literals keep their (possibly store-adopted) id
+    // metas; materialized store entities contribute their store ids with
+    // STORE id metas (__update_id_count / retrieve_metaid_from_id).
+    val storeRaOwners = finalRoles.select($"ra_meta".as("owner_meta")).distinct()
+      .join(storeMetas.withColumnRenamed("meta", "owner_meta"), Seq("owner_meta"), "left_semi")
+    val storeBrOwners = adoptedStoreBrs.select($"br_meta".as("owner_meta"))
+      .unionByName(matVenuesEq.select($"meta".as("owner_meta")))
+      .distinct()
+    val idxBrStore = store.entityIds
+      .join(storeBrOwners, Seq("owner_meta"), "left_semi")
+      .select($"literal".as("id"), $"id_meta".as("meta"))
+    val idxRaStore = store.entityIds
+      .join(storeRaOwners, Seq("owner_meta"), "left_semi")
+      .select($"literal".as("id"), $"id_meta".as("meta"))
+    val indexIdBr2 = remapCol(fresh.indexIdBr, "meta").unionByName(idxBrStore)
+      .distinct().orderBy($"meta")
+    val indexIdRa2 = remapCol(fresh.indexIdRa, "meta").unionByName(idxRaStore)
+      .distinct().orderBy($"meta")
+
+    val arIndex2 = roleCells.groupBy($"br_meta".as("meta"))
+      .agg(max(when($"role" === "author", $"ar_pairs")).as("author"),
+        max(when($"role" === "editor", $"ar_pairs")).as("editor"),
+        max(when($"role" === "publisher", $"ar_pairs")).as("publisher"))
+      .select($"meta", coalesce($"author", lit("")).as("author"),
+        coalesce($"editor", lit("")).as("editor"),
+        coalesce($"publisher", lit("")).as("publisher"))
+      .orderBy($"meta")
+
+    val storeRe = store.pages.join(adoptedStoreBrs, Seq("br_meta"), "left_semi")
+    val reIndex2 = remapCols(fresh.reIndex, Seq("br", "re"))
+      .unionByName(storeRe.select($"br_meta".as("br"), $"re_meta".as("re")))
+      .distinct().orderBy($"br")
+    val pages2 = remapCols(fresh.pages, Seq("br_meta", "re_meta"))
+      .withColumn("psrc", lit(1))
+      .unionByName(storeRe.select($"br_meta", $"re_meta",
+        substring_index($"page", "-", 1).as("start_page"),
+        when($"page".contains("-"), substring_index($"page", "-", -1))
+          .otherwise($"page").as("end_page"))
+        .withColumn("psrc", lit(0)))
+      .groupBy($"br_meta")
+      .agg(min_by(struct($"re_meta", $"start_page", $"end_page"),
+        struct($"psrc", $"re_meta")).as("p"))
+      .select($"br_meta", $"p.re_meta".as("re_meta"),
+        $"p.start_page".as("start_page"), $"p.end_page".as("end_page"))
+
+    // vvi: remapped batch rows union the store subtrees of every
+    // materialized venue (retrieve_venue_from_local_graph loads the whole
+    // venue tree into self.vvi, curator.py:502-509)
+    val vviBatch = remapCols(fresh.vviIndex, Seq("venue_meta", "meta"))
+    val matVenuesAll = vviBatch.select($"venue_meta".as("meta")).distinct()
+      .join(storeMetas, Seq("meta"), "left_semi")
+      .unionByName(matVenuesEq).distinct()
+    val subtreeRows = storeSubtree
+      .join(matVenuesAll.select($"meta".as("venue_meta")), Seq("venue_meta"), "left_semi")
+      .select($"venue_meta", $"vol_seq", $"iss_seq", $"vvi_meta".as("meta"))
+    val vviIndex2 = vviBatch.unionByName(subtreeRows).distinct()
+      .orderBy($"venue_meta", $"vol_seq", $"iss_seq")
+
+    // ---- entity-level frames -------------------------------------------
+    val entities2 = remapCol(fresh.entities, "meta")
+      .join(storeFacts.select($"br_meta".as("meta"), $"st_title", $"st_date", $"st_type"),
+        Seq("meta"), "left")
+      .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
+      .withColumn("date", when(nonBlank($"st_date"), $"st_date").otherwise($"date"))
+      .withColumn("type_label", when(nonBlank($"st_type"), $"st_type").otherwise($"type_label"))
+      .drop("st_title", "st_date", "st_type")
 
     val batch2 = Curator.CuratedBatch(
       rows = rows2,
-      indexIdBr = remapCols(fresh.indexIdBr, Seq("meta")),
-      indexIdRa = remapCols(fresh.indexIdRa, Seq("meta")),
-      arIndex = remapCols(fresh.arIndex, Seq("meta"),
-        bareCellCols = Seq("author", "editor", "publisher")),
-      reIndex = remapCols(fresh.reIndex, Seq("br", "re")),
-      vviIndex = remapCols(fresh.vviIndex, Seq("venue_meta", "meta")),
-      entities = remapCols(fresh.entities, Seq("meta"))
-        .join(storeFacts.select($"br_meta".as("meta"), $"st_title", $"st_date", $"st_type"), Seq("meta"), "left")
-        .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
-        .withColumn("date", when(nonBlank($"st_date"), $"st_date").otherwise($"date"))
-        .withColumn("type_label", when(nonBlank($"st_type"), $"st_type").otherwise($"type_label"))
-        .drop("st_title", "st_date", "st_type"),
+      indexIdBr = indexIdBr2,
+      indexIdRa = indexIdRa2,
+      arIndex = arIndex2,
+      reIndex = reIndex2,
+      vviIndex = vviIndex2,
+      entities = entities2,
       entityIds = remapCols(fresh.entityIds, Seq("owner_meta", "id_meta")),
-      roles = {
-        val remapped = remapCols(fresh.roles, Seq("br_meta", "ar_meta", "ra_meta"))
-        if (silencedRoles.isEmpty) remapped
-        else {
-          // silenced (br, role) pairs with a store sequence use the store
-          // roles; the batch's roles for those pairs are dropped
-          val silencedKeys = store.roles
-            .filter($"role".isin(silencedRoles.toSeq: _*))
-            .select($"br_meta", $"role").distinct()
-          val kept = remapped.join(silencedKeys, Seq("br_meta", "role"), "left_anti")
-          val substituted = store.roles
-            .join(silencedKeys, Seq("br_meta", "role"), "left_semi")
-            .select($"br_meta", $"role", $"pos", $"ar_meta", $"ra_meta")
-          kept.unionByName(substituted)
-        }
-      },
-      raNames = remapCols(fresh.raNames, Seq("ra_meta")),
-      pages = remapCols(fresh.pages, Seq("br_meta", "re_meta")),
-      partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")))
+      roles = finalRoles,
+      raNames = raDisplay.select($"ra_meta", $"name"),
+      pages = pages2,
+      partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")),
+      explicitRefs = remapCol(fresh.explicitRefs, "owner_meta"))
 
-    val preexisting = adoptAll.select($"to_meta".as("meta")).distinct()
+    // D9 preexisting: every store entity re-surfacing in this batch —
+    // adopted entities plus the store structures materialized alongside
+    // them (role sequences, res, vvi subtrees, equalizer venues, id
+    // entities) — get_preexisting_entities, curator.py:872-903.
+    val preexisting = Seq(
+      adoptAll.select($"to_meta".as("meta")),
+      storeSeqAll.select($"ar_meta".as("meta")),
+      storeSeqAll.select($"ra_meta".as("meta")),
+      storeRe.select($"re_meta".as("meta")),
+      subtreeRows.select($"meta"),
+      matVenuesAll.select($"meta"),
+      idxBrStore.select($"meta"),
+      idxRaStore.select($"meta"))
+      .reduce(_ unionByName _).distinct()
 
     UpdateResult(batch2, preexisting)
   }
 
-  private def nonBlank(c: org.apache.spark.sql.Column) = c.isNotNull && length(c) > 0
+  private def nonBlank(c: Column) = c.isNotNull && length(c) > 0
 }

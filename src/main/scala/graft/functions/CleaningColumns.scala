@@ -82,4 +82,42 @@ object CleaningColumns {
       .when(length(cleanDate) === 7, lit("http://www.w3.org/2001/XMLSchema#gYearMonth"))
       .when(length(cleanDate) === 10, lit("http://www.w3.org/2001/XMLSchema#date"))
       .otherwise(lit(null))
+
+  /** E19 — full venue-type inference, the complete branch set of
+    * `creator.py:393-431` (`get_venue_type(br_type, venue_ids)`): a base
+    * type from the child BR's type, then — only when the venue carries at
+    * least one non-omid identifier — the scheme cross-check that demotes
+    * contradictory combinations to undecidable ("") or, for reference
+    * books, re-decides between reference book and journal. Pure codegen'd
+    * column logic (no UDF).
+    *
+    * @param brType the (cleaned) type of the row's BR
+    * @param venueIds the venue's id tokens (`scheme:value`, omid included)
+    */
+  def venueTypeCol(brType: Column, venueIds: Column): Column = {
+    val ids = coalesce(venueIds, array())
+    val schemes = array_distinct(transform(ids, i => substring_index(i, ":", 1)))
+    val hasExternal = exists(ids, i => !i.startsWith("omid:"))
+    val issn = array_contains(schemes, "issn")
+    val isbn = array_contains(schemes, "isbn")
+    val base =
+      when(brType.isin("journal article", "journal volume", "journal issue"), "journal")
+        .when(brType.isin("book chapter", "book part", "book section", "book track"), "book")
+        .when(brType.isin("book", "edited book", "monograph", "reference book"), "book series")
+        .when(brType === "proceedings article", "proceedings")
+        .when(brType.isin("proceedings", "report", "standard", "series"), "series")
+        .when(brType === "reference entry", "reference book")
+        .when(brType === "report series", "report series")
+        .otherwise("")
+    when(!hasExternal, base).otherwise(
+      when(base.isin("journal", "book series", "series", "report series"),
+        when(isbn || !issn, lit("")).otherwise(base))
+        .when(base.isin("book", "proceedings"),
+          when(issn || !isbn, lit("")).otherwise(base))
+        .when(base === "reference book",
+          when(issn && isbn, lit(""))
+            .when(issn && !isbn, lit("journal"))
+            .otherwise(lit("reference book")))
+        .otherwise(base))
+  }
 }

@@ -57,12 +57,14 @@ object Dedup {
     * signature arithmetic as [[simhash64]], expressed in DuckDB SQL so the
     * driver hash-compare gates the simhash path like every other query.
     * 64-bit wraparound multiply is emulated in HUGEINT by hi/lo 32-bit
-    * decomposition (DuckDB has no modular UBIGINT multiply); xor of the
-    * char only touches the low 7 bits so it is applied on `h % 128`.
+    * decomposition (DuckDB has no modular UBIGINT multiply); the char xor
+    * is applied on the full low 16 bits (`h % 65536`) to match the Scala
+    * side's UTF-16 `charAt` xor for every BMP code point, not just ASCII
+    * (DuckDB `ord` = code point = the code unit for BMP chars).
     * The oracle brute-forces all pairs — the pigeonhole block join on the
     * Spark side must find exactly the same Hamming<=3 set. */
   val q33Sql: String = {
-    val xh = "(h - (h % 128) + CAST(xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))"
+    val xh = "(h - (h % 65536) + CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))"
     val step = s"((($xh % 4294967296) * 1099511628211 + " +
       s"((($xh // 4294967296) * 1099511628211) % 4294967296) * 4294967296) " +
       "% 18446744073709551616)"

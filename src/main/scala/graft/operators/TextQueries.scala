@@ -178,26 +178,46 @@ object TextQueries {
 
   /** q19 — G6/J12: Levenshtein-scored candidate pairs within a blocking key
     * (brand), the reference's fuzzy-match join shape
-    * (`lib/bibliographic_matching.py:185-259`). */
+    * (`lib/bibliographic_matching.py:185-259`).
+    *
+    * Semantics are the ORIGINAL unblocked within-brand definition (every
+    * pair sharing a brand, edit distance <= 8) — a round-3 variant that
+    * additionally blocked on the first name letter was rolled back because
+    * it silently dropped cross-letter matches and made the oracle blind to
+    * the recall loss. The skew problem that motivated it (~25 brands caps
+    * parallelism at 25 and the biggest brand bounds wall time) is solved
+    * WITHOUT changing the result set by bucket-pair decomposition: each
+    * row is hashed into one of B buckets, every unordered bucket pair
+    * (i<=j) becomes a join key, and each row is replicated to the pair
+    * keys its bucket participates in. A brand's quadratic work then
+    * spreads over B*(B+1)/2 balanced tasks instead of one. Replication is
+    * O(B·n) rows shuffled — linear, tunable, and at 100 TB this is the
+    * standard exact self-join de-skew (same trick as a salted join, but
+    * loss-free for pair generation). The per-pair cost is additionally
+    * cut by the banded `levenshtein(l, r, threshold)` variant, which
+    * early-exits at distance > 8 instead of filling the full DP matrix.
+    */
   def q19Levenshtein(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Composite blocking key (brand × first name letter): p_brand alone has
-    // ~25 distinct values, which caps parallelism at 25 and grows blocks
-    // quadratically with SF; adding the first-token letter (the standard
-    // bibliographic blocking move) multiplies blocks ~8× and shrinks the
-    // candidate set ~8× with the usual blocking-recall tradeoff.
-    // NOTE: a |len(a)-len(b)|<=8 pre-filter was measured SLOWER here —
-    // TPC-H part names are length-uniform so it prunes nothing and adds
-    // per-pair work. Plain levenshtein + threshold filter wins.
-    val p1 = part(s, dir).select($"p_brand", substring($"p_name", 1, 1).as("blk"),
-      $"p_partkey".as("k1"), $"p_name".as("name1"))
-    val p2 = part(s, dir).select($"p_brand", substring($"p_name", 1, 1).as("blk"),
-      $"p_partkey".as("k2"), $"p_name".as("name2"))
-    p1.join(p2, Seq("p_brand", "blk"))
-      .filter($"k1" < $"k2")
-      .withColumn("dist", levenshtein($"name1", $"name2"))
-      .filter($"dist" <= 8)
-      .select($"p_brand", $"k1".cast("long").as("k1"), $"k2".cast("long").as("k2"),
+    val B = 8
+    val p = part(s, dir).select($"p_brand", $"p_partkey", $"p_name",
+      pmod(xxhash64($"p_partkey"), lit(B)).cast("int").as("bkt"))
+    // left side: bucket b serves pair keys (b, j) for j >= b
+    val lhs = p.withColumn("pk", explode(expr(s"transform(sequence(bkt, ${B - 1}), j -> bkt * $B + j)")))
+      .select($"p_brand", $"pk", $"bkt".as("b1"), $"p_partkey".as("k1"), $"p_name".as("name1"))
+    // right side: bucket b serves pair keys (i, b) for i <= b
+    val rhs = p.withColumn("pk", explode(expr(s"transform(sequence(0, bkt), i -> i * $B + bkt)")))
+      .select($"p_brand", $"pk", $"bkt".as("b2"), $"p_partkey".as("k2"), $"p_name".as("name2"))
+    lhs.join(rhs, Seq("p_brand", "pk"))
+      // same-bucket key sees both orientations -> keep k1<k2; a cross-bucket
+      // key sees each unordered pair exactly once -> keep both orientations
+      // and canonicalize below.
+      .filter(($"b1" =!= $"b2" && $"k1" =!= $"k2") || $"k1" < $"k2")
+      .withColumn("dist", levenshtein($"name1", $"name2", 8))
+      .filter($"dist" >= 0)
+      .select($"p_brand",
+        least($"k1", $"k2").cast("long").as("k1"),
+        greatest($"k1", $"k2").cast("long").as("k2"),
         $"dist".cast("long").as("dist"))
       .orderBy($"p_brand", $"k1", $"k2")
   }
@@ -205,8 +225,7 @@ object TextQueries {
   val q19Sql: String =
     """SELECT a.p_brand AS p_brand, CAST(a.p_partkey AS BIGINT) AS k1, CAST(b.p_partkey AS BIGINT) AS k2,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      |FROM part a JOIN part b ON a.p_brand = b.p_brand
-      |  AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1) AND a.p_partkey < b.p_partkey
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 8
       |ORDER BY p_brand, k1, k2""".stripMargin
 

@@ -74,6 +74,7 @@ object Vocab {
     "reference book" -> (Fabio + "ReferenceBook"),
     "reference entry" -> (Fabio + "ReferenceEntry"),
     "report" -> (Fabio + "ReportDocument"),
+    "report series" -> (Fabio + "ReportSeries"),
     "retraction notice" -> (Fabio + "RetractionNotice"),
     "series" -> (Fabio + "Series"),
     "standard" -> (Fabio + "SpecificationDocument"),

@@ -204,4 +204,66 @@ class CleaningSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, "\n" + failures.mkString("\n"))
   }
+
+  test("E19 venue-type inference: the full get_venue_type branch table (creator.py:393-431)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.col
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    // (br_type, venue ids, expected) — every base branch plus every
+    // scheme cross-check path of the reference's classmethod.
+    val cases: Seq[(String, Seq[String], String)] = Seq(
+      // no external id: base type survives untouched
+      ("journal article", Seq("omid:br/0601"), "journal"),
+      ("journal volume", Seq(), "journal"),
+      ("journal issue", Seq(), "journal"),
+      ("book chapter", Seq(), "book"),
+      ("book part", Seq(), "book"),
+      ("book section", Seq(), "book"),
+      ("book track", Seq(), "book"),
+      ("book", Seq(), "book series"),
+      ("edited book", Seq(), "book series"),
+      ("monograph", Seq(), "book series"),
+      ("reference book", Seq(), "book series"),
+      ("proceedings article", Seq(), "proceedings"),
+      ("proceedings", Seq(), "series"),
+      ("report", Seq(), "series"),
+      ("standard", Seq(), "series"),
+      ("series", Seq(), "series"),
+      ("reference entry", Seq(), "reference book"),
+      ("report series", Seq(), "report series"),
+      ("", Seq(), ""),
+      ("dataset", Seq(), ""),
+      ("data file", Seq(), ""),
+      ("web content", Seq(), ""),
+      // journal-family with external ids: issn confirms, isbn or no-issn demotes
+      ("journal article", Seq("issn:1234-5678"), "journal"),
+      ("journal article", Seq("isbn:9788895994", "issn:1234-5678"), ""),
+      ("journal article", Seq("doi:10.1/x"), ""),
+      ("book", Seq("issn:1234-5678"), ""),
+      ("report series", Seq("issn:1234-5678"), "report series"),
+      ("report series", Seq("isbn:9788895994"), ""),
+      // book-family: isbn confirms, issn or no-isbn demotes
+      ("book chapter", Seq("isbn:9788895994"), "book"),
+      ("book chapter", Seq("issn:1234-5678", "isbn:9788895994"), ""),
+      ("book chapter", Seq("doi:10.1/x"), ""),
+      ("proceedings article", Seq("isbn:9788895994"), "proceedings"),
+      ("proceedings article", Seq("issn:1234-5678"), ""),
+      // reference book: the three-way re-decision
+      ("reference entry", Seq("isbn:9788895994"), "reference book"),
+      ("reference entry", Seq("issn:1234-5678"), "journal"),
+      ("reference entry", Seq("issn:1234-5678", "isbn:9788895994"), ""),
+      ("reference entry", Seq("doi:10.1/x"), "reference book"),
+    )
+    val got = cases.toDF("br_type", "ids", "want")
+      .withColumn("got", graft.functions.CleaningColumns.venueTypeCol(col("br_type"), col("ids")))
+      .as[(String, Seq[String], String, String)].collect()
+    val failures = got.filter { case (_, _, want, g) => g != want }
+      .map { case (t, ids, want, g) => s"($t, $ids): got '$g' want '$want'" }
+    assert(failures.isEmpty, "\n" + failures.mkString("\n"))
+  }
 }

@@ -230,34 +230,34 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(seededStore.entities.filter($"meta" === "br/060101").count() == 1)
   }
 
-  ignore("testcase 13.1: meta-specified br + wannabe chain") {
+  test("testcase 13.1: meta-specified br + wannabe chain") {
     runStoreTestcase("13.1", manualData.slice(53, 56))
   }
-  ignore("testcase 13.2: conflict with META precedence") {
+  test("testcase 13.2: conflict with META precedence") {
     runStoreTestcase("13.2", manualData.slice(56, 57))
   }
-  ignore("testcase 14.1: update existing sequence (surname+name match)") {
+  test("testcase 14.1: update existing sequence (surname+name match)") {
     runStoreTestcase("14.1", manualData.slice(58, 59))
   }
-  ignore("testcase 14.2: same sequence different order, new ids") {
+  test("testcase 14.2: same sequence different order, new ids") {
     runStoreTestcase("14.2", manualData.slice(59, 60))
   }
-  ignore("testcase 14.3: author with two different ids") {
+  test("testcase 14.3: author with two different ids") {
     runStoreTestcase("14.3", manualData.slice(60, 61))
   }
-  ignore("testcase 15.1: venue volume issue already in ts") {
+  test("testcase 15.1: venue volume issue already in ts") {
     runStoreTestcase("15.1", manualData.slice(64, 65))
   }
-  ignore("testcase 15.2: venue conflict") {
+  test("testcase 15.2: venue conflict") {
     runStoreTestcase("15.2", manualData.slice(65, 66))
   }
   test("testcase 16.1: wrong date 2019-02-29") {
     runStoreTestcase("16.1", manualData.slice(75, 76))
   }
-  ignore("testcase 16.2: existing re") {
+  test("testcase 16.2: existing re") {
     runStoreTestcase("16.2", manualData.slice(76, 77))
   }
-  ignore("testcase 16.3: given name fills family-only RA in ts") {
+  test("testcase 16.3: given name fills family-only RA in ts") {
     runStoreTestcase("16.3", manualData.slice(77, 78))
   }
 }

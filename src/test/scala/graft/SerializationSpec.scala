@@ -87,8 +87,11 @@ class SerializationSpec extends AnyFunSuite {
   test("golden: update against the reference's triplestore seed adopts its entities") {
     import spark.implicits._
     // D2(5) single-match adoption: doi:10.1234/test belongs to br/0601 in
-    // the seed graph; D2(3) conflict: doi:10.1234/duplicate is attached to
-    // BOTH br/0602 and br/0603 -> a row carrying it must NOT adopt either.
+    // the seed graph. doi:10.1234/duplicate is attached to BOTH br/0602
+    // and br/0603 -> id_worker keeps the FIRST match and unions the ids
+    // (curator.py:1270-1297; the conflict branch is commented out there,
+    // and curator_test.py testcase 13.3 accepts either pick) — here the
+    // deterministic first pick is the lowest store meta, br/0602.
     val seed = Serialization.readNTriples(spark,
       "/root/reference/test/testcases/ts/synthetic_data.nt")
     val store = graft.rdf.StoreViews.fromTriples(seed, "060")
@@ -100,8 +103,8 @@ class SerializationSpec extends AnyFunSuite {
     val rows = upd.batch.rows.orderBy("first_row").collect()
     assert(rows(0).getAs[String]("br_meta") == "br/0601")
     val conflicted = rows(1).getAs[String]("br_meta")
-    assert(conflicted != "br/0602" && conflicted != "br/0603",
-      s"conflicting id must not adopt a store entity, got $conflicted")
+    assert(conflicted == "br/0602",
+      s"shared id must adopt the first store match, got $conflicted")
     assert(upd.preexisting.as[String].collect().toSet.contains("br/0601"))
   }
 }

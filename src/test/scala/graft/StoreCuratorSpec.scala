@@ -182,9 +182,13 @@ class StoreCuratorSpec extends AnyFunSuite {
     import spark.implicits._
     val pre = update.preexisting.as[String].collect().toSet
     assert(pre.contains("br/0601"))
-    // orcid author of the new row is new; Ushakov (no ids) is NOT adopted
-    // cross-batch (name matching is per-BR-sequence, and the store
-    // sequence name match requires the same BR) — documented semantics
-    assert(pre.forall(m => !m.startsWith("ar/")))
+    // Ushakov (no ids) on the ADOPTED br/0601 name-matches the store's
+    // AR sequence (clean_ra, curator.py:697-703): the store (ar, ra) pair
+    // is reused, so both are preexisting; the orcid author of the new row
+    // stays new.
+    assert(pre.contains("ra/0601") && pre.contains("ar/0601"))
+    val newRoles = update.batch.roles.filter($"br_meta" === "br/0601" && $"role" === "author").collect()
+    assert(newRoles.length == 1 && newRoles.head.getAs[String]("ra_meta") == "ra/0601",
+      "matched batch author must reuse the store sequence element, not mint a new AR")
   }
 }
