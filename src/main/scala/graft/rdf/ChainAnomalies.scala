@@ -107,7 +107,8 @@ object ChainAnomalies {
           lit(" ARs have no incoming hasNext (disconnected fragments)")).as("details"))
 
     val cycles = arGroups(triples).groupByKey(g => (g.br, g.role))
-      .flatMapGroups { case ((br, role), it) =>
+      .flatMapGroups { (key: (String, String), it: Iterator[ArInfo]) =>
+        val (br, role) = key
         val ars = it.toSeq
         detectCycles(ars).map { cycle =>
           val ids = cycle.map(u => u.substring(u.lastIndexOf('/') + 1))
@@ -173,7 +174,8 @@ object ChainAnomalies {
     val spark = triples.sparkSession
     import spark.implicits._
     arGroups(triples).groupByKey(g => (g.br, g.role))
-      .flatMapGroups { case ((br, role), it) =>
+      .flatMapGroups { (key: (String, String), it: Iterator[ArInfo]) =>
+        val (br, role) = key
         val ars = it.toSeq
         val inGroup = ars.map(_.ar).toSet
         val next: Map[String, Seq[String]] = ars.iterator
