@@ -44,15 +44,19 @@ class ChainAnomaliesSpec extends AnyFunSuite {
     val a = ChainAnomalies.anomalies(corrupted).localCheckpoint()
     val byType = a.groupBy($"anomaly_type").count().as[(String, Long)].collect().toMap
     assert(byType == Map(
+      // no_start_node is 2: the reference counts self-loop targets in
+      // referenced_ars (hasnext_anomalies.py:177-186), so the self-loop
+      // group (24->24, 24->25) is also fully-circular — no unreferenced member.
       "self_loop" -> 1L, "multiple_has_next" -> 1L, "dangling_has_next" -> 1L,
-      "no_start_node" -> 1L, "cycle" -> 1L, "multiple_start_nodes" -> 1L))
+      "no_start_node" -> 2L, "cycle" -> 1L, "multiple_start_nodes" -> 1L))
     assert(a.filter($"br" === br(1)).isEmpty, "healthy chain is clean")
-    assert(a.filter($"anomaly_type" === "self_loop").head().getAs[Seq[String]]("ars_involved") == Seq(ar(24)))
+    val selfLoop = a.filter($"anomaly_type" === "self_loop").head()
+    assert(selfLoop.getSeq[String](selfLoop.fieldIndex("ars_involved")) == Seq(ar(24)))
     val cycle = a.filter($"anomaly_type" === "cycle").head()
-    assert(cycle.getAs[Seq[String]]("ars_involved").toSet == Set(ar(36), ar(37), ar(38)))
+    assert(cycle.getSeq[String](cycle.fieldIndex("ars_involved")).toSet == Set(ar(36), ar(37), ar(38)))
     assert(cycle.getAs[String]("details").contains("3-node cycle"))
     val frag = a.filter($"anomaly_type" === "multiple_start_nodes").head()
-    assert(frag.getAs[Seq[String]]("ars_involved").toSet == Set(ar(49), ar(411)))
+    assert(frag.getSeq[String](frag.fieldIndex("ars_involved")).toSet == Set(ar(49), ar(411)))
   }
 
   test("repair plan: longest chain, lowest start id, leftovers in omid order") {

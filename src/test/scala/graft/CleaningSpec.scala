@@ -244,7 +244,7 @@ class CleaningSpec extends AnyFunSuite {
       ("journal article", Seq("issn:1234-5678"), "journal"),
       ("journal article", Seq("isbn:9788895994", "issn:1234-5678"), ""),
       ("journal article", Seq("doi:10.1/x"), ""),
-      ("book", Seq("issn:1234-5678"), ""),
+      ("book", Seq("issn:1234-5678"), "book series"),
       ("report series", Seq("issn:1234-5678"), "report series"),
       ("report series", Seq("isbn:9788895994"), ""),
       // book-family: isbn confirms, issn or no-isbn demotes

@@ -44,7 +44,7 @@ class EditorSpec extends AnyFunSuite {
     assert(snaps.length == 2)
     assert(snaps(0).getAs[String]("invalidated_at") == T1)
     assert(snaps(1).getAs[String]("description") == "Entity modified")
-    assert(snaps(1).getAs[Seq[String]]("derived_from") == Seq(uri(meta) + "/prov/se/1"))
+    assert(snaps(1).getSeq[String](snaps(1).fieldIndex("derived_from")) == Seq(uri(meta) + "/prov/se/1"))
     // untouched entities keep exactly one open snapshot and no extra rows
     assert(r.prov.count() == prov.count() + 1)
     // idempotent update (same value again) is a no-op: empty delta
