@@ -39,6 +39,7 @@ object SparkEntry {
     "q19_levenshtein" -> (TQ.q19Levenshtein _),
     "q20_first_nonempty" -> (TQ.q20FirstNonEmpty _),
     "q21_match_score" -> (TQ.q21MatchScore _),
+    "q22_lsh_match_score" -> (TQ.q22LshMatchScore _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q32_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q19_levenshtein" -> TQ.q19Sql,
     "q20_first_nonempty" -> TQ.q20Sql,
     "q21_match_score" -> TQ.q21Sql,
+    "q22_lsh_match_score" -> TQ.q22Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,

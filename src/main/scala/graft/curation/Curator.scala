@@ -180,6 +180,18 @@ object Curator {
       .drop("venue_cc")
       .localCheckpoint()
 
+    // Sequence-impl dispatch for the whole batch: ONE cheap count on the
+    // checkpointed rows frame decides lazy-window vs distributed
+    // zipWithIndex for every sequence below, so corpus-scale batches never
+    // funnel through a single unpartitioned-window task while small
+    // batches keep the lazy plan (an eager count per sequence doubled
+    // fresh-load wall time at small n).
+    val batchSeq: (DataFrame, Seq[Column], String, Long) => DataFrame =
+      if (rows.count() <= Sequencing.LazyWindowMaxRows)
+        (df, cols, name, off) => Sequencing.globalSequence(df, cols, name, off)
+      else
+        (df, cols, name, off) => Sequencing.globalSequenceDistributed(df, cols, name, off)
+
     // ---- VVI entities (D4) ----------------------------------------------
     // volume/issue sequence entities per venue; journal volume/issue rows
     // are themselves the entity.
@@ -218,8 +230,8 @@ object Curator {
       .select(struct($"venue_ent", $"vol_seq", $"iss_seq").as("ik"), $"first_row")
 
     val brEnts = rowComps.unionByName(newVenues)
-    val brNumbered = Sequencing.globalSequence(brEnts,
-      Seq($"phase", $"k1", $"k2"), "pre_n").select($"ent", $"pre_n", $"phase", $"k1", $"k2")
+    val brNumbered = batchSeq(brEnts,
+      Seq($"phase", $"k1", $"k2"), "pre_n", 0L).select($"ent", $"pre_n", $"phase", $"k1", $"k2")
     // volumes/issues interleave with venues in phase 1 by (first_row, slot):
     // renumber all BR-kind entities together for final ids.
     val volKeyed = newVols.select(lit(null).cast("long").as("ent"), $"vk",
@@ -232,7 +244,7 @@ object Curator {
       .select($"ent", lit(null).cast(newVols.schema("vk").dataType).as("vk"),
         lit(null).cast(newIss.schema("ik").dataType).as("ik"), $"phase", $"k1", $"k2")
       .unionByName(volKeyed).unionByName(issKeyed)
-    val allBrNumbered = Sequencing.globalSequence(allBrEnts,
+    val allBrNumbered = batchSeq(allBrEnts,
       Seq($"phase", $"k1", $"k2"), "br_n", numberOffset).localCheckpoint()
 
     def brOmid(n: Column): Column = concat(lit("br/" + prefix), n)
@@ -261,8 +273,8 @@ object Curator {
           $"agent._1".as("name"), $"agent._2".as("ids"), $"agent._3".as("ref"))
     }
     val mentions0 = roleFrames.reduce(_ unionByName _)
-    val mentions = Sequencing.globalSequence(mentions0,
-      Seq($"row_idx", $"slot", $"pos"), "seq").localCheckpoint()
+    val mentions = batchSeq(mentions0,
+      Seq($"row_idx", $"slot", $"pos"), "seq", 0L).localCheckpoint()
 
     val raIdCc = ConnectedComponents.byShardKey(
       mentions.filter(size($"ids") > 0).select($"seq".as("entity"), explode($"ids").as("key")))
@@ -286,7 +298,7 @@ object Curator {
 
     // RA numbering by first appearance (min seq of component).
     val raEnts = resolved.groupBy($"ra_comp").agg(min($"seq").as("first_seq"))
-    val raNumbered = Sequencing.globalSequence(raEnts, Seq($"first_seq"), "ra_n", numberOffset)
+    val raNumbered = batchSeq(raEnts, Seq($"first_seq"), "ra_n", numberOffset)
       .select($"ra_comp", concat(lit("ra/" + prefix), $"ra_n").as("ra_meta"))
 
     // RA display name: first mention's name, given-name-enriched (E15).
@@ -303,7 +315,7 @@ object Curator {
     // AR entities: one per (attach, role, ra_comp), numbered by first seq.
     val arEnts = resolved.groupBy($"attach", $"role", $"ra_comp")
       .agg(min($"seq").as("first_seq"))
-    val arNumbered = Sequencing.globalSequence(arEnts, Seq($"first_seq"), "ar_n", numberOffset)
+    val arNumbered = batchSeq(arEnts, Seq($"first_seq"), "ar_n", numberOffset)
       .withColumn("ar_meta", concat(lit("ar/" + prefix), $"ar_n"))
       .localCheckpoint()
 
@@ -320,7 +332,7 @@ object Curator {
       min(struct($"phase", $"row_idx", $"slot", $"p0", $"p1")).as("fk"),
       max(when($"kind" === "br", 1).otherwise(0)).as("is_br"),
       max(when($"kind" === "ra", 1).otherwise(0)).as("is_ra"))
-    val idNumbered = Sequencing.globalSequence(idFirst, Seq($"fk"), "id_n", numberOffset)
+    val idNumbered = batchSeq(idFirst, Seq($"fk"), "id_n", numberOffset)
       .withColumn("id_meta", concat(lit("id/" + prefix), $"id_n"))
       .localCheckpoint()
 
@@ -328,7 +340,7 @@ object Curator {
     val reEnts = rows.filter(nonBlank($"page_n"))
       .groupBy($"br_comp").agg(min($"row_idx").as("first_row"),
         min_by($"page_n", $"row_idx").as("page"))
-    val reNumbered = Sequencing.globalSequence(reEnts, Seq($"first_row"), "re_n", numberOffset)
+    val reNumbered = batchSeq(reEnts, Seq($"first_row"), "re_n", numberOffset)
       .withColumn("re_meta", concat(lit("re/" + prefix), $"re_n"))
 
     // ---- P5': output assembly -------------------------------------------

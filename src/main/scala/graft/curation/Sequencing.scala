@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Sequencing {
 
+  /** Batch-size bound under which the lazy single-task window variant is
+    * safe: a window sort of this many rows is milliseconds on one task,
+    * and per-batch frames (rows, mentions, entities) stay within a small
+    * constant factor of the input row count. */
+  val LazyWindowMaxRows: Long = 200000L
+
   /** Appends `indexName` = offset + dense 1-based position of each row in
     * the total order defined by `sortCols` (must be a total order — add a
     * tiebreaker column if needed).

@@ -146,8 +146,9 @@ object Dedup {
   }
 
   /** Exact Jaccard for candidate pairs via two joins against the shingle
-    * sets; used as the verify stage by both the exact and LSH paths. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    * sets; used as the verify stage by both the exact and LSH paths (and
+    * by TextQueries.q22's LSH-fronted bibliographic match). */
+  private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     import cand.sparkSession.implicits._
     cand
       .join(sets.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
@@ -194,8 +195,27 @@ object Dedup {
     * pairs — O(docs*bands) rows — instead of the full shingle explosion. */
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
-    import s.implicits._
     val sets = shingleSets(s, dir, n).cache()
+    jaccardVerify(lshCandidatePairs(sets, bands, rows), sets, threshold)
+  }
+
+  /** Banded-MinHash candidate pairs from a (doc_id, sh) shingle frame:
+    * signature of bands*rows permutations, one bucket hash per band
+    * (xxhash64 of the band's row slice, salted by the band index), then
+    * a SHUFFLE-HASH self-equi-join on (band, bucket). Two measured
+    * plan choices (sf0.1, local[32], from a materialized band table):
+    * shuffle-hash 4.3 s vs sort-merge 15.9 s (sorting 2x docs*bands rows
+    * dominates) vs groupBy + in-bucket pair expansion 10.2 s (the
+    * higher-order-function lambdas are interpreted, not codegen'd) — so
+    * the band table is checkpointed once (it is O(docs * bands) narrow
+    * rows, and feeding both join sides from it stops the signature
+    * subtree from being computed twice) and joined with the
+    * shuffle_hash hint. Detection probability for a pair with Jaccard J
+    * is 1-(1-J^rows)^bands; shuffle volume is O(docs * bands) rows
+    * regardless of corpus size. Shared by the document-dedup path (q32)
+    * and the LSH-fronted bibliographic match (q22). */
+  private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
+    import sets.sparkSession.implicits._
     // materialize base hashes, then signature — two narrow projections
     val sig = sets.select($"doc_id", shingleBaseHashes($"sh").as("hs"))
       .localCheckpoint()
@@ -203,11 +223,11 @@ object Dedup {
     val banded = sig.select($"doc_id", posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
-    val cand = banded.as("a").join(banded.as("b"),
+      .localCheckpoint()
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    jaccardVerify(cand, sets, threshold)
   }
 
   /** 64-bit SimHash of the token multiset. Single pass per document

@@ -229,15 +229,13 @@ object TextQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 8
       |ORDER BY p_brand, k1, k2""".stripMargin
 
-  /** q21 — G6: the reference's full weighted matching score
-    * (`compute_matching_score`, bibliographic_matching.py:185-259) over
-    * brand-blocked part pairs. The part columns stand in for the
-    * bibliographic metadata dict (family/given/title/venue/issn/year/
-    * volume/issue/pages); the arithmetic is the exact 7/14/5/14 weighted
-    * formula, threshold = the reference's MATCHING_THRESHOLD (25.0). */
-  def q21MatchScore(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic bibliographic-metadata frame shared by q21/q22: part
+    * columns stand in for the reference's metadata dict (family/given/
+    * title/venue/issn/year/volume/issue/pages,
+    * `lib/bibliographic_matching.py:167-178`). */
+  private def biblioMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = part(s, dir).select(
+    part(s, dir).select(
       $"p_partkey", $"p_brand", substring($"p_name", 1, 1).as("blk"),
       lower($"p_type").as("family"), $"p_type".as("given"),
       lower($"p_name").as("title"), reverse(lower($"p_name")).as("venue"),
@@ -247,6 +245,17 @@ object TextQueries {
       ($"p_partkey" % 5).cast("string").as("issue"),
       ($"p_size" * 10).cast("string").as("start_page"),
       ($"p_size" * 10 + $"p_partkey" % 3).cast("string").as("end_page"))
+  }
+
+  /** q21 — G6: the reference's full weighted matching score
+    * (`compute_matching_score`, bibliographic_matching.py:185-259) over
+    * brand-blocked part pairs. The part columns stand in for the
+    * bibliographic metadata dict (family/given/title/venue/issn/year/
+    * volume/issue/pages); the arithmetic is the exact 7/14/5/14 weighted
+    * formula, threshold = the reference's MATCHING_THRESHOLD (25.0). */
+  def q21MatchScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = biblioMeta(s, dir)
     val blockCols = Seq("p_brand", "blk")
     def side(n: String) = m.select(blockCols.map(col) ++ m.columns
       .filterNot(blockCols.contains).map(c => col(c).as(s"${c}_$n")): _*)
@@ -264,9 +273,9 @@ object TextQueries {
       .orderBy($"k1", $"k2")
   }
 
-  val q21Sql: String =
-    """WITH m AS (
-      |  SELECT p_partkey, p_brand, substr(p_name, 1, 1) AS blk,
+  /** DuckDB mirror of [[biblioMeta]] (the shared m CTE body). */
+  private val metaSqlCte: String =
+    """SELECT p_partkey, p_brand, substr(p_name, 1, 1) AS blk,
       |    lower(p_type) AS family, p_type AS given, lower(p_name) AS title,
       |    reverse(lower(p_name)) AS venue,
       |    CASE WHEN p_size % 3 = 0 THEN p_type ELSE '' END AS issn,
@@ -275,10 +284,13 @@ object TextQueries {
       |    CAST(p_partkey % 5 AS VARCHAR) AS issue,
       |    CAST(p_size * 10 AS VARCHAR) AS start_page,
       |    CAST(p_size * 10 + p_partkey % 3 AS VARCHAR) AS end_page
-      |  FROM part
-      |), sc AS (
-      |  SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-      |    7 * (CASE WHEN len(a.family)=0 OR len(b.family)=0 THEN 0.0
+      |  FROM part""".stripMargin
+
+  /** DuckDB mirror of [[graft.functions.BiblioMatch.matchingScore]] over
+    * row aliases a/b, in the same association order so both engines
+    * produce bit-identical IEEE 754 doubles. */
+  private val scoreSqlExpr: String =
+    """7 * (CASE WHEN len(a.family)=0 OR len(b.family)=0 THEN 0.0
       |         ELSE 0.8 * (1.0 - CAST(levenshtein(a.family,b.family) AS DOUBLE)/CAST(greatest(len(a.family),len(b.family)) AS DOUBLE))
       |              + (CASE WHEN len(a.given)>0 AND len(b.given)>0 AND lower(substr(a.given,1,1))=lower(substr(b.given,1,1)) THEN 0.2 ELSE 0.0 END) END)
       |    + 14 * (CASE WHEN len(a.title)=0 OR len(b.title)=0 THEN 0.0
@@ -290,11 +302,95 @@ object TextQueries {
       |          + (CASE WHEN len(a.volume)>0 AND len(b.volume)>0 AND a.volume=b.volume THEN 0.2 ELSE 0.0 END)
       |          + (CASE WHEN len(a.issue)>0 AND len(b.issue)>0 AND a.issue=b.issue THEN 0.1 ELSE 0.0 END)
       |          + (CASE WHEN len(a.start_page)>0 AND len(b.start_page)>0 AND a.start_page=b.start_page THEN 0.3 ELSE 0.0 END)
-      |          + (CASE WHEN len(a.end_page)>0 AND len(b.end_page)>0 AND a.end_page=b.end_page THEN 0.3 ELSE 0.0 END)) AS score
-      |  FROM m a JOIN m b ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey < b.p_partkey
-      |)
-      |SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, score
-      |FROM sc WHERE score >= 25.0 ORDER BY k1, k2""".stripMargin
+      |          + (CASE WHEN len(a.end_page)>0 AND len(b.end_page)>0 AND a.end_page=b.end_page THEN 0.3 ELSE 0.0 END))""".stripMargin
+
+  val q21Sql: String =
+    "WITH m AS (\n  " + metaSqlCte + "\n), sc AS (\n" +
+      "  SELECT a.p_partkey AS k1, b.p_partkey AS k2,\n    " + scoreSqlExpr + " AS score\n" +
+      "  FROM m a JOIN m b ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey < b.p_partkey\n" +
+      ")\nSELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, score\n" +
+      "FROM sc WHERE score >= 25.0 ORDER BY k1, k2"
+
+  /** q22 — the PRODUCTION-shaped fuzzy-match pipeline (the round-3/4 plan
+    * item): MinHash-LSH candidate generation fronting the full weighted
+    * matching score, replacing q19/q21's quadratic-per-block self-joins
+    * with a shuffle-bounded candidate stage.
+    *
+    * Semantics (both conditions are part of the query definition, so the
+    * exact DuckDB oracle — whose shared-shingle candidate join has perfect
+    * recall for any pair with J > 0 — proves the LSH path loses nothing at
+    * this SF; the same trick that gates q32 against q31): a pair qualifies
+    * iff
+    *   - Jaccard of word-bigram shingles of the field-tagged metadata
+    *     record string >= 0.5, and
+    *   - the weighted matching score >= 25 (the reference's
+    *     MATCHING_THRESHOLD, lib/bibliographic_matching.py:40,185-259).
+    * Bigrams rather than unigrams kill incidental single-token overlap
+    * (shared year/volume tokens across unrelated records), and the
+    * y/v/i/sp/ep field tags keep equal values in different fields from
+    * colliding. bands=128, rows=3 puts the LSH knee at the 0.5 threshold:
+    * miss probability per qualifying pair is (1-0.5^3)^128 ~ 4e-8 (fixed
+    * hash seeds make each dataset deterministic — verified at sf0.01 and
+    * sf0.1), while a J=0.1 background pair is generated with probability
+    * ~0.12, so candidates stay near the qualifying set instead of O(n^2).
+    * At 100 TB this is the fuzzy-match production path: O(docs * bands)
+    * candidate shuffle, verify cost proportional to candidates, no
+    * blocking-key skew — the answer to q19/q21's within-block quadratic
+    * cost. */
+  def q22LshMatchScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = biblioMeta(s, dir).cache()
+    val record = concat_ws(" ", $"title", $"family", $"given", $"issn",
+      concat(lit("y"), $"year"), concat(lit("v"), $"volume"),
+      concat(lit("i"), $"issue"), concat(lit("sp"), $"start_page"),
+      concat(lit("ep"), $"end_page"))
+    val sets = m.select($"p_partkey".cast("long").as("doc_id"),
+        Dedup.shingles(record, 2).as("sh"))
+      .filter(size($"sh") > 0)
+      .cache()
+    val cand = Dedup.lshCandidatePairs(sets, bands = 128, rows = 3)
+    val pairs = Dedup.jaccardVerify(cand, sets, 0.5)
+    def side(n: String) = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
+    pairs
+      .join(side("a"), $"d1" === $"p_partkey_a")
+      .join(side("b"), $"d2" === $"p_partkey_b")
+      .withColumn("score", graft.functions.BiblioMatch.matchingScore(
+        $"family_a", $"family_b", $"given_a", $"given_b",
+        $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
+        $"year_a", $"year_b", $"volume_a", $"volume_b",
+        $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
+        $"end_page_a", $"end_page_b"))
+      .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
+      .select($"d1".cast("long").as("k1"), $"d2".cast("long").as("k2"),
+        $"jac", $"score")
+      .orderBy($"k1", $"k2")
+  }
+
+  val q22Sql: String =
+    "WITH m AS (\n  " + metaSqlCte + "\n" +
+      """), toks AS (
+        |  SELECT p_partkey, list_filter(string_split(concat_ws(' ', title, family, given, issn,
+        |    'y'||year, 'v'||volume, 'i'||issue, 'sp'||start_page, 'ep'||end_page), ' '), t -> len(t) > 0) AS t
+        |  FROM m
+        |), sh AS (
+        |  SELECT p_partkey, list_distinct([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), ex AS (
+        |  SELECT p_partkey, unnest(s) AS sg FROM sh
+        |), cand AS (
+        |  SELECT DISTINCT x.p_partkey AS k1, y.p_partkey AS k2
+        |  FROM ex x JOIN ex y ON x.sg = y.sg AND x.p_partkey < y.p_partkey
+        |), j AS (
+        |  SELECT k1, k2, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) AS jac
+        |  FROM cand JOIN sh x ON x.p_partkey = k1 JOIN sh y ON y.p_partkey = k2
+        |), sc AS (
+        |  SELECT j.k1, j.k2, j.jac,
+        |    """.stripMargin + scoreSqlExpr + """ AS score
+        |  FROM j JOIN m a ON a.p_partkey = j.k1 JOIN m b ON b.p_partkey = j.k2
+        |  WHERE j.jac >= 0.5
+        |)
+        |SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, round(jac, 6) AS jac, score
+        |FROM sc WHERE score >= 25.0 ORDER BY k1, k2""".stripMargin
 
   /** q20 — J6/G3: first-non-empty propagation per entity (curator.py
     * 1370-1386): earliest non-empty props value per user. */

@@ -166,4 +166,159 @@ object Checkers {
       openSnapshotInvariant(prov),
       invalidDatatypes(triples),
     ).reduce(_ unionByName _)
+
+  // ==== post-merge audit =================================================
+  // The reference audits every D10 merge batch entity-by-entity over the
+  // store and the RDF dump (`run/merge/check_merged_brs_results.py:37-120`,
+  // `check_merged_ids_results.py:193-290`, `check_merged_ras_results.py:
+  // 35-160` + the shared provenance walk `check_merged_brs_results.py:
+  // 361-430`). Here the same assertions are per-kind anti-joins over
+  // (surviving, merged) pairs x triples x prov_snapshots — one distributed
+  // pass for the whole merge batch.
+
+  /** Post-merge audit. `pairs` = (surviving, merged) full entity URIs (the
+    * same frame [[graft.operators.Tools.applyMerges]] consumes); `prov`
+    * entities are meta ids. Returns the violations union (empty == the
+    * merge batch passes). */
+  def mergeAudit(pairs: DataFrame, triples: DataFrame, prov: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    Seq(
+      mergedStillPresent(pairs, triples),
+      survivingConstraints(pairs, triples),
+      mergeProvenanceAudit(pairs, prov),
+    ).reduce(_ unionByName _)
+  }
+
+  /** Merged entities must be gone: no outgoing triples ("Merged entity
+    * still exists") and no inbound references ("still referenced by other
+    * entities"); surviving entities must still exist. */
+  def mergedStillPresent(pairs: DataFrame, triples: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val merged = pairs.select($"merged").distinct()
+    val stillExists = merged.join(triples, merged("merged") === triples("s"), "left_semi")
+    val stillReferenced = merged.join(triples,
+      merged("merged") === triples("o") && triples("o_datatype").isNull, "left_semi")
+    val survGone = pairs.select($"surviving").distinct()
+      .join(triples.select($"s"), $"surviving" === $"s", "left_anti")
+    violation(stillExists, "merged_entity_still_exists", $"merged", lit("has outgoing triples"))
+      .unionByName(violation(stillReferenced, "merged_entity_still_referenced",
+        $"merged", lit("is an object of other entities' triples")))
+      .unionByName(violation(survGone, "surviving_entity_missing",
+        $"surviving", lit("no triples for surviving entity")))
+  }
+
+  /** Shape constraints on each SURVIVING entity, dispatched on its kind
+    * (br / id / ra from the URI path). One aggregation over the
+    * survivors' triples serves all three checkers. */
+  def survivingConstraints(pairs: DataFrame, triples: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val surv = pairs.select($"surviving").distinct()
+    val facts = surv.join(triples, surv("surviving") === triples("s"))
+      .groupBy($"surviving")
+      .agg(
+        collect_set(when($"p" === Vocab.RdfType, $"o")).as("types"),
+        count_distinct(when($"p" === Vocab.HasIdentifier, $"o")).as("id_n"),
+        count_distinct(when($"p" === Vocab.Title, $"o")).as("title_n"),
+        count_distinct(when($"p" === Vocab.PartOf, $"o")).as("part_of_n"),
+        count_distinct(when($"p" === Vocab.PublicationDate, $"o")).as("date_n"),
+        count_distinct(when($"p" === Vocab.HasSequenceIdentifier, $"o")).as("seq_n"),
+        count_distinct(when($"p" === Vocab.UsesIdentifierScheme, $"o")).as("scheme_n"),
+        count_distinct(when($"p" === Vocab.HasLiteralValue, $"o")).as("lit_n"),
+        count_distinct(when($"p".isin(Vocab.FoafName, Vocab.FoafGivenName,
+          Vocab.FoafFamilyName), $"o")).as("name_n"))
+      .withColumn("kind", regexp_extract($"surviving", "/([a-z]+)/[0-9]+$", 1))
+      .localCheckpoint()
+    val br = facts.filter($"kind" === "br")
+    val id = facts.filter($"kind" === "id")
+    val ra = facts.filter($"kind" === "ra")
+    def v(df: DataFrame, check: String, detail: org.apache.spark.sql.Column) =
+      violation(df, check, $"surviving", detail)
+    Seq(
+      // BR: <=2 types including fabio:Expression, >=1 id, <=1 of title/
+      // partOf/date/seqId, seqId only on volumes/issues
+      v(br.filter(size($"types") === 0), "br_no_type", lit("no rdf:type")),
+      v(br.filter(size($"types") > 2), "br_too_many_types",
+        concat(lit("types: "), concat_ws(", ", $"types"))),
+      v(br.filter(size($"types") > 0 &&
+        !array_contains($"types", Vocab.Expression)), "br_not_expression",
+        lit("missing fabio:Expression")),
+      v(br.filter($"id_n" === 0), "br_no_identifier", lit("no datacite:hasIdentifier")),
+      v(br.filter($"title_n" > 1), "br_multiple_titles", concat(lit("titles: "), $"title_n")),
+      v(br.filter($"part_of_n" > 1), "br_multiple_part_of", concat(lit("partOf: "), $"part_of_n")),
+      v(br.filter($"date_n" > 1), "br_multiple_pub_dates", concat(lit("dates: "), $"date_n")),
+      v(br.filter($"seq_n" > 1), "br_multiple_seq_ids", concat(lit("seq ids: "), $"seq_n")),
+      v(br.filter($"seq_n" >= 1 &&
+        !(array_contains($"types", Vocab.Fabio + "JournalVolume") ||
+          array_contains($"types", Vocab.Fabio + "JournalIssue"))),
+        "br_seq_id_wrong_type", lit("sequence identifier on a non-volume/issue")),
+      // ID: exactly one scheme and one literal value
+      v(id.filter($"scheme_n" =!= 1), "id_bad_scheme_count",
+        concat(lit("usesIdentifierScheme: "), $"scheme_n")),
+      v(id.filter($"lit_n" =!= 1), "id_bad_literal_count",
+        concat(lit("hasLiteralValue: "), $"lit_n")),
+      // RA: exactly one type = foaf:Agent, >=1 id, >=1 name property
+      v(ra.filter(size($"types") =!= 1 ||
+        !array_contains($"types", Vocab.FoafAgent)), "ra_bad_type",
+        concat(lit("types: "), concat_ws(", ", $"types"))),
+      v(ra.filter($"id_n" === 0), "ra_no_identifier", lit("no datacite:hasIdentifier")),
+      v(ra.filter($"name_n" === 0), "ra_no_name",
+        lit("no foaf name/givenName/familyName")),
+    ).reduce(_ unionByName _)
+  }
+
+  /** The reference's provenance walk over every merge participant
+    * (check_merged_brs_results.py:361-430): >=2 snapshots, consecutive
+    * numbering from 1, generation times everywhere, invalidation times on
+    * every non-last snapshot (and on the merged entity's LAST one — it was
+    * deleted), no invalidation on the surviving head, first snapshot
+    * underived, merge snapshots derived from >=2, modification snapshots
+    * from exactly 1. */
+  def mergeProvenanceAudit(pairs: DataFrame, prov: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val prefix = Vocab.BaseIri + "/"
+    def toMeta(c: org.apache.spark.sql.Column) =
+      when(c.startsWith(prefix), expr(s"substring(${c.toString()}, ${prefix.length + 1})")).otherwise(c)
+    val participants = pairs.select(toMeta($"surviving").as("entity"), lit(true).as("is_surviving"))
+      .unionByName(pairs.select(toMeta($"merged").as("entity"), lit(false).as("is_surviving")))
+      .distinct()
+    val snaps = participants.join(prov, Seq("entity"), "left")
+      .groupBy($"entity", $"is_surviving")
+      .agg(count($"snapshot_n").as("n_snaps"),
+        array_sort(collect_list(struct($"snapshot_n", $"generated_at",
+          $"invalidated_at", $"derived_from", $"description"))).as("snaps"))
+      .localCheckpoint()
+    def v(df: DataFrame, check: String, detail: org.apache.spark.sql.Column) =
+      violation(df, check, $"entity", detail)
+    val isMergeDesc = (d: String) => s"$d LIKE '%merged with%'"
+    Seq(
+      v(snaps.filter($"n_snaps" <= 1), "prov_less_than_two_snapshots",
+        concat(lit("snapshots: "), $"n_snaps")),
+      v(snaps.filter(expr(
+        "exists(transform(snaps, (x, i) -> x.snapshot_n != CAST(i + 1 AS BIGINT)), b -> b)")),
+        "prov_snapshot_numbering_gap",
+        concat(lit("numbers: "), concat_ws(", ", expr("transform(snaps, x -> x.snapshot_n)")))),
+      v(snaps.filter(expr("exists(snaps, x -> x.generated_at IS NULL)")),
+        "prov_no_generation_time", lit("a snapshot lacks generatedAtTime")),
+      v(snaps.filter($"n_snaps" > 0 && expr(
+        "exists(transform(snaps, (x, i) -> x.invalidated_at IS NULL AND (i < size(snaps) - 1 OR NOT is_surviving)), b -> b)")),
+        "prov_missing_invalidation_time",
+        lit("a non-head (or merged-entity) snapshot lacks invalidatedAtTime")),
+      v(snaps.filter($"is_surviving" && $"n_snaps" > 0 &&
+        expr("element_at(snaps, -1).invalidated_at IS NOT NULL")),
+        "prov_surviving_head_invalidated",
+        lit("surviving entity's last snapshot is invalidated")),
+      v(snaps.filter($"n_snaps" > 0 &&
+        expr("size(element_at(snaps, 1).derived_from) > 0")),
+        "prov_first_snapshot_derived",
+        lit("snapshot 1 has wasDerivedFrom")),
+      v(snaps.filter(expr(
+        s"exists(snaps, x -> ${isMergeDesc("x.description")} AND size(x.derived_from) < 2)")),
+        "prov_merge_snapshot_underived",
+        lit("merge snapshot derived from < 2 snapshots")),
+      v(snaps.filter(expr(
+        s"exists(transform(snaps, (x, i) -> i > 0 AND NOT ${isMergeDesc("x.description")} AND size(x.derived_from) != 1), b -> b)")),
+        "prov_modification_snapshot_bad_derivation",
+        lit("a non-merge modification snapshot has != 1 wasDerivedFrom")),
+    ).reduce(_ unionByName _)
+  }
 }

@@ -64,25 +64,61 @@ object Provenance {
     carried.unionByName(renumbered.select(carried.columns.map(col): _*))
   }
 
-  /** Merge provenance: the surviving entity's new snapshot derives from
-    * both its own prior snapshot and the merged entities' last snapshots
-    * (`run/find/merged_entities.py` reads these back, G8). */
+  /** Merge provenance for ONE merge group — delegates to the distributed
+    * [[mergeProvenance]]. */
   def mergeSnapshot(existing: DataFrame, surviving: String, merged: Seq[String],
       generatedAt: String): DataFrame = {
     import existing.sparkSession.implicits._
-    val spark = existing.sparkSession
-    val latest = existing.filter($"invalidated_at".isNull &&
-        $"entity".isin((surviving +: merged): _*))
+    mergeProvenance(existing,
+      merged.map(m => (surviving, m)).toDF("surviving", "merged"), generatedAt)
+  }
+
+  private def snapUri(entity: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Vocab.BaseIri + "/"), entity, lit("/prov/se/"), n)
+
+  /** Batch merge provenance (`run/merge/entities.py` + the oc_ocdm merge
+    * snapshots its `check_merged_*_results.py` checkers expect):
+    *  - the surviving entity gets a new open snapshot derived from its own
+    *    last snapshot AND each merged entity's last snapshot (>= 2
+    *    derivations — the merge marker G8 reads back);
+    *  - every merged entity gets a closing deletion snapshot (generated
+    *    and invalidated at the merge time, derived from its last
+    *    snapshot), so no merged entity is left with an open snapshot.
+    * `pairs` = (surviving, merged) META ids; one shuffle per side, no
+    * driver-side state — N merge groups in one pass. */
+  def mergeProvenance(existing: DataFrame, pairs: DataFrame,
+      generatedAt: String): DataFrame = {
+    import existing.sparkSession.implicits._
+    val latest = existing.filter($"invalidated_at".isNull)
       .select($"entity", $"snapshot_n")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val derived = (surviving +: merged).flatMap(e =>
-      latest.get(e).map(n => s"${Vocab.uri(e)}/prov/se/$n"))
-    val incoming = spark.createDataFrame(Seq(
-      (surviving, 1L, generatedAt, null.asInstanceOf[String], derived,
-        s"Entity merged with ${merged.mkString(", ")}",
-        "https://w3id.org/oc/meta/prov/pa/1")))
-      .toDF("entity", "snapshot_n", "generated_at", "invalidated_at",
-        "derived_from", "description", "attributed_to")
-    upsert(existing, incoming, generatedAt)
+    val agent = lit("https://w3id.org/oc/meta/prov/pa/1")
+    val survSnaps = pairs
+      .join(latest.toDF("surviving", "s_n"), Seq("surviving"))
+      .join(latest.toDF("merged", "m_n"), Seq("merged"))
+      .groupBy($"surviving", $"s_n")
+      .agg(array_sort(collect_list(struct($"merged", $"m_n"))).as("ms"))
+      .select(
+        $"surviving".as("entity"),
+        lit(1L).as("snapshot_n"),
+        lit(generatedAt).as("generated_at"),
+        lit(null).cast("string").as("invalidated_at"),
+        concat(array(snapUri($"surviving", $"s_n")),
+          transform($"ms", m => snapUri(m.getField("merged"), m.getField("m_n"))))
+          .as("derived_from"),
+        concat(lit("Entity merged with "),
+          concat_ws(", ", transform($"ms", _.getField("merged")))).as("description"),
+        agent.as("attributed_to"))
+    val delSnaps = pairs.select($"merged".as("entity")).distinct()
+      .join(latest, Seq("entity"))
+      .select(
+        $"entity",
+        lit(1L).as("snapshot_n"),
+        lit(generatedAt).as("generated_at"),
+        lit(generatedAt).as("invalidated_at"),
+        array(snapUri($"entity", $"snapshot_n")).as("derived_from"),
+        lit("Entity deleted").as("description"),
+        agent.as("attributed_to"))
+    upsert(existing, survSnaps.unionByName(delSnaps), generatedAt)
   }
 }

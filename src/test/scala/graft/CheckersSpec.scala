@@ -111,4 +111,56 @@ class CheckersSpec extends AnyFunSuite {
     assert(checksFired(report) == Set("invalid_date_literal", "invalid_iri_object"))
     assert(report.count() == 3)
   }
+
+  // ==== post-merge audit (check_merged_{brs,ids,ras}_results.py) ========
+
+  /** Two BR entities that both carry identifiers — a legal merge pair. */
+  lazy val mergeMetas: (String, String) = {
+    import spark.implicits._
+    val withIds = triples.filter($"p" === Vocab.HasIdentifier && $"s".contains("/br/"))
+      .select($"s").distinct().orderBy($"s").limit(2).as[String].collect()
+    (withIds(0), withIds(1))
+  }
+
+  test("a correctly applied merge passes the merge audit") {
+    import spark.implicits._
+    val (a, b) = mergeMetas
+    val pairs = Seq((a, b)).toDF("surviving", "merged").localCheckpoint()
+    val prefix = Vocab.BaseIri + "/"
+    val metaPairs = pairs.select(
+      expr(s"substring(surviving, ${prefix.length + 1})").as("surviving"),
+      expr(s"substring(merged, ${prefix.length + 1})").as("merged"))
+    val mergedTriples = graft.operators.Tools.applyMerges(triples, pairs).localCheckpoint()
+    val mergedProv = Provenance.mergeProvenance(prov, metaPairs, "2026-08-13T00:00:00Z")
+      .localCheckpoint()
+    val report = Checkers.mergeAudit(pairs, mergedTriples, mergedProv)
+    assert(report.isEmpty, report.collect().take(10).mkString("\n"))
+  }
+
+  test("merge audit fires when the merge was never applied") {
+    import spark.implicits._
+    val (a, b) = mergeMetas
+    val pairs = Seq((a, b)).toDF("surviving", "merged")
+    val fired = checksFired(Checkers.mergeAudit(pairs, triples, prov))
+    assert(Set("merged_entity_still_exists", "prov_less_than_two_snapshots",
+      "prov_missing_invalidation_time").subsetOf(fired), fired.toString)
+  }
+
+  test("merge audit fires on surviving-entity shape violations") {
+    import spark.implicits._
+    val (a, b) = mergeMetas
+    val pairs = Seq((a, b)).toDF("surviving", "merged").localCheckpoint()
+    val merged = graft.operators.Tools.applyMerges(triples, pairs)
+    // strip the survivor's identifiers and graft a second title + a bogus
+    // sequence identifier onto it
+    val corrupted = merged
+      .filter(!($"s" === a && $"p" === Vocab.HasIdentifier))
+      .unionByName(Seq(
+        (a, Vocab.Title, "A Second Title", Vocab.XsdString),
+        (a, Vocab.HasSequenceIdentifier, "7", Vocab.XsdString))
+        .toDF("s", "p", "o", "o_datatype"))
+    val fired = checksFired(Checkers.survivingConstraints(pairs, corrupted))
+    assert(fired == Set("br_no_identifier", "br_multiple_titles", "br_seq_id_wrong_type"),
+      fired.toString)
+  }
 }
