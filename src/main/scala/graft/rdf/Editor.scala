@@ -112,6 +112,24 @@ object Editor {
     EditResult(newTriples, Provenance.upsert(prov, incoming, generatedAt), delta)
   }
 
+  /** Batched point edits — the remove+add pair `update_property` performs
+    * for one value (editor.py:90-111) WITHOUT the functional-setter
+    * replacement of sibling values. Each edit row carries the OLD triple
+    * (s, p, o, o_datatype) and the NEW object (o_new, o_new_datatype):
+    * the old triple is deleted and the new one added in a single delta.
+    * `o` NULL = pure insertion; `o_new` NULL = pure deletion. The fixer
+    * programs ([[Fixers]]) are all expressed through this. */
+  def replaceValues(triples: DataFrame, prov: DataFrame, edits: DataFrame,
+      generatedAt: String, agent: String = DefaultAgent): EditResult = {
+    val dels = edits.filter(col("o").isNotNull)
+      .select(col("s"), col("p"), col("o"), col("o_datatype")).distinct()
+    val adds = edits.filter(col("o_new").isNotNull)
+      .select(col("s"), col("p"), col("o_new").as("o"),
+        col("o_new_datatype").as("o_datatype")).distinct()
+    applyDelta(triples, prov, GraphDiff.Delta(additions = adds, deletions = dels),
+      generatedAt, agent)
+  }
+
   /** One snapshot per entity, derived from the entity's currently-open
     * snapshot (`{uri}/prov/se/{n}`, same layout as [[Provenance]]). */
   private def snapshotsFor(prov: DataFrame, entities: DataFrame,

@@ -260,4 +260,81 @@ class GoldenParitySpec extends AnyFunSuite {
   test("testcase 16.3: given name fills family-only RA in ts") {
     runStoreTestcase("16.3", manualData.slice(77, 78))
   }
+
+  // ---- real_data.csv: the reference's real-world fixture ----------------
+  // No golden CSV ships with the reference, so the expected cells are
+  // derived from its semantics and verified against `test/curator_test.py`
+  // TestIdWorkerWithReset (which asserts br/0601 + id/0601 + the cleaned
+  // title for row 1 after curating this exact file): clean_title
+  // capitalizes every word without an internal capital (cleaner.py:162-180,
+  // "GDP"/"OECD" survive), an id-less venue mints a NEW entity per row —
+  // no name merge (curator.py:510-519), id-less same-name authors on
+  // different rows stay separate (D5 adoption is per attach entity), and
+  // the publisher merges across rows through crossref:1963.
+  test("real_data.csv: full-file golden (empty store)") {
+    val batch = Curator.curateFresh(
+      Curator.readInput(spark, s"$RefTest/real_data.csv"), normalizeTitles = true)
+    val got = dfRows(batch.rows.orderBy("first_row"), Validation.InputColumns).map(normRow)
+    // "other" is NOT in VALID_ENTITY_TYPES (constants.py:69-108) -> type
+    // clears to ""; clean_name lowercases the all-caps org "OECD" before
+    // title-casing (cleaner.py:173-178 via clean_name) -> "Oecd"; the
+    // venue string keeps "OECD" because the full venue title is not
+    // entirely uppercase, so the word's internal capitals protect it.
+    val want = Vector(
+      Map(
+        "id" -> "doi:10.1787/eco_outlook-v2011-2-graph138-en omid:br/0601",
+        "title" -> "Money Growth, Interest Rates, Inflation And Raw Materials Prices: China",
+        "author" -> "Peroni, Silvio [omid:ra/0601]",
+        "pub_date" -> "2011-11-28",
+        "venue" -> "OECD Economic Outlook, Volume 2011 Issue 2 [omid:br/0604]",
+        "volume" -> "", "issue" -> "", "page" -> "",
+        "type" -> "",
+        "publisher" -> "Oecd [crossref:1963 omid:ra/0602]",
+        "editor" -> ""),
+      Map(
+        "id" -> "doi:10.1787/eco_outlook-v2011-2-graph150-en omid:br/0602",
+        "title" -> "Contributions To GDP Growth And Inflation: South Africa",
+        "author" -> "Peroni, Silvio [omid:ra/0603]",
+        "pub_date" -> "2011-11-28",
+        "venue" -> "OECD Economic Outlook, Volume 2011 Issue 2 [omid:br/0605]",
+        "volume" -> "", "issue" -> "", "page" -> "",
+        "type" -> "",
+        "publisher" -> "Oecd [crossref:1963 omid:ra/0602]",
+        "editor" -> ""),
+      Map(
+        "id" -> "doi:10.1787/eco_outlook-v2011-2-graph18-en omid:br/0603",
+        "title" -> "Official Loans To The Governments Of Greece, Ireland And Portugal",
+        "author" -> "Peroni, Silvio [omid:ra/0604]",
+        "pub_date" -> "2011-11-28",
+        "venue" -> "OECD Economic Outlook, Volume 2011 Issue 2 [omid:br/0606]",
+        "volume" -> "", "issue" -> "", "page" -> "",
+        "type" -> "",
+        "publisher" -> "Oecd [crossref:1963 omid:ra/0602]",
+        "editor" -> "")).map(normRow)
+    assert(got.size == want.size, s"rows ${got.size} != ${want.size}\n$got")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"\n[real_data] row $i mismatch\n got: $g\nwant: $w\ndiff: ${g.keySet.filter(k => g(k) != w(k)).map(k => s"$k: ${g(k)} VS ${w(k)}").mkString("; ")}")
+    }
+    val idBr = dfRows(batch.indexIdBr, Seq("id", "meta")).sortBy(_("id"))
+    assert(idBr == Vector(
+      Map("id" -> "doi:10.1787/eco_outlook-v2011-2-graph138-en", "meta" -> "id/0601"),
+      Map("id" -> "doi:10.1787/eco_outlook-v2011-2-graph150-en", "meta" -> "id/0602"),
+      Map("id" -> "doi:10.1787/eco_outlook-v2011-2-graph18-en", "meta" -> "id/0603")), idBr.toString)
+    val idRa = dfRows(batch.indexIdRa, Seq("id", "meta"))
+    assert(idRa == Vector(Map("id" -> "crossref:1963", "meta" -> "id/0604")), idRa.toString)
+    val ar = dfRows(batch.arIndex, Seq("meta", "author", "editor", "publisher")).sortBy(_("meta"))
+    assert(ar == Vector(
+      Map("meta" -> "br/0601", "author" -> "ar/0601, ra/0601", "editor" -> "",
+        "publisher" -> "ar/0602, ra/0602"),
+      Map("meta" -> "br/0602", "author" -> "ar/0603, ra/0603", "editor" -> "",
+        "publisher" -> "ar/0604, ra/0602"),
+      Map("meta" -> "br/0603", "author" -> "ar/0605, ra/0604", "editor" -> "",
+        "publisher" -> "ar/0606, ra/0602")), ar.toString)
+    assert(batch.reIndex.isEmpty)
+    val vi = vviTree(batch)
+    assert(vi == Map(
+      "br/0604" -> Map("volume" -> Map(), "issue" -> Map()),
+      "br/0605" -> Map("volume" -> Map(), "issue" -> Map()),
+      "br/0606" -> Map("volume" -> Map(), "issue" -> Map())), vi.toString)
+  }
 }
