@@ -52,6 +52,10 @@ object SparkEntry {
     "q39_fingerprint" -> (TA.q39Fingerprint _),
     "q40_sessionize" -> (TA.q40Sessionize _),
     "q41_binary_meta" -> (TA.q41BinaryMeta _),
+    "q42_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // q43 is approximate by construction (IVF ANN) — no SQL oracle;
+    // recall vs brute force is asserted in OperatorsSpec instead.
+    "q43_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +95,6 @@ object SparkEntry {
     "q39_fingerprint" -> TA.q39Sql,
     "q40_sessionize" -> TA.q40Sql,
     "q41_binary_meta" -> TA.q41Sql,
+    "q42_neardup_clusters" -> Dedup.q42Sql,
   )
 }

@@ -33,11 +33,11 @@ object Dedup {
       |  CAST(min(doc_id) AS BIGINT) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
 
-  /** Shared oracle for q31 (exact shared-shingle join) and q32 (MinHash+LSH
-    * + verify): both must equal the exact all-qualifying-pairs set — the
-    * oracle independently proves the LSH path loses no pair at this SF. */
-  val jaccardPairsSql: String =
-    """WITH toks AS (
+  /** CTE body shared by the q31/q32 pair oracle and the q42 cluster
+    * oracle: exact all-pairs word-5-gram Jaccard via the shared-shingle
+    * candidate join. */
+  private val jaccardCtes: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]) AS s
@@ -49,9 +49,33 @@ object Dedup {
       |), j AS (
       |  SELECT d1, d2, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) AS jac
       |  FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2
-      |)
+      |)""".stripMargin
+
+  /** Shared oracle for q31 (exact shared-shingle join) and q32 (MinHash+LSH
+    * + verify): both must equal the exact all-qualifying-pairs set — the
+    * oracle independently proves the LSH path loses no pair at this SF. */
+  val jaccardPairsSql: String =
+    s"""WITH $jaccardCtes
       |SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2, round(jac, 6) AS jac
       |FROM j WHERE jac >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  /** q42 oracle — connected components over the exact near-dup pair set,
+    * computed independently of the engine's label-propagation: recursive
+    * label reachability (every node inherits every label that can reach
+    * it; the component id is the min). Canonical keep-doc = min doc_id =
+    * the cluster label, as in the engine. */
+  val q42Sql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.8),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON r.node = e.a
+      |), cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+      |SELECT CAST(node AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+      |FROM cc ORDER BY doc_id""".stripMargin
 
   /** q33 oracle — the SAME FNV-1a-64 token hash + bit-vote + signed
     * signature arithmetic as [[simhash64]], expressed in DuckDB SQL so the
@@ -102,12 +126,15 @@ object Dedup {
   /** Word n-gram shingle set (distinct, order-irrelevant) as a Column over a
     * text column. Built from higher-order functions only — stays codegen'd.
     * Documents shorter than n shingle to an empty array (dropped by dedup).
-    */
+    * Sorted ascending so the verify stage can use the zero-alloc merge
+    * kernel ([[graft.plans.VectorExpressions.SortedIntersectSize]]) — the
+    * sort is once per DOCUMENT; Jaccard, minhash, and the shared-shingle
+    * join are all order-insensitive. */
   def shingles(text: Column, n: Int = 5): Column = {
     val toks = filter(split(text, " "), t => length(t) > lit(0))
     val count = greatest(size(toks) - lit(n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - lit(1)),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    array_sort(array_distinct(transform(sequence(lit(0), count - lit(1)),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
 
   /** Exact duplicate groups: md5 over full text; keeps the smallest doc_id
@@ -122,10 +149,16 @@ object Dedup {
   }
 
   /** Shingle-set frame: (doc_id, shingles array). Reused by the exact and
-    * LSH paths. */
+    * LSH paths. The repartition BEFORE the shingle projection matters on
+    * small inputs: a single parquet file scans as ONE partition, which
+    * would serialize the per-doc shingle + minhash compute onto one core
+    * (measured: the q22 set build ran 3.2 s single-threaded at sf0.1); at
+    * cluster scale the scan is already many-partitioned and the exchange
+    * is a no-op-sized narrow shuffle of raw text. */
   private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame = {
     import s.implicits._
     documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id".cast("long").as("doc_id"), shingles($"text", n).as("sh"))
       .filter(size($"sh") > 0)
   }
@@ -147,15 +180,34 @@ object Dedup {
 
   /** Exact Jaccard for candidate pairs via two joins against the shingle
     * sets; used as the verify stage by both the exact and LSH paths (and
-    * by TextQueries.q22's LSH-fronted bibliographic match). */
+    * by TextQueries.q22's LSH-fronted bibliographic match). The kernel is
+    * the native sorted-merge intersection count (shingle arrays are sorted
+    * at build time) with |union| derived as n1 + n2 - i — measured ~2.5x
+    * faster than array_intersect + array_union on q22's 4M-candidate
+    * verify, which is the stage that dominates the LSH-fronted match.
+    *
+    * The pair sides carry sorted PER-ELEMENT xxhash64 arrays instead of
+    * the shingle strings: 8 B/element shuffled instead of a whole
+    * shingle, primitive compares instead of UTF8String, one sort + hash
+    * pass per DOCUMENT. A 64-bit collision would overcount the
+    * intersection by one; at ~10-40 elements/doc that is ~1e-17 per pair
+    * — immaterial even to the hash-compare oracle. */
   private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     import cand.sparkSession.implicits._
+    val hsets = sets.select($"doc_id", size($"sh").as("n"),
+      array_sort(transform($"sh", x => xxhash64(x))).as("hv"))
+    // shuffle-hash, not sort-merge: the candidate side is the big one
+    // (millions of rows) and sorting it twice would dominate; the sets
+    // side hash-builds per partition. Not broadcast: at corpus scale the
+    // shingle-set frame is O(docs), never driver-sized.
     cand
-      .join(sets.select($"doc_id".as("d1"), $"sh".as("sh1")), "d1")
-      .join(sets.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
-      .withColumn("jac",
-        size(array_intersect($"sh1", $"sh2")).cast("double") /
-          size(array_union($"sh1", $"sh2")).cast("double"))
+      .join(hsets.select($"doc_id".as("d1"), $"n".as("n1"), $"hv".as("hv1"))
+        .hint("shuffle_hash"), "d1")
+      .join(hsets.select($"doc_id".as("d2"), $"n".as("n2"), $"hv".as("hv2"))
+        .hint("shuffle_hash"), "d2")
+      .withColumn("i",
+        graft.plans.VectorExpressions.sortedLongIntersectSize($"hv1", $"hv2").cast("double"))
+      .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))
       .filter($"jac" >= threshold)
       .select($"d1", $"d2", round($"jac", 6).as("jac"))
       .orderBy($"d1", $"d2")
@@ -197,6 +249,31 @@ object Dedup {
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(s, dir, n).cache()
     jaccardVerify(lshCandidatePairs(sets, bands, rows), sets, threshold)
+  }
+
+  /** q42 — near-dup CLUSTERS: the dedup decision a training-data pipeline
+    * actually ships. Pairs alone don't dedup a corpus — transitive groups
+    * do (A~B, B~C means keep one of {A,B,C} even if A!~C). Production
+    * path: MinHash-LSH pairs -> distributed min-label connected components
+    * ([[graft.curation.ConnectedComponents.byShardKey]], the same operator
+    * that powers entity resolution) -> canonical keep-doc = min doc_id =
+    * the component label. Output one row per clustered doc with its
+    * cluster id and size; "drop all docs where doc_id != cluster" is then
+    * a filter. Scale shape: LSH candidate shuffle O(docs*bands) + a few
+    * label-propagation rounds, each two narrow shuffles of (doc, pair)
+    * edges — no quadratic stage anywhere. */
+  def nearDupClusters(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir, n, bands, rows, threshold)
+      .select($"d1", $"d2").localCheckpoint()
+    val membership = pairs.select($"d1".as("entity"), struct($"d1", $"d2").as("key"))
+      .union(pairs.select($"d2".as("entity"), struct($"d1", $"d2").as("key")))
+    val cc = graft.curation.ConnectedComponents.byShardKey(membership)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    cc.select($"entity".as("doc_id"), $"component".as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy($"doc_id")
   }
 
   /** Banded-MinHash candidate pairs from a (doc_id, sh) shingle frame:
@@ -299,6 +376,37 @@ object Dedup {
       .withColumn("cos", Similarity.dot($"a.nv", $"b.nv"))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), round($"cos", 6).as("cos"))
+      .orderBy($"v1", $"v2")
+  }
+
+  /** The PRODUCTION shape of embedding near-dup ([[embeddingCosinePairs]]
+    * is the all-pairs oracle anchor): multi-table random-hyperplane
+    * sign-LSH buckets front the exact cosine check — a pair is a candidate
+    * iff it shares a bucket in ANY table, so the join is an equi-join on
+    * (table, bucket) with O(vectors * tables) shuffle instead of an
+    * O(n^2) BNLJ. Approximate by construction: per-table collision
+    * probability for angle theta is (1 - theta/pi)^nBits, so recall is
+    * tuned by (nBits, nTables) — at cos >= 0.45 the defaults give ~0.8,
+    * rising steeply for the truly-near pairs a dedup pass cares about
+    * (cos 0.9 -> ~0.99). Recall vs the exact baseline is asserted in the
+    * spec, mirroring [[Similarity.lshTopK]]. */
+  def embeddingCosinePairsLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.45, dim: Int = 64,
+      nBits: Int = 4, nTables: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    val banded = e.select($"vec_id", $"nv", explode(array((0 until nTables).map(t =>
+      Similarity.lshBucket($"nv", dim, nBits, t)): _*)).as("bucket"))
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"a.nv".as("nv1"), $"b.nv".as("nv2"))
+      .dropDuplicates("v1", "v2")
+      .withColumn("cos", Similarity.dot($"nv1", $"nv2"))
+      .filter($"cos" >= threshold)
+      .select($"v1", $"v2", round($"cos", 6).as("cos"))
       .orderBy($"v1", $"v2")
   }
 }

@@ -93,6 +93,101 @@ object Similarity {
     }.reduce(_ + _) + lit(table.toLong << 32)
   }
 
+  /** Deterministic spherical k-means for IVF coarse quantization.
+    *
+    * Init: the `nlist` corpus vectors with the smallest `xxhash64(vec_id)`
+    * — a deterministic hash-sample, order-independent and stable across
+    * partitionings. Then `iters` Lloyd rounds: centroids are broadcast as
+    * literal array columns (nlist x dim doubles — KBs), assignment is a
+    * single codegen'd argmax-of-dots scan with NO shuffle, and the
+    * per-cluster mean reduces via posexplode + groupBy(cluster, pos) —
+    * one narrow shuffle of n*dim scalar rows per round. At 100 TB you
+    * train on the hash-sample (`trainFraction`) and only the final
+    * assignment pass touches the full corpus.
+    *
+    * Returns the centroids as driver-side arrays (they ARE the index
+    * metadata — nlist x dim, small by construction). */
+  def trainCentroids(e: DataFrame, nlist: Int, iters: Int,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val sample =
+      if (trainFraction >= 1.0) e
+      else e.filter(pmod(xxhash64($"vec_id"), lit(1000000)) < lit((trainFraction * 1000000).toLong))
+    var cents: Array[Array[Double]] = sample
+      .orderBy(xxhash64($"vec_id")).limit(nlist)
+      .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 0 until iters) {
+      val assigned = sample.withColumn("cluster", nearestCentroid($"nv", cents))
+      val sums = assigned
+        .select($"cluster", posexplode($"nv").as(Seq("pos", "v")))
+        .groupBy($"cluster", $"pos").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val dim = rows.length
+            val mean = new Array[Double](dim)
+            rows.foreach(r => mean(r.getInt(1)) = r.getAs[Double]("s") / r.getAs[Long]("n"))
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n > 0) mean.map(_ / n) else cents(c) // re-normalize (spherical)
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Codegen'd argmax-of-dot-products: index (0-based) of the centroid with
+    * the highest cosine against `v`. Centroids ride along as literal array
+    * columns — no join, no shuffle, no UDF. */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => dot(v, array(c.map(lit): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** ANN top-k via IVF (inverted-file) coarse quantization — the other
+    * standard scale path next to [[lshTopK]].
+    *
+    * The corpus is partitioned into `nlist` Voronoi cells by spherical
+    * k-means ([[trainCentroids]]); each query probes its `nprobe` nearest
+    * cells and scores exactly within them. Cost per query drops from O(N*d)
+    * to O(N*nprobe/nlist*d + nlist*d); the only corpus shuffle is the ONE
+    * repartition-by-cell materialization (at cluster scale: write the
+    * corpus bucketed by `cluster` once, then every query batch joins
+    * against only the probed cells — classic FAISS IVF-Flat layout,
+    * re-expressed as a partitioned table + equi-join). Recall is checked
+    * against [[bruteForceTopK]] in the spec (approximate op — no SQL
+    * oracle; registered rows-only). */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    val cents = trainCentroids(e, nlist, iters)
+    val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
+    // per-query probe list: nprobe highest-cosine centroids
+    val probed = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+      .withColumn("cdots", array(cents.indices.map(c =>
+        struct(dot($"qv", array(cents(c).map(lit): _*)).as("d"), lit(c).as("c"))): _*))
+      .withColumn("probe", slice(reverse(array_sort($"cdots")), 1, nprobe))
+      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+    val scored = corpus.join(broadcast(probed), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"nv", $"qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN top-k via multi-table random-hyperplane LSH.
     *
     * `nTables` independent signatures; a corpus vector is a candidate for a

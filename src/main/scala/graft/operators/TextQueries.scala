@@ -233,7 +233,7 @@ object TextQueries {
     * columns stand in for the reference's metadata dict (family/given/
     * title/venue/issn/year/volume/issue/pages,
     * `lib/bibliographic_matching.py:167-178`). */
-  private def biblioMeta(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def biblioMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     part(s, dir).select(
       $"p_partkey", $"p_brand", substring($"p_name", 1, 1).as("blk"),
@@ -344,7 +344,11 @@ object TextQueries {
       concat(lit("y"), $"year"), concat(lit("v"), $"volume"),
       concat(lit("i"), $"issue"), concat(lit("sp"), $"start_page"),
       concat(lit("ep"), $"end_page"))
-    val sets = m.select($"p_partkey".cast("long").as("doc_id"),
+    // repartition before the shingle/minhash projection: a single-file
+    // scan is ONE partition, which would serialize the per-record set
+    // build onto one core (see Dedup.shingleSets).
+    val sets = m.repartition(s.sparkContext.defaultParallelism)
+      .select($"p_partkey".cast("long").as("doc_id"),
         Dedup.shingles(record, 2).as("sh"))
       .filter(size($"sh") > 0)
       .cache()

@@ -58,6 +58,20 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
   }
 
+  /** Streaming exact dedup — the ingest-time analog of
+    * `Dedup.exactDupGroups` (q30): keep the FIRST occurrence of each
+    * content hash, drop re-arrivals whose event time falls within the
+    * watermark horizon. State is keyed by `md5(text)` and expired by the
+    * watermark, so memory is bounded by (ingest rate x horizon) instead of
+    * all history — the only shape that survives a 100 TB/day feed; global
+    * historical dedup belongs to the batch operator downstream. Works on
+    * any frame with (text, ingest_ts). */
+  def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Long, total: Double)

@@ -95,6 +95,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size <= brute.size)
   }
 
+  test("IVF ANN top-k achieves decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, dir, nQueries = 10, k = 5,
+      nlist = 8, nprobe = 3, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low — IVF probing broken?")
+    assert(ivf.size <= brute.size)
+  }
+
+  test("IVF centroids are deterministic and unit-length") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+    val c1 = Similarity.trainCentroids(e, nlist = 4, iters = 2)
+    val c2 = Similarity.trainCentroids(e, nlist = 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n not unit")
+    }
+  }
+
+  test("near-dup clusters: transitive closure of the pair set, canonical = min id") {
+    val pairs = Dedup.minhashLshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth over the verified pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.nearDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // cluster_size agrees with the member count per label
+    val sizes = Dedup.nearDupClusters(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val byCluster = sizes.groupBy(_._1)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.forall(_._2 == rows.length), s"cluster $c size mismatch")
+    }
+  }
+
+  test("LSH embedding near-dup pairs: subset of exact with decent recall") {
+    val exact = Dedup.embeddingCosinePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dup embedding pairs")
+    assert(lsh.subsetOf(exact), "LSH path must never invent a pair (exact verify stage)")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low — bucketing broken?")
+  }
+
   test("exact dedup groups: every text maps to exactly one group") {
     val total = graft.Tables.documents(spark, dir).count()
     val groups = Dedup.exactDupGroups(spark, dir)

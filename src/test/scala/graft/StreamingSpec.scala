@@ -56,6 +56,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
   }
 
+  test("streaming dedup drops re-arrivals within the watermark, state expires after") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = EventStreams.dedupDocuments(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      // batch 1: duplicate text inside one batch -> one survivor
+      in.addData((1L, "hello world", ts(t0)), (2L, "hello world", ts(t0 + 1000)),
+        (3L, "unique text", ts(t0 + 2000)))
+      q.processAllAvailable()
+      // batch 2: same text re-arrives within the horizon -> dropped;
+      // also push the watermark far past t0 to expire the state
+      in.addData((4L, "hello world", ts(t0 + 60 * 1000)),
+        (5L, "advance", ts(t0 + 60 * 60 * 1000)))
+      q.processAllAvailable()
+      // batch 3: same text long after expiry -> kept again
+      in.addData((6L, "hello world", ts(t0 + 61 * 60 * 1000)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 5L, 6L),
+        s"expected first-occurrence set {1,3,5,6}, got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes sessions on gap") {
     import spark.implicits._
     val t0 = 1700000000000L
