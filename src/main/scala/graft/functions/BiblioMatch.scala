@@ -31,8 +31,13 @@ object BiblioMatch {
 
   private def nb(c: Column): Column = c.isNotNull && length(c) > 0
 
+  // bit-parallel Myers kernel, same code-point semantics as the built-in
+  // levenshtein (LevSpec) but O(text) word ops — the score's hot path
+  private def lev(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.lev(a, b)
+
   private def levRatio(a: Column, b: Column): Column =
-    lit(1.0) - levenshtein(a, b).cast("double") /
+    lit(1.0) - lev(a, b).cast("double") /
       greatest(length(a), length(b)).cast("double")
 
   def scoreFirstAuthor(famA: Column, famB: Column, givA: Column, givB: Column): Column = {
@@ -50,7 +55,7 @@ object BiblioMatch {
     when(nb(issnA) && nb(issnB) && issnA === issnB, lit(1.0))
       .when(!nb(venA) || !nb(venB), lit(0.0))
       .otherwise(greatest(lit(0.0), lit(1.0) -
-        (levenshtein(venA, venB) - abs(length(venA) - length(venB))).cast("double") /
+        (lev(venA, venB) - abs(length(venA) - length(venB))).cast("double") /
           least(length(venA), length(venB)).cast("double")))
 
   private def eqTerm(a: Column, b: Column, w: Double): Column =

@@ -194,8 +194,10 @@ object TextQueries {
     * O(B·n) rows shuffled — linear, tunable, and at 100 TB this is the
     * standard exact self-join de-skew (same trick as a salted join, but
     * loss-free for pair generation). The per-pair cost is additionally
-    * cut by the banded `levenshtein(l, r, threshold)` variant, which
-    * early-exits at distance > 8 instead of filling the full DP matrix.
+    * cut by the bit-parallel Myers kernel ([[graft.plans.Lev]]) — O(1)
+    * length-gap exit, then O(text) word ops instead of a DP band — with
+    * the built-in's `-1`-beyond-threshold contract (LevSpec proves
+    * equality with `levenshtein(l, r, 8)` on these names).
     */
   def q19Levenshtein(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -213,7 +215,7 @@ object TextQueries {
       // key sees each unordered pair exactly once -> keep both orientations
       // and canonicalize below.
       .filter(($"b1" =!= $"b2" && $"k1" =!= $"k2") || $"k1" < $"k2")
-      .withColumn("dist", levenshtein($"name1", $"name2", 8))
+      .withColumn("dist", graft.plans.VectorExpressions.lev($"name1", $"name2", 8))
       .filter($"dist" >= 0)
       .select($"p_brand",
         least($"k1", $"k2").cast("long").as("k1"),

@@ -200,6 +200,35 @@ object VectorExpressions {
     ColumnBridge.column(SortedLongIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Levenshtein distance via the bit-parallel Myers kernel ([[Lev]]) —
+    * same semantics as the built-in `levenshtein` (including the
+    * `-1`-beyond-threshold contract of the 3-arg form) but O(text) word
+    * ops instead of O(text * band) DP cells for patterns <= 64 chars.
+    * `threshold < 0` means unbounded. */
+  case class BitParallelLevenshtein(left: Expression, right: Expression, threshold: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Lev.dist(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], threshold)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Lev.dist($a, $b, $threshold);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def lev(a: Column, b: Column): Column =
+    ColumnBridge.column(BitParallelLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), -1))
+
+  def lev(a: Column, b: Column, threshold: Int): Column =
+    ColumnBridge.column(BitParallelLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), threshold))
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
