@@ -11,6 +11,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup outside the timed region: one trivial count per input table
+    // plus one small query, so parquet footers, filesystem metadata, and
+    // the first round of JIT/codegen compilation don't land on whichever
+    // query happens to run first (measured ~3 s on q01 as the alphabetical
+    // leader). Per-query work is NOT pre-run — only session-level state.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try graft.Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+    // a known-cheap query (Map order is hash-arbitrary, .head could pick
+    // an expensive one) to warm the SQL/codegen pipeline itself
+    try SparkEntry.queries("q02_filter_project")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    spark.sharedState.cacheManager.clearCache()
     // deterministic name order + a cache flush per query: Map iteration is
     // hash-ordered and several operators cache()/checkpoint intermediates,
     // so without this a query's wall time depends on which queries ran
