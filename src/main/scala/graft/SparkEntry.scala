@@ -56,6 +56,7 @@ object SparkEntry {
     // q43 is approximate by construction (IVF ANN) — no SQL oracle;
     // recall vs brute force is asserted in OperatorsSpec instead.
     "q43_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +97,6 @@ object SparkEntry {
     "q40_sessionize" -> TA.q40Sql,
     "q41_binary_meta" -> TA.q41Sql,
     "q42_neardup_clusters" -> Dedup.q42Sql,
+    "q44_token_budget_mix" -> TA.q44Sql,
   )
 }

@@ -192,19 +192,31 @@ object Dedup {
     * pass per DOCUMENT. A 64-bit collision would overcount the
     * intersection by one; at ~10-40 elements/doc that is ~1e-17 per pair
     * — immaterial even to the hash-compare oracle. */
+  /** Below this doc count the hashed-set side broadcasts (a few tens of
+    * MB); above it the verify joins stay shuffle-hash. */
+  private val VerifyBroadcastMaxDocs = 250000L
+
   private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
     import cand.sparkSession.implicits._
     val hsets = sets.select($"doc_id", size($"sh").as("n"),
       array_sort(transform($"sh", x => xxhash64(x))).as("hv"))
-    // shuffle-hash, not sort-merge: the candidate side is the big one
-    // (millions of rows) and sorting it twice would dominate; the sets
-    // side hash-builds per partition. Not broadcast: at corpus scale the
-    // shingle-set frame is O(docs), never driver-sized.
+    // join-strategy dispatch on ONE cheap count (sets is cached by every
+    // caller): small set side -> broadcast, so the multi-million-row
+    // candidate side is never shuffled at all; large -> shuffle-hash, not
+    // sort-merge, because sorting the candidate side twice would dominate
+    // and the set side hash-builds per partition. At corpus scale the
+    // shingle-set frame is O(docs), so the broadcast arm is only taken by
+    // genuinely small inputs.
+    val bcast = sets.count() <= VerifyBroadcastMaxDocs
+    def side(k: String) = {
+      val s = hsets.select($"doc_id".as(k), $"n".as(s"n$k"), $"hv".as(s"hv$k"))
+      if (bcast) broadcast(s) else s.hint("shuffle_hash")
+    }
     cand
-      .join(hsets.select($"doc_id".as("d1"), $"n".as("n1"), $"hv".as("hv1"))
-        .hint("shuffle_hash"), "d1")
-      .join(hsets.select($"doc_id".as("d2"), $"n".as("n2"), $"hv".as("hv2"))
-        .hint("shuffle_hash"), "d2")
+      .join(side("d1"), "d1")
+      .join(side("d2"), "d2")
+      .withColumnRenamed("nd1", "n1").withColumnRenamed("hvd1", "hv1")
+      .withColumnRenamed("nd2", "n2").withColumnRenamed("hvd2", "hv2")
       .withColumn("i",
         graft.plans.VectorExpressions.sortedLongIntersectSize($"hv1", $"hv2").cast("double"))
       .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))

@@ -144,6 +144,44 @@ object TextAnalysis {
       |  CAST(list_aggregate(hs, 'sum') % 1000003 AS BIGINT) AS fingerprint
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** q44 — token-budget data mixing: the sampling step of a training-data
+    * pipeline that caps each source's contribution at a token budget.
+    * Per source, docs are taken in a DETERMINISTIC pseudo-random order
+    * (md5 of the text — identical in Spark and DuckDB, so the oracle gates
+    * the whole selection) and kept while the running whitespace-token
+    * total stays within the budget. One window over a shuffle on `source`;
+    * at corpus scale the partition key is the source and the budget bounds
+    * the OUTPUT per source regardless of input size. Heavily skewed
+    * sources would salt the hash order into sub-buckets with per-bucket
+    * sub-budgets — not needed at these SFs. */
+  def q44TokenBudgetMix(s: SparkSession, dir: String, budget: Long = 800): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"ord", $"doc_id")
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"), $"source",
+        size(tokens($"text")).cast("long").as("n_tokens"), md5($"text").as("ord"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q44Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+      |    md5(text) AS ord
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin
+
   /** q40 — sessionization (streaming-shape computed in batch): session
     * boundary = gap > 30 min; per-user session and event counts. The same
     * logic drives the Structured Streaming path (graft.streaming). */
