@@ -101,6 +101,44 @@ object Tools {
       .orderBy($"kind")
   }
 
+  /** S11 — subset extraction (`run/migration/extract_subset.py`): pull the
+    * full triple closure of a seed entity set, the standalone form of the
+    * S6 BFS. Iterative frontier-join: each round joins the frontier
+    * against the triples table on subject, collects the touched triples,
+    * and advances the frontier to unvisited URI objects, skipping the
+    * schema-ish predicates the reference's BFS also skips
+    * (`constants.py:37-40`: rdf:type, withRole, usesIdentifierScheme).
+    * Rounds are bounded by `maxDepth` (the reference's depth<=10);
+    * lineage is cut per round so plans stay flat; state per round is two
+    * narrow DataFrames (visited ids, frontier ids) — no driver-side data.
+    *
+    * @param seeds DataFrame with a single `uri` column
+    * @return the distinct triples of the closure */
+  def extractSubset(triples: DataFrame, seeds: DataFrame,
+      maxDepth: Int = 10): DataFrame = {
+    import triples.sparkSession.implicits._
+    val skip = Seq(graft.rdf.Vocab.RdfType, graft.rdf.Vocab.WithRole,
+      graft.rdf.Vocab.UsesIdentifierScheme)
+    var visited = seeds.select($"uri").distinct().localCheckpoint()
+    var frontier = visited
+    var out: DataFrame = null
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val touched = triples.join(frontier, triples("s") === frontier("uri"))
+        .drop("uri").localCheckpoint()
+      out = if (out == null) touched else out.unionByName(touched)
+      val next = touched
+        .filter(!$"p".isin(skip: _*) && $"o_datatype".isNull) // URI objects only
+        .select($"o".as("uri")).distinct()
+        .join(visited.withColumnRenamed("uri", "v"), $"uri" === $"v", "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      depth += 1
+    }
+    if (out == null) triples.limit(0) else out.distinct()
+  }
+
   /** D10 — post-hoc merge (`run/merge/entities.py`, `core/editor.py:190-276`):
     * redirect every (s,p,merged) triple to the surviving entity, move the
     * merged entities' identifiers/roles, and drop the merged subjects.

@@ -75,6 +75,61 @@ class ToolsSpec extends AnyFunSuite {
     assert(counters("br") == brCount)
   }
 
+  test("S11 subset extraction pulls the closure, skips schema edges, bounds depth") {
+    import spark.implicits._
+    val t = Seq(
+      // a -> b -> c chain of URI edges, plus literals and skipped preds
+      ("u:a", Vocab.PartOf, "u:b", null),
+      ("u:b", Vocab.PartOf, "u:c", null),
+      ("u:a", Vocab.Title, "A title", Vocab.XsdString),
+      ("u:a", Vocab.RdfType, "u:TypeClass", null),     // skipped edge
+      ("u:c", Vocab.WithRole, "u:RoleClass", null),    // skipped edge (still emitted)
+      ("u:z", Vocab.PartOf, "u:zz", null)              // unreachable
+    ).toDF("s", "p", "o", "o_datatype")
+    val seeds = Seq("u:a").toDF("uri")
+    val out = Tools.extractSubset(t, seeds).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // closure covers a, b, c (c reached through b) but never z, and the
+    // rdf:type / withRole TARGETS are not expanded (their triples ARE kept)
+    assert(out == Set(
+      ("u:a", Vocab.PartOf, "u:b"),
+      ("u:b", Vocab.PartOf, "u:c"),
+      ("u:a", Vocab.Title, "A title"),
+      ("u:a", Vocab.RdfType, "u:TypeClass"),
+      ("u:c", Vocab.WithRole, "u:RoleClass")))
+    // depth bound: from a, depth 1 stops before c's own edges
+    val shallow = Tools.extractSubset(t, seeds, maxDepth = 1).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(shallow == Set(("u:a", "u:b"), ("u:a", "A title"), ("u:a", "u:TypeClass")))
+  }
+
+  test("S5 SPARQL update emission batches deltas and round-trips the triples") {
+    import spark.implicits._
+    val adds = Seq(
+      ("u:a", Vocab.Title, "Title \"quoted\"\nline2", Vocab.XsdString),
+      ("u:a", Vocab.PartOf, "u:b", null),
+      ("u:b", Vocab.PartOf, "u:c", null)
+    ).toDF("s", "p", "o", "o_datatype")
+    val dels = Seq(("u:a", Vocab.PartOf, "u:old", null)).toDF("s", "p", "o", "o_datatype")
+    val ups = graft.rdf.SparqlUpdate.updateStrings(adds, dels, "g:main", batchTriples = 2)
+      .collect()
+    val byKind = ups.groupBy(_.getAs[String]("kind"))
+    assert(byKind("insert").nonEmpty && byKind("delete").nonEmpty)
+    assert(ups.forall(_.getAs[String]("update").contains("GRAPH <g:main>")))
+    assert(byKind("insert").forall(_.getAs[String]("update").startsWith("INSERT DATA")))
+    assert(byKind("delete").forall(_.getAs[String]("update").startsWith("DELETE DATA")))
+    // round-trip: the NT payload lines of the insert batches parse back to
+    // exactly the added triples (escaping survives)
+    val ntLines = byKind("insert").flatMap(_.getAs[String]("update").linesIterator)
+      .filter(_.endsWith(" ."))
+    val parsed = graft.rdf.Serialization.fromNTriples(ntLines.toSeq.toDF("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    val expected = adds.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)))).toSet
+    assert(parsed == expected)
+  }
+
   test("D10 post-hoc merge redirects triples to the survivor") {
     import spark.implicits._
     val triples = TriplesEmitter.emit(batch)
