@@ -57,6 +57,7 @@ object SparkEntry {
     // recall vs brute force is asserted in OperatorsSpec instead.
     "q43_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
+    "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,5 +99,6 @@ object SparkEntry {
     "q41_binary_meta" -> TA.q41Sql,
     "q42_neardup_clusters" -> Dedup.q42Sql,
     "q44_token_budget_mix" -> TA.q44Sql,
+    "q45_embedding_clusters" -> Dedup.q45Sql,
   )
 }

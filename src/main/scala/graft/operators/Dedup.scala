@@ -288,6 +288,43 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q45 oracle — connected components over the exact cosine pair set
+    * (same independent recursive-reachability shape as q42's). */
+  val q45Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |), edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON r.node = e.a
+      |), cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+      |SELECT CAST(node AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+      |FROM cc ORDER BY vec_id""".stripMargin
+
+  /** q45 — embedding near-dup CLUSTERS: [[nearDupClusters]] for the
+    * embedding modality. The oracle anchor pairs come from the exact
+    * all-pairs scan ([[embeddingCosinePairs]]); the production candidate
+    * stage is [[embeddingCosinePairsLsh]] (swap-in, same downstream CC).
+    * Same scale shape as q42: pair generation + a few narrow
+    * label-propagation shuffles. */
+  def embeddingClusters(s: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    import s.implicits._
+    val pairs = embeddingCosinePairs(s, dir, threshold)
+      .select($"v1", $"v2").localCheckpoint()
+    val membership = pairs.select($"v1".as("entity"), struct($"v1", $"v2").as("key"))
+      .union(pairs.select($"v2".as("entity"), struct($"v1", $"v2").as("key")))
+    val cc = graft.curation.ConnectedComponents.byShardKey(membership)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    cc.select($"entity".as("vec_id"), $"component".as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy($"vec_id")
+  }
+
   /** Banded-MinHash candidate pairs from a (doc_id, sh) shingle frame:
     * signature of bands*rows permutations, one bucket hash per band
     * (xxhash64 of the band's row slice, salted by the band index), then
