@@ -41,7 +41,12 @@ object SparkEntry {
     "q21_match_score" -> (TQ.q21MatchScore _),
     "q22_lsh_match_score" -> (TQ.q22LshMatchScore _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
-    "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // dfCap bounds the per-shingle candidate bucket (k docs sharing a
+    // shingle -> k^2 candidate rows): lossless at any cap >= the corpus's
+    // max useful df (measured max df = 4 at these SFs; OperatorsSpec
+    // asserts capped == uncapped), and at 100x scale it turns the one
+    // corpus-wide stop-phrase bucket from quadratic into dropped.
+    "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, dfCap = 50)),
     "q32_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q33_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q34_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),

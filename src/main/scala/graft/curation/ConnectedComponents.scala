@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param membership DataFrame with columns (entity: Long, key: any type)
+    * @param maxIter iteration bound; rounds needed = half the graph
+    *        diameter. Id-sharing graphs converge in a handful; near-dup
+    *        corpora can form long templated chains, so the default is
+    *        sized for diameter ~100 and hitting the bound THROWS rather
+    *        than silently returning split components (labels would still
+    *        be mid-propagation — every downstream dedup/merge decision
+    *        would be quietly wrong).
     * @return DataFrame (entity: Long, component: Long) — component is the
     *         min entity label of the connected group. Entities absent from
     *         `membership` are their own components (callers union them in).
     */
-  def byShardKey(membership: DataFrame, maxIter: Int = 20): DataFrame = {
+  def byShardKey(membership: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = membership.sparkSession
     import spark.implicits._
     val m = membership.select($"entity".cast("long").as("entity"), $"key")
@@ -56,6 +63,10 @@ object ConnectedComponents {
       prevSum = newSum
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — " +
+          "graph diameter exceeds 2*maxIter; raise maxIter")
     labels.select($"entity", $"label".as("component"))
   }
 }

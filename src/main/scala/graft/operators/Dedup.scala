@@ -123,19 +123,29 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
       |ORDER BY v1, v2""".stripMargin
 
-  /** Word n-gram shingle set (distinct, order-irrelevant) as a Column over a
-    * text column. Built from higher-order functions only — stays codegen'd.
-    * Documents shorter than n shingle to an empty array (dropped by dedup).
-    * Sorted ascending so the verify stage can use the zero-alloc merge
-    * kernel ([[graft.plans.VectorExpressions.SortedIntersectSize]]) — the
-    * sort is once per DOCUMENT; Jaccard, minhash, and the shared-shingle
-    * join are all order-insensitive. */
+  /** Word n-gram shingle set (distinct, order-irrelevant) as a Column over
+    * a text column — the STRING reference formulation, kept only as the
+    * independent check the ShingleKernelSpec compares the hashed pipeline
+    * against (set sizes and pairwise intersections must agree). Production
+    * paths use [[shingleHashes]]. */
   def shingles(text: Column, n: Int = 5): Column = {
     val toks = filter(split(text, " "), t => length(t) > lit(0))
     val count = greatest(size(toks) - lit(n - 1), lit(0))
     array_sort(array_distinct(transform(sequence(lit(0), count - lit(1)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
+
+  /** Sorted deduped 64-bit shingle-hash set of the word n-grams of `text`
+    * — the production shingle representation. One native kernel call per
+    * document ([[graft.plans.VectorExpressions.ShingleHashSet]]): no
+    * shingle strings are ever built, so the cached per-doc footprint is
+    * 8 B/shingle instead of a full n-token string (~10x smaller — the
+    * round-5 bench variance was traced to cached string-shingle frames).
+    * Documents with fewer than n tokens hash to an empty array (dropped by
+    * dedup, matching the string formulation). */
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    graft.plans.VectorExpressions.shingleHashSet(
+      filter(split(text, " "), t => length(t) > lit(0)), n)
 
   /** Exact duplicate groups: md5 over full text; keeps the smallest doc_id
     * as the canonical representative. */
@@ -148,66 +158,80 @@ object Dedup {
       .orderBy($"text_md5")
   }
 
-  /** Shingle-set frame: (doc_id, shingles array). Reused by the exact and
-    * LSH paths. The repartition BEFORE the shingle projection matters on
-    * small inputs: a single parquet file scans as ONE partition, which
-    * would serialize the per-doc shingle + minhash compute onto one core
-    * (measured: the q22 set build ran 3.2 s single-threaded at sf0.1); at
-    * cluster scale the scan is already many-partitioned and the exchange
-    * is a no-op-sized narrow shuffle of raw text. */
+  /** Hashed shingle-set frame: (doc_id, hv sorted array<long>). Reused by
+    * the exact and LSH paths. The repartition BEFORE the shingle
+    * projection matters on small inputs: a single parquet file scans as
+    * ONE partition, which would serialize the per-doc shingle + minhash
+    * compute onto one core (measured: the q22 set build ran 3.2 s
+    * single-threaded at sf0.1); at cluster scale the scan is already
+    * many-partitioned and the exchange is a no-op-sized narrow shuffle of
+    * raw text. */
   private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame = {
     import s.implicits._
     documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select($"doc_id".cast("long").as("doc_id"), shingles($"text", n).as("sh"))
-      .filter(size($"sh") > 0)
+      .select($"doc_id".cast("long").as("doc_id"), shingleHashes($"text", n).as("hv"))
+      .filter(size($"hv") > 0)
   }
 
   /** Exact all-pairs n-gram Jaccard >= threshold, candidates generated by
     * the shared-shingle join (a pair with J>0 shares >=1 shingle, so this
-    * loses nothing). Returns (d1, d2, jac) with d1 < d2. */
+    * loses nothing). Returns (d1, d2, jac) with d1 < d2.
+    *
+    * `dfCap > 0` drops shingles with document frequency > dfCap from
+    * CANDIDATE GENERATION only (verify still uses full sets, so jac values
+    * are unchanged for every surviving pair): a shingle in k docs
+    * contributes k^2 candidate rows, so one corpus-wide stop-phrase n-gram
+    * is a quadratic hot bucket at scale. A qualifying pair at tau=0.8
+    * shares >= 0.8/1.8 of its union — dozens of shingles for any real
+    * document — so it is lost only if EVERY shared shingle is above the
+    * cap; OperatorsSpec asserts capped == uncapped on the test corpora. */
   def ngramJaccardPairs(s: SparkSession, dir: String,
-      n: Int = 5, threshold: Double = 0.8): DataFrame = {
+      n: Int = 5, threshold: Double = 0.8, dfCap: Int = 0): DataFrame = {
     import s.implicits._
     val sets = shingleSets(s, dir, n).cache()
-    val ex = sets.select($"doc_id", explode($"sh").as("sg"))
-    val cand = ex.as("a").join(ex.as("b"),
+    val nDocs = sets.count()
+    val ex = sets.select($"doc_id", explode($"hv").as("sg"))
+    val exr = if (dfCap > 0) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"sg")
+      ex.withColumn("df", count(lit(1)).over(w)).filter($"df" <= dfCap).drop("df")
+    } else ex
+    val cand = exr.as("a").join(exr.as("b"),
         $"a.sg" === $"b.sg" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    jaccardVerify(cand, sets, threshold)
+    jaccardVerify(cand, sets, threshold, nDocs)
   }
 
-  /** Exact Jaccard for candidate pairs via two joins against the shingle
-    * sets; used as the verify stage by both the exact and LSH paths (and
-    * by TextQueries.q22's LSH-fronted bibliographic match). The kernel is
-    * the native sorted-merge intersection count (shingle arrays are sorted
-    * at build time) with |union| derived as n1 + n2 - i — measured ~2.5x
-    * faster than array_intersect + array_union on q22's 4M-candidate
-    * verify, which is the stage that dominates the LSH-fronted match.
+  /** Exact Jaccard for candidate pairs via two joins against the hashed
+    * shingle sets; used as the verify stage by both the exact and LSH
+    * paths (and by TextQueries.q22's LSH-fronted bibliographic match).
+    * The kernel is the native sorted-merge intersection count over the
+    * pre-sorted hash arrays with |union| derived as n1 + n2 - i —
+    * measured ~2.5x faster than array_intersect + array_union on q22's
+    * 4M-candidate verify, which is the stage that dominates the
+    * LSH-fronted match. The join sides shuffle 8 B/shingle (the hash
+    * arrays) — no shingle strings exist anywhere in the pipeline.
     *
-    * The pair sides carry sorted PER-ELEMENT xxhash64 arrays instead of
-    * the shingle strings: 8 B/element shuffled instead of a whole
-    * shingle, primitive compares instead of UTF8String, one sort + hash
-    * pass per DOCUMENT. A 64-bit collision would overcount the
-    * intersection by one; at ~10-40 elements/doc that is ~1e-17 per pair
-    * — immaterial even to the hash-compare oracle. */
+    * `nDocs` is the caller's one cached count of `sets` (every caller
+    * caches + counts once to materialize); taking it as a parameter keeps
+    * this from launching an extra job per invocation. */
   /** Below this doc count the hashed-set side broadcasts (a few tens of
     * MB); above it the verify joins stay shuffle-hash. */
   private val VerifyBroadcastMaxDocs = 250000L
 
-  private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      threshold: Double, nDocs: Long): DataFrame = {
     import cand.sparkSession.implicits._
-    val hsets = sets.select($"doc_id", size($"sh").as("n"),
-      array_sort(transform($"sh", x => xxhash64(x))).as("hv"))
-    // join-strategy dispatch on ONE cheap count (sets is cached by every
-    // caller): small set side -> broadcast, so the multi-million-row
-    // candidate side is never shuffled at all; large -> shuffle-hash, not
-    // sort-merge, because sorting the candidate side twice would dominate
-    // and the set side hash-builds per partition. At corpus scale the
-    // shingle-set frame is O(docs), so the broadcast arm is only taken by
-    // genuinely small inputs.
-    val bcast = sets.count() <= VerifyBroadcastMaxDocs
+    val hsets = sets.select($"doc_id", size($"hv").as("n"), $"hv")
+    // join-strategy dispatch on the caller-supplied count: small set side
+    // -> broadcast, so the multi-million-row candidate side is never
+    // shuffled at all; large -> shuffle-hash, not sort-merge, because
+    // sorting the candidate side twice would dominate and the set side
+    // hash-builds per partition. At corpus scale the shingle-set frame is
+    // O(docs), so the broadcast arm is only taken by genuinely small
+    // inputs.
+    val bcast = nDocs <= VerifyBroadcastMaxDocs
     def side(k: String) = {
       val s = hsets.select($"doc_id".as(k), $"n".as(s"n$k"), $"hv".as(s"hv$k"))
       if (bcast) broadcast(s) else s.hint("shuffle_hash")
@@ -246,9 +270,10 @@ object Dedup {
       params.map(_._1).toArray, params.map(_._2).toArray, MinhashPrime)
   }
 
-  /** Base shingle hashes folded into the 32-bit prime field. */
-  def shingleBaseHashes(sh: Column): Column =
-    transform(sh, x => pmod(xxhash64(x), lit(MinhashPrime)))
+  /** Base shingle hashes folded into the 32-bit prime field, from the
+    * hashed shingle array (per-element pmod — no string hashing). */
+  def shingleBaseHashes(hv: Column): Column =
+    transform(hv, x => pmod(x, lit(MinhashPrime)))
 
   /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
     *
@@ -260,7 +285,8 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(s, dir, n).cache()
-    jaccardVerify(lshCandidatePairs(sets, bands, rows), sets, threshold)
+    val nDocs = sets.count()
+    jaccardVerify(lshCandidatePairs(sets, bands, rows), sets, threshold, nDocs)
   }
 
   /** q42 — near-dup CLUSTERS: the dedup decision a training-data pipeline
@@ -306,11 +332,19 @@ object Dedup {
       |FROM cc ORDER BY vec_id""".stripMargin
 
   /** q45 — embedding near-dup CLUSTERS: [[nearDupClusters]] for the
-    * embedding modality. The oracle anchor pairs come from the exact
-    * all-pairs scan ([[embeddingCosinePairs]]); the production candidate
-    * stage is [[embeddingCosinePairsLsh]] (swap-in, same downstream CC).
-    * Same scale shape as q42: pair generation + a few narrow
-    * label-propagation shuffles. */
+    * embedding modality.
+    *
+    * The REGISTERED query deliberately benchmarks the ORACLE-ANCHOR shape
+    * (exact all-pairs [[embeddingCosinePairs]] feeding CC): unlike
+    * q32/q42, where minhash-LSH at J>=0.8 has ~1-5e-8 miss probability
+    * and therefore hash-matches the exact oracle, sign-LSH recall at
+    * cos>=0.45 is ~0.8 BY CONSTRUCTION ((1-(1-(1-theta/pi)^nBits)^nTables
+    * with theta~63 deg) — an LSH-fronted q45 could never pass the exact
+    * cluster oracle, and pushing the miss rate below the oracle's noise
+    * floor would take ~70 hash tables. The production swap-in is
+    * [[embeddingCosinePairsLsh]] feeding the same CC (recall-spec'd in
+    * OperatorsSpec); same scale shape as q42: pair generation + a few
+    * narrow label-propagation shuffles. */
   def embeddingClusters(s: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame = {
     import s.implicits._
@@ -342,10 +376,13 @@ object Dedup {
     * and the LSH-fronted bibliographic match (q22). */
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
-    // materialize base hashes, then signature — two narrow projections
-    val sig = sets.select($"doc_id", shingleBaseHashes($"sh").as("hs"))
-      .localCheckpoint()
-      .select($"doc_id", minhashSignature($"hs", bands, rows).as("sig"))
+    // base hashes are a per-element pmod over the already-hashed shingle
+    // array — cheap enough to inline into the signature projection (the
+    // old string pipeline needed a checkpoint here to avoid re-hashing
+    // strings twice; the banded checkpoint below still computes the
+    // signature subtree exactly once)
+    val sig = sets.select($"doc_id",
+      minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
     val banded = sig.select($"doc_id", posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))

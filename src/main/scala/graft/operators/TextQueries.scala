@@ -351,11 +351,12 @@ object TextQueries {
     // build onto one core (see Dedup.shingleSets).
     val sets = m.repartition(s.sparkContext.defaultParallelism)
       .select($"p_partkey".cast("long").as("doc_id"),
-        Dedup.shingles(record, 2).as("sh"))
-      .filter(size($"sh") > 0)
+        Dedup.shingleHashes(record, 2).as("hv"))
+      .filter(size($"hv") > 0)
       .cache()
+    val nRecords = sets.count()
     val cand = Dedup.lshCandidatePairs(sets, bands = 128, rows = 3)
-    val pairs = Dedup.jaccardVerify(cand, sets, 0.5)
+    val pairs = Dedup.jaccardVerify(cand, sets, 0.5, nRecords)
     def side(n: String) = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
     pairs
       .join(side("a"), $"d1" === $"p_partkey_a")

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Native Catalyst expressions for the vector/sketch hot paths.
@@ -21,7 +21,10 @@ object VectorExpressions {
   /** Dot product of two array<double> columns — the cosine kernel.
     * Null if either side is null; assumes equal lengths (extra elements on
     * the longer side are ignored). */
-  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -57,8 +60,10 @@ object VectorExpressions {
     * over all hashes. Replaces bands*rows separate `aggregate` calls that
     * each re-iterate the hash array. */
   case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
-      extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends Expression with ExpectsInputTypes
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
     override def children: Seq[Expression] = Seq(child)
+    override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
@@ -87,72 +92,46 @@ object VectorExpressions {
       copy(child = c.head)
   }
 
-  /** |A intersect B| for two SORTED, DEDUPED array<string> columns — the
-    * exact-Jaccard verify kernel (jac = i / (|A| + |B| - i)). A single
-    * merge pass over UTF8String elements with zero allocation, vs
-    * `array_intersect`/`array_union` which each build a hash set and
-    * materialize a result array per row-pair; on a multi-million-pair
-    * candidate verify that difference dominates the stage. Callers sort
-    * once per DOCUMENT (array_sort at shingle-set build), so the per-PAIR
-    * cost drops from two O(n) hash builds + allocs to one O(n) compare
-    * loop. Inputs must be sorted ascending in UTF8 binary order (Spark's
-    * array_sort order for strings) — unsorted input silently undercounts.
-    */
-  case class SortedIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
-    override def dataType: DataType = IntegerType
+  /** Sorted deduped 64-bit shingle-hash set straight from a token array —
+    * the whole shingle pipeline (n-gram materialization, dedup, sort,
+    * per-shingle hash) as ONE codegen'd call into [[ShingleKernel]].
+    * Replaces the `array_sort(array_distinct(transform(... concat_ws ...)))`
+    * string formulation whose cached frames dominated bench-time storage
+    * (round-5 q31/q32 variance). Output feeds [[SortedLongIntersectSize]]
+    * (Jaccard verify), minhash base hashing, and the shared-shingle
+    * candidate join directly. */
+  case class ShingleHashSet(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      val m = y.numElements()
-      var i = 0; var j = 0; var c = 0
-      while (i < n && j < m) {
-        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-        if (cmp == 0) { c += 1; i += 1; j += 1 }
-        else if (cmp < 0) i += 1
-        else j += 1
-      }
-      c
-    }
+    override def nullSafeEval(v: Any): Any =
+      ShingleKernel.hashSet(v.asInstanceOf[ArrayData], n)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val i = ctx.freshName("i")
-        val j = ctx.freshName("j")
-        val c = ctx.freshName("c")
-        val n = ctx.freshName("n")
-        val m = ctx.freshName("m")
-        val cmp = ctx.freshName("cmp")
-        s"""
-           |int $n = $a.numElements();
-           |int $m = $b.numElements();
-           |int $i = 0; int $j = 0; int $c = 0;
-           |while ($i < $n && $j < $m) {
-           |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-           |  if ($cmp == 0) { $c++; $i++; $j++; }
-           |  else if ($cmp < 0) { $i++; } else { $j++; }
-           |}
-           |${ev.value} = $c;
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.ShingleKernel.hashSet($a, $n);")
 
-    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-      copy(left = l, right = r)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  def sortedIntersectSize(a: Column, b: Column): Column =
-    ColumnBridge.column(SortedIntersectSize(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def shingleHashSet(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(tokens), n))
 
-  /** [[SortedIntersectSize]] for sorted array<long> — used when the caller
-    * pre-hashes set elements to 64-bit values (xxhash64 per element, sorted
-    * once per document), shrinking both the shuffled bytes (8 B/element vs
-    * a full shingle string) and the per-pair compare cost (primitive long
-    * vs UTF8String). 64-bit collisions would overcount by one; at ~14
-    * elements/doc the probability is ~1e-17 per pair — below any oracle's
-    * noise floor. */
-  case class SortedLongIntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  /** |A intersect B| for SORTED array<long> columns — the exact-Jaccard
+    * verify kernel (jac = i / (|A| + |B| - i)): one zero-allocation merge
+    * pass over primitive longs per row-pair, vs `array_intersect` +
+    * `array_union` which each build a hash set and materialize a result
+    * array; on a multi-million-pair candidate verify that difference
+    * dominates the stage. Callers sort once per DOCUMENT (inside
+    * [[ShingleHashSet]]); unsorted input silently undercounts. 64-bit
+    * collisions would overcount by one; at ~14-40 elements/doc the
+    * probability is ~1e-17 per pair — below any oracle's noise floor. */
+  case class SortedLongIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = IntegerType
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -206,7 +185,8 @@ object VectorExpressions {
     * ops instead of O(text * band) DP cells for patterns <= 64 chars.
     * `threshold < 0` means unbounded. */
   case class BitParallelLevenshtein(left: Expression, right: Expression, threshold: Int)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
     override def dataType: DataType = IntegerType
 
     override def nullSafeEval(a: Any, b: Any): Any =

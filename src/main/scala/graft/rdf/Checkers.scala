@@ -156,6 +156,35 @@ object Checkers {
         concat(lit("object "), $"o", lit(" of "), $"p", lit(" is not an IRI"))))
   }
 
+  /** check 7 — misplaced editor ARs (`run/patches/
+    * fix_misplaced_editor_ars.py:99-338` detection pass): an editor AR
+    * hanging off a BR whose type is in CONTAINER_EDITOR_TYPES
+    * (constants.py:60-68) violates D7 — editors of such types belong on
+    * the frbr:partOf container. Pure equi-joins over the predicate
+    * slices; [[Fixers.fixMisplacedEditorArs]] is the repair. */
+  def misplacedEditorArs(triples: DataFrame): DataFrame = {
+    import triples.sparkSession.implicits._
+    val containerClasses = graft.curation.Validation.ContainerEditorTypes
+      .toSeq.flatMap(Vocab.TypeLabelToClass.get).sorted
+    val editorArs = triples
+      .filter($"p" === Vocab.WithRole && $"o" === Vocab.Pro + "editor")
+      .select($"s".as("ar"))
+    val contentBrs = triples
+      .filter($"p" === Vocab.RdfType && $"o".isin(containerClasses: _*))
+      .select($"s".as("content")).distinct()
+      // only contents WITH a container can host the violation (the
+      // reference scans `frbr_part_of`-bearing entities only)
+      .join(triples.filter($"p" === Vocab.PartOf).select($"s".as("content")),
+        Seq("content"), "left_semi")
+    val bad = triples.filter($"p" === Vocab.IsDocumentContextFor)
+      .select($"s".as("content"), $"o".as("ar"))
+      .join(contentBrs, Seq("content"))
+      .join(editorArs, Seq("ar"))
+    violation(bad, "misplaced_editor_ar", $"ar",
+      concat(lit("editor AR on content "), $"content",
+        lit(" instead of its container")))
+  }
+
   /** The full report — union of every check; empty == the batch passes. */
   def checkAll(rows: DataFrame, triples: DataFrame, prov: DataFrame): DataFrame =
     Seq(
@@ -165,6 +194,7 @@ object Checkers {
       missingProvenance(triples, prov),
       openSnapshotInvariant(prov),
       invalidDatatypes(triples),
+      misplacedEditorArs(triples),
     ).reduce(_ unionByName _)
 
   // ==== post-merge audit =================================================

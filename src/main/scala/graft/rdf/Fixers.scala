@@ -176,6 +176,186 @@ object Fixers {
     PartOfFixResult(Editor.deleteProperty(triples, prov, deletes, generatedAt), manual)
   }
 
+  /** One candidate row for the per-container editor-dedup fold: a
+    * misplaced content AR (existing=false) or one of the container's own
+    * editor ARs (existing=true, seeds the known sets). */
+  final case class EditorArCand(container: String, content: String,
+      ar: String, ra: String, ids: Seq[String], name: String, existing: Boolean)
+
+  /** Classification output, mirroring the reference report rows
+    * (fix_misplaced_editor_ars.py:247-257). */
+  final case class EditorArCase(container: String, content: String,
+      ar: String, ra: String, action: String, match_reason: String)
+
+  final case class MisplacedEditorFixResult(
+      triples: DataFrame,
+      prov: DataFrame,
+      /** (container, content, ar, ra, action, match_reason) — the tool's
+        * dry-run report, action in {move, skip_duplicate_ra,
+        * skip_duplicate_id, skip_duplicate_name}. */
+      cases: DataFrame)
+
+  /** `run/patches/fix_misplaced_editor_ars.py`: editor ARs attached to a
+    * content BR whose type is in CONTAINER_EDITOR_TYPES (the D7 rule —
+    * editors of book chapters/proceedings articles/… belong on the
+    * frbr:partOf container) are MOVED to the container, unless the
+    * container already has an editor with the same RA, a shared external
+    * identifier, or the same normalized name — those are duplicates and
+    * are deleted (the reference's skip_duplicate_{ra,id,name} actions,
+    * `_classify_actions` lines 203-258). Moved ARs are appended to the
+    * container's hasNext chain (first existing chain-tail -> first moved
+    * -> ...), in (content, ar) order per container like the reference's
+    * sorted iteration.
+    *
+    * The reference's five multiprocess file-scan passes collapse into
+    * predicate-slice equi-joins over the triples table; the only
+    * sequential piece — the known-RA/id/name sets growing as ARs move —
+    * is a per-container fold over a handful of editors, run as
+    * groupByKey(container).flatMapGroups (bounded group size, one
+    * shuffle). Like the reference, inbound references to moved ARs other
+    * than the content attachment are left untouched, and the
+    * resumed-run arm that re-creates ARs missing from the content
+    * (fix_container lines 549-556) has no equivalent: detection and fix
+    * run in one transaction here, so a case AR is always still on its
+    * content. */
+  def fixMisplacedEditorArs(triples: DataFrame, prov: DataFrame,
+      generatedAt: String): MisplacedEditorFixResult = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    def edges(pred: String) = triples.filter($"p" === pred).select($"s", $"o")
+    val containerClasses = graft.curation.Validation.ContainerEditorTypes
+      .toSeq.flatMap(Vocab.TypeLabelToClass.get).sorted
+
+    val editorArRa = edges(Vocab.WithRole).filter($"o" === Vocab.Pro + "editor")
+      .select($"s".as("ar"))
+      .join(edges(Vocab.IsHeldBy).select($"s".as("ar"), $"o".as("ra")), Seq("ar"))
+    val contentBrs = edges(Vocab.RdfType)
+      .filter($"o".isin(containerClasses: _*)).select($"s".as("content")).distinct()
+    val partOf = edges(Vocab.PartOf).select($"s".as("content"), $"o".as("container"))
+    val dcf = edges(Vocab.IsDocumentContextFor)
+
+    // misplaced: editor ARs on typed contents that have a container
+    val misplaced = dcf.select($"s".as("content"), $"o".as("ar"))
+      .join(contentBrs, Seq("content"))
+      .join(editorArRa, Seq("ar"))
+      .join(partOf, Seq("content"))
+      .localCheckpoint()
+    // the affected containers' own (already-correct) editor ARs
+    val containerArs = dcf.select($"s".as("container"), $"o".as("ar"))
+      .join(misplaced.select($"container").distinct(), Seq("container"), "left_semi")
+      .join(editorArRa, Seq("ar"))
+      .localCheckpoint()
+
+    // RA identifiers (scheme:value) and normalized names, only for RAs in
+    // play (the reference's targeted RA/ID scan passes)
+    val ras = misplaced.select($"ra").union(containerArs.select($"ra")).distinct()
+    val raIds = edges(Vocab.HasIdentifier).select($"s".as("ra"), $"o".as("id_ent"))
+      .join(ras, Seq("ra"), "left_semi")
+      .join(edges(Vocab.UsesIdentifierScheme)
+        .select($"s".as("id_ent"), substring_index($"o", "/", -1).as("scheme")),
+        Seq("id_ent"))
+      .join(triples.filter($"p" === Vocab.HasLiteralValue)
+        .select($"s".as("id_ent"), $"o".as("value")), Seq("id_ent"))
+      .groupBy($"ra")
+      .agg(collect_set(concat($"scheme", lit(":"), $"value")).as("ids"))
+    def firstLit(p: String, n: String) = triples.filter($"p" === p)
+      .groupBy($"s".as("ra")).agg(min($"o").as(n))
+    val raName = ras
+      .join(firstLit(Vocab.FoafFamilyName, "family"), Seq("ra"), "left")
+      .join(firstLit(Vocab.FoafGivenName, "given"), Seq("ra"), "left")
+      .join(firstLit(Vocab.FoafName, "full_name"), Seq("ra"), "left")
+      .select($"ra",
+        when(length($"family") > 0,
+          when(length($"given") > 0, lower(concat($"family", lit(", "), $"given")))
+            .otherwise(lower($"family")))
+          .otherwise(coalesce(lower($"full_name"), lit(""))).as("name"))
+    val raInfo = ras.join(raIds, Seq("ra"), "left").join(raName, Seq("ra"), "left")
+      .select($"ra",
+        coalesce($"ids", array().cast("array<string>")).as("ids"),
+        coalesce($"name", lit("")).as("name"))
+
+    val cands = misplaced.join(raInfo, Seq("ra"))
+      .select($"container", $"content", $"ar", $"ra", $"ids", $"name",
+        lit(false).as("existing"))
+      .unionByName(containerArs.join(raInfo, Seq("ra"))
+        .select($"container", lit("").as("content"), $"ar", $"ra", $"ids",
+          $"name", lit(true).as("existing")))
+      .as[EditorArCand]
+
+    val cases = cands.groupByKey(_.container).flatMapGroups { (container, it) =>
+      val all = it.toSeq
+      val knownRas = scala.collection.mutable.Set.empty[String]
+      val knownIds = scala.collection.mutable.Set.empty[String]
+      val knownNames = scala.collection.mutable.Set.empty[String]
+      for (e <- all if e.existing) {
+        knownRas += e.ra; knownIds ++= e.ids
+        if (e.name.nonEmpty) knownNames += e.name
+      }
+      all.filterNot(_.existing).sortBy(c => (c.content, c.ar)).map { c =>
+        if (knownRas(c.ra))
+          EditorArCase(container, c.content, c.ar, c.ra, "skip_duplicate_ra", c.ra)
+        else {
+          val shared = c.ids.filter(knownIds).sorted
+          if (shared.nonEmpty)
+            EditorArCase(container, c.content, c.ar, c.ra, "skip_duplicate_id", shared.head)
+          else if (c.name.nonEmpty && knownNames(c.name))
+            EditorArCase(container, c.content, c.ar, c.ra, "skip_duplicate_name", c.name)
+          else {
+            knownRas += c.ra; knownIds ++= c.ids
+            if (c.name.nonEmpty) knownNames += c.name
+            EditorArCase(container, c.content, c.ar, c.ra, "move", null)
+          }
+        }
+      }
+    }.toDF().localCheckpoint()
+
+    val nullS = lit(null).cast("string")
+    // deletes: every case AR loses its content attachment and its outgoing
+    // hasNext (remove_contributor + remove_next, fix_container:533-537)
+    val delContentEdge = cases.select($"content".as("s"),
+      lit(Vocab.IsDocumentContextFor).as("p"), $"ar".as("o"))
+    val delHasNext = triples.filter($"p" === Vocab.HasNext)
+      .join(cases.select($"ar".as("s")).distinct(), Seq("s"), "left_semi")
+      .select($"s", $"p", $"o")
+    // adds: container attachment per move + chain edges (fix_container:
+    // 558-568: the first existing chain-tail links to the first moved AR,
+    // moved ARs chain in classification order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"container").orderBy($"content", $"ar")
+    val moved = cases.filter($"action" === "move")
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint()
+    val addContainerEdge = moved.select($"container".as("s"),
+      lit(Vocab.IsDocumentContextFor).as("p"), $"ar".as("o"))
+    val chainWithin = moved.as("a").join(moved.as("b"),
+        $"a.container" === $"b.container" && $"b.rn" === $"a.rn" + 1)
+      .select($"a.ar".as("s"), lit(Vocab.HasNext).as("p"), $"b.ar".as("o"))
+    val arsWithNext = triples.filter($"p" === Vocab.HasNext)
+      .select($"s".as("ar")).distinct()
+    val tails = containerArs.join(arsWithNext, Seq("ar"), "left_anti")
+      .groupBy($"container").agg(min($"ar").as("tail"))
+    val chainHead = moved.filter($"rn" === 1)
+      .join(tails, Seq("container"))
+      .select($"tail".as("s"), lit(Vocab.HasNext).as("p"), $"ar".as("o"))
+
+    val edits = delContentEdge.unionByName(delHasNext)
+      .select($"s", $"p", $"o", nullS.as("o_datatype"),
+        nullS.as("o_new"), nullS.as("o_new_datatype"))
+      .unionByName(
+        addContainerEdge.unionByName(chainWithin).unionByName(chainHead)
+          .select($"s", $"p", nullS.as("o"), nullS.as("o_datatype"),
+            col("o").as("o_new"), nullS.as("o_new_datatype")))
+    val r1 = Editor.replaceValues(triples, prov, edits, generatedAt)
+    // duplicate ARs are purged (mark_as_to_be_deleted, fix_container:
+    // 539-542) unless the very same AR already hangs on the container
+    val skipArs = cases.filter($"action" =!= "move")
+      .join(containerArs.select($"container", $"ar"), Seq("container", "ar"),
+        "left_anti")
+      .select($"ar".as("s")).distinct()
+    val r2 = Editor.deleteEntities(r1.triples, r1.prov, skipArs, generatedAt)
+    MisplacedEditorFixResult(r2.triples, r2.prov, cases)
+  }
+
   /** `run/patches/has_next.py` (the repair arm): diff the store's hasNext
     * edges against [[ChainAnomalies.repairPlan]]'s canonical chains and
     * apply the difference — drop every edge not in the plan, insert every

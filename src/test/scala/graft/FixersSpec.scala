@@ -129,6 +129,123 @@ class FixersSpec extends AnyFunSuite {
     assert(manual.toSeq == Seq(br2))
   }
 
+  test("fixMisplacedEditorArs moves editors to the container and dedups by ra/id/name") {
+    import spark.implicits._
+    val u = Vocab.uri _
+    val nil = null.asInstanceOf[String]
+    val str = Vocab.XsdString
+    val book = "http://purl.org/spar/fabio/Book"
+    val chapter = "http://purl.org/spar/fabio/BookChapter"
+    val orcidScheme = "http://purl.org/spar/datacite/orcid"
+    // container book with one existing editor (ra/0611, orcid O1, "smith,
+    // john"); two chapters carrying four misplaced editor ARs: one genuinely
+    // new (move), one with the container's RA (skip_duplicate_ra), one with
+    // a different RA sharing orcid O1 (skip_duplicate_id), one sharing only
+    // the normalized name (skip_duplicate_name)
+    val t = Seq(
+      (u("br/06100"), Vocab.RdfType, book, nil),
+      (u("br/06101"), Vocab.RdfType, chapter, nil),
+      (u("br/06101"), Vocab.PartOf, u("br/06100"), nil),
+      (u("br/06102"), Vocab.RdfType, chapter, nil),
+      (u("br/06102"), Vocab.PartOf, u("br/06100"), nil),
+      // container's own editor
+      (u("br/06100"), Vocab.IsDocumentContextFor, u("ar/06100"), nil),
+      (u("ar/06100"), Vocab.RdfType, Vocab.RoleInTime, nil),
+      (u("ar/06100"), Vocab.WithRole, Vocab.Pro + "editor", nil),
+      (u("ar/06100"), Vocab.IsHeldBy, u("ra/0611"), nil),
+      // chapter 1: move + duplicate-RA, chained to exercise hasNext removal
+      (u("br/06101"), Vocab.IsDocumentContextFor, u("ar/06111"), nil),
+      (u("br/06101"), Vocab.IsDocumentContextFor, u("ar/06112"), nil),
+      (u("ar/06111"), Vocab.RdfType, Vocab.RoleInTime, nil),
+      (u("ar/06111"), Vocab.WithRole, Vocab.Pro + "editor", nil),
+      (u("ar/06111"), Vocab.IsHeldBy, u("ra/0612"), nil),
+      (u("ar/06111"), Vocab.HasNext, u("ar/06112"), nil),
+      (u("ar/06112"), Vocab.RdfType, Vocab.RoleInTime, nil),
+      (u("ar/06112"), Vocab.WithRole, Vocab.Pro + "editor", nil),
+      (u("ar/06112"), Vocab.IsHeldBy, u("ra/0611"), nil),
+      // chapter 2: duplicate-id + duplicate-name
+      (u("br/06102"), Vocab.IsDocumentContextFor, u("ar/06121"), nil),
+      (u("br/06102"), Vocab.IsDocumentContextFor, u("ar/06122"), nil),
+      (u("ar/06121"), Vocab.RdfType, Vocab.RoleInTime, nil),
+      (u("ar/06121"), Vocab.WithRole, Vocab.Pro + "editor", nil),
+      (u("ar/06121"), Vocab.IsHeldBy, u("ra/0614"), nil),
+      (u("ar/06122"), Vocab.RdfType, Vocab.RoleInTime, nil),
+      (u("ar/06122"), Vocab.WithRole, Vocab.Pro + "editor", nil),
+      (u("ar/06122"), Vocab.IsHeldBy, u("ra/0615"), nil),
+      // responsible agents
+      (u("ra/0611"), Vocab.RdfType, Vocab.FoafAgent, nil),
+      (u("ra/0611"), Vocab.FoafFamilyName, "Smith", str),
+      (u("ra/0611"), Vocab.FoafGivenName, "John", str),
+      (u("ra/0611"), Vocab.HasIdentifier, u("id/0611"), nil),
+      (u("ra/0612"), Vocab.RdfType, Vocab.FoafAgent, nil),
+      (u("ra/0612"), Vocab.FoafFamilyName, "Doe", str),
+      (u("ra/0612"), Vocab.FoafGivenName, "Jane", str),
+      (u("ra/0612"), Vocab.HasIdentifier, u("id/0612"), nil),
+      (u("ra/0614"), Vocab.RdfType, Vocab.FoafAgent, nil),
+      (u("ra/0614"), Vocab.FoafFamilyName, "Schmidt", str),
+      (u("ra/0614"), Vocab.HasIdentifier, u("id/0614"), nil),
+      (u("ra/0615"), Vocab.RdfType, Vocab.FoafAgent, nil),
+      (u("ra/0615"), Vocab.FoafFamilyName, "Smith", str),
+      (u("ra/0615"), Vocab.FoafGivenName, "John", str),
+      // identifier entities: id/0611 and id/0614 carry the SAME orcid
+      (u("id/0611"), Vocab.RdfType, Vocab.IdentifierClass, nil),
+      (u("id/0611"), Vocab.UsesIdentifierScheme, orcidScheme, nil),
+      (u("id/0611"), Vocab.HasLiteralValue, "0000-0001-5000-0007", str),
+      (u("id/0612"), Vocab.RdfType, Vocab.IdentifierClass, nil),
+      (u("id/0612"), Vocab.UsesIdentifierScheme, orcidScheme, nil),
+      (u("id/0612"), Vocab.HasLiteralValue, "0000-0002-1825-0097", str),
+      (u("id/0614"), Vocab.RdfType, Vocab.IdentifierClass, nil),
+      (u("id/0614"), Vocab.UsesIdentifierScheme, orcidScheme, nil),
+      (u("id/0614"), Vocab.HasLiteralValue, "0000-0001-5000-0007", str),
+    ).toDF("s", "p", "o", "o_datatype").localCheckpoint()
+    val prefix = Vocab.BaseIri + "/"
+    val seedProv = t
+      .select(expr(s"substring(s, ${prefix.length + 1})").as("entity")).distinct()
+      .select($"entity", lit(1L).as("snapshot_n"), lit(T0).as("generated_at"),
+        lit(nil).as("invalidated_at"),
+        array().cast("array<string>").as("derived_from"),
+        lit("Entity created").as("description"),
+        lit("https://w3id.org/oc/meta/prov/pa/1").as("attributed_to"))
+      .localCheckpoint()
+    val emptyRows = Seq.empty[(String, String, String, String, String)]
+      .toDF("id", "author", "editor", "publisher", "venue")
+
+    assert(fired(Checkers.misplacedEditorArs(t)) == Set("misplaced_editor_ar"))
+    assert(Checkers.misplacedEditorArs(t).count() == 4)
+    val r = Fixers.fixMisplacedEditorArs(t, seedProv, T1)
+    val after = r.triples.localCheckpoint()
+
+    // classification matches the reference's action set
+    val actions = r.cases.select($"ar", $"action", $"match_reason")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+    assert(actions == Set(
+      (u("ar/06111"), "move", null),
+      (u("ar/06112"), "skip_duplicate_ra", u("ra/0611")),
+      (u("ar/06121"), "skip_duplicate_id", "orcid:0000-0001-5000-0007"),
+      (u("ar/06122"), "skip_duplicate_name", "smith, john")))
+    // moved AR now hangs on the container, appended to the existing chain
+    val containerArsAfter = after
+      .filter($"s" === u("br/06100") && $"p" === Vocab.IsDocumentContextFor)
+      .select($"o").as[String].collect().toSet
+    assert(containerArsAfter == Set(u("ar/06100"), u("ar/06111")))
+    assert(after.filter($"s" === u("ar/06100") && $"p" === Vocab.HasNext)
+      .select($"o").as[String].collect().toSeq == Seq(u("ar/06111")))
+    // contents carry no ARs any more; duplicate ARs are purged entirely
+    assert(after.filter($"p" === Vocab.IsDocumentContextFor &&
+      $"s".isin(u("br/06101"), u("br/06102"))).count() == 0)
+    assert(after.filter($"s".isin(u("ar/06112"), u("ar/06121"), u("ar/06122")))
+      .count() == 0)
+    // the whole store passes the full audit afterwards
+    assert(Checkers.misplacedEditorArs(after).isEmpty)
+    val report = Checkers.checkAll(emptyRows, after, r.prov)
+    assert(report.isEmpty, report.collect().take(10).mkString("\n"))
+    // purged ARs got closed deletion snapshots, moved entities open ones
+    assert(r.prov.filter($"entity" === "ar/06112" &&
+      $"description" === "Entity deleted" && $"invalidated_at".isNotNull).count() == 1)
+    assert(r.prov.filter($"entity" === "br/06100" && $"invalidated_at".isNull &&
+      $"description" === "Entity modified").count() == 1)
+  }
+
   test("fixHasNextChains repairs corrupted chains and leaves healthy ones") {
     import spark.implicits._
     // corrupt one chain: drop a real edge, add a self-loop

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Direct property tests for the sorted-merge intersection kernels: the
-  * oracle queries exercise them end-to-end, but these pin the contract
-  * (equality with array_intersect on sorted deduped inputs) against
-  * regressions independently of any query's data distribution. */
+/** Direct property tests for the native shingle/intersection kernels: the
+  * oracle queries exercise them end-to-end, but these pin the contracts
+  * (hash-set equivalence with the string-shingle formulation; equality
+  * with array_intersect on sorted deduped inputs) against regressions
+  * independently of any query's data distribution. */
 class IntersectKernelSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -14,20 +15,6 @@ class IntersectKernelSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
-
-  test("SortedIntersectSize equals size(array_intersect) on random sorted string sets") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val rnd = new scala.util.Random(5)
-    def randSet() = Seq.fill(rnd.nextInt(30))(
-      Seq.fill(rnd.nextInt(6) + 1)(('a' + rnd.nextInt(4)).toChar).mkString)
-      .distinct.sorted
-    val rows = Seq.fill(500)((randSet(), randSet()))
-    val df = rows.toDF("a", "b")
-      .withColumn("expected", size(array_intersect($"a", $"b")))
-      .withColumn("got", graft.plans.VectorExpressions.sortedIntersectSize($"a", $"b"))
-    assert(df.filter($"expected" =!= $"got").count() == 0)
-  }
 
   test("SortedLongIntersectSize equals size(array_intersect) on random sorted long sets") {
     import spark.implicits._
@@ -45,5 +32,36 @@ class IntersectKernelSpec extends AnyFunSuite {
       .withColumn("got", graft.plans.VectorExpressions.sortedLongIntersectSize($"a", $"b"))
       .select($"got").as[Int].collect().toSeq
     assert(edge == Seq(0, 2))
+  }
+
+  /** The hashed shingle pipeline must be set-equivalent to the string
+    * formulation: same per-doc cardinality, same pairwise intersection
+    * size (collisions would break the Jaccard oracle; this pins it on a
+    * corpus with heavy cross-row overlap, where collisions would bite). */
+  test("ShingleHashSet matches string-shingle sets: sizes and pairwise intersections") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("the", "a", "cat", "dog", "sat", "on", "mat", "ran", "big", "red")
+    // >= 5 tokens: the string formulation errors on shorter docs (slice
+    // start 0 via sequence(0,-1)) — prod filtered those before round 6;
+    // the kernel's own short-doc behavior is pinned in the edge test below
+    def randText() = Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(300)(i => (i.toLong, randText())).toDF("doc_id", "text")
+    for (n <- Seq(2, 5)) {
+      val both = docs.select($"doc_id",
+        graft.operators.Dedup.shingles($"text", n).as("sh"),
+        graft.operators.Dedup.shingleHashes($"text", n).as("hv"))
+      assert(both.filter(size($"sh") =!= size($"hv")).count() == 0, s"n=$n sizes")
+      val pairs = both.as("a").crossJoin(both.as("b"))
+        .withColumn("si", size(array_intersect($"a.sh", $"b.sh")))
+        .withColumn("hi", graft.plans.VectorExpressions.sortedLongIntersectSize($"a.hv", $"b.hv"))
+      assert(pairs.filter($"si" =!= $"hi").count() == 0, s"n=$n intersections")
+    }
+    // short-doc edge: fewer than n tokens -> empty hash set
+    val short = Seq((0L, "one two")).toDF("doc_id", "text")
+      .select(graft.operators.Dedup.shingleHashes($"text", 5).as("hv"))
+      .select(size($"hv")).as[Int].collect().head
+    assert(short == 0)
   }
 }

@@ -20,6 +20,15 @@ class OperatorsSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
+  test("df-capped candidate generation equals uncapped (cap above corpus max df)") {
+    val uncapped = Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(spark, dir, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs (full recall at tau=0.8)") {
     val exact = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
