@@ -171,10 +171,13 @@ object StoreCurator {
     // D6 silencer: a silenced role with a store sequence ignores the
     // batch's agents entirely (curator.py:661-662) — no matching, no id
     // union, batch ARs dropped.
-    val silencedKeys = (
-      if (silencedRoles.isEmpty) storeSeqAll.limit(0)
+    // (no checkpoint for the empty-set fast path — limit(0) is free to
+    // recompute and the checkpoint job is pure overhead per run)
+    val silencedKeys =
+      if (silencedRoles.isEmpty)
+        storeSeqAll.limit(0).select($"br_meta", $"role")
       else storeSeqAll.filter($"role".isin(silencedRoles.toSeq: _*))
-    ).select($"br_meta", $"role").distinct().localCheckpoint()
+        .select($"br_meta", $"role").distinct().localCheckpoint()
     val batchSeqRoles = fresh.roles
       .join(brMap.withColumnRenamed("from_meta", "br_meta"), Seq("br_meta"))
       .join(silencedKeys.withColumnRenamed("br_meta", "to_meta"),
@@ -278,15 +281,31 @@ object StoreCurator {
       .withColumn("kind", substring_index($"meta", "/", 1))
       .withColumn("temp_n", tempN($"meta"))
       .localCheckpoint()
-    val kinds = fresh2.select($"kind").distinct().as[String].collect().toSeq.sorted
+    // ONE size probe for the whole dispatch (the per-kind loop used to
+    // collect the kind list + run a count and a sequence job per kind —
+    // ~12 driver round trips per update where one suffices). Small
+    // batches take a single LAZY kind-partitioned window (per-kind dense
+    // numbering in one narrow shuffle that folds into the downstream
+    // mapping join); corpus-scale batches keep the per-kind distributed
+    // zipWithIndex so no kind funnels through one task.
+    val offMap = typedLit(Map(offsets.toSeq: _*))
     val renumberMap =
-      if (kinds.isEmpty)
-        fresh2.select($"meta".as("from_meta"), $"meta".as("to_meta")).limit(0)
-      else kinds.map { k =>
-        Sequencing.globalSequenceAuto(fresh2.filter($"kind" === k), Seq($"temp_n"), "rk", offsets(k))
+      if (fresh2.count() <= Sequencing.LazyWindowMaxRows) {
+        val w = Window.partitionBy($"kind").orderBy($"temp_n")
+        fresh2.withColumn("rk",
+            row_number().over(w).cast("long") +
+              coalesce(element_at(offMap, $"kind"), lit(0L)))
           .select($"meta".as("from_meta"),
             concat($"kind", lit("/" + prefix), $"rk").as("to_meta"))
-      }.reduce(_ unionByName _)
+      } else {
+        val kinds = fresh2.select($"kind").distinct().as[String].collect().toSeq.sorted
+        kinds.map { k =>
+          Sequencing.globalSequenceDistributed(
+            fresh2.filter($"kind" === k), Seq($"temp_n"), "rk", offsets(k))
+            .select($"meta".as("from_meta"),
+              concat($"kind", lit("/" + prefix), $"rk").as("to_meta"))
+        }.reduce(_ unionByName _)
+      }
     // total rewrite mapping; identity for any meta not present
     val m = adoptAll.unionByName(renumberMap).localCheckpoint()
 
