@@ -61,6 +61,10 @@ object SparkEntry {
     // q43 is approximate by construction (IVF ANN) — no SQL oracle;
     // recall vs brute force is asserted in OperatorsSpec instead.
     "q43_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // q43_exact drives the SAME IVF machinery (assignment scan, probe
+    // join, within-cell top-k) with a deterministic SQL-expressible seed
+    // quantizer, so the driver hash-gates it like every other operator.
+    "q43_ann_ivf_exact" -> ((s, d) => Similarity.ivfTopKExact(s, d)),
     "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
     "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
   )
@@ -103,6 +107,7 @@ object SparkEntry {
     "q40_sessionize" -> TA.q40Sql,
     "q41_binary_meta" -> TA.q41Sql,
     "q42_neardup_clusters" -> Dedup.q42Sql,
+    "q43_ann_ivf_exact" -> Similarity.q43ExactSql,
     "q44_token_budget_mix" -> TA.q44Sql,
     "q45_embedding_clusters" -> Dedup.q45Sql,
   )

@@ -188,6 +188,80 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** q43_exact oracle — the deterministic-seed IVF below is exact within
+    * its probed cells, so DuckDB can replay it: same seed list (the first
+    * `nlist` vectors), same argmax assignment with index tie-break, same
+    * top-`nprobe` probe list, exact top-k inside the probed union. */
+  val q43ExactSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT e.vec_id, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |    FROM e, seeds s) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, c AS cluster FROM (
+      |    SELECT e.vec_id, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |    FROM e, seeds s WHERE e.vec_id < 10) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probes p JOIN assign a USING (cluster)
+      |  WHERE a.vec_id <> p.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    list_cosine_similarity(ev.v, qv.v) AS cos
+      |  FROM cand c JOIN e ev ON ev.vec_id = c.neighbor_id
+      |    JOIN e qv ON qv.vec_id = c.query_id),
+      |r AS (SELECT *, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+      |  CAST(neighbor_id AS BIGINT) AS neighbor_id, round(cos, 6) AS cos
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Driver-gated IVF variant: identical plan shape to [[ivfTopK]] (argmax
+    * assignment scan with literal centroids, probe join, windowed top-k)
+    * but the coarse quantizer is fully deterministic AND SQL-expressible —
+    * the seed centroids are the first `nlist` corpus vectors instead of
+    * k-means output, so the DuckDB oracle ([[q43ExactSql]]) can replay the
+    * whole computation and hash-match it. [[ivfTopK]] (trained centroids,
+    * recall-gated in the spec) stays the production quantizer; this
+    * variant proves the IVF machinery — assignment, probe selection,
+    * within-cell exact scoring — against an independent engine. */
+  def ivfTopKExact(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    // seed centroids: nlist x dim — index metadata by construction
+    val cents: Array[Array[Double]] = e.filter($"vec_id" < nlist).orderBy($"vec_id")
+      .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
+    // probe list sorted by (cos desc, centroid index asc) — the oracle's
+    // tie-break, and the same first-max rule nearestCentroid applies
+    val probed = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+      .withColumn("cdots", array(cents.indices.map(c =>
+        struct((-dot($"qv", array(cents(c).map(lit): _*))).as("d"), lit(c).as("c"))): _*))
+      .withColumn("probe", slice(array_sort($"cdots"), 1, nprobe))
+      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+    val scored = corpus.join(broadcast(probed), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"nv", $"qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN top-k via multi-table random-hyperplane LSH.
     *
     * `nTables` independent signatures; a corpus vector is a candidate for a

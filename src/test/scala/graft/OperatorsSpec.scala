@@ -115,6 +115,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size <= brute.size)
   }
 
+  test("exact-seed IVF (q43_exact) is deterministic, ranked, and decent-recall") {
+    val e1 = Similarity.ivfTopKExact(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val e2 = Similarity.ivfTopKExact(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(e1.toSeq == e2.toSeq) // fully deterministic — the oracle contract
+    // per-query ranks are contiguous from 1 and cos is non-increasing
+    e1.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.reverse.toSeq)
+    }
+    val brute = Similarity.bruteForceTopK(spark, dir, nQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = e1.map(r => (r._1, r._3)).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low — seed-IVF probing broken?")
+  }
+
   test("IVF centroids are deterministic and unit-length") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
