@@ -356,6 +356,171 @@ object Fixers {
     MisplacedEditorFixResult(r2.triples, r2.prov, cases)
   }
 
+  final case class CorruptedDoiFixResult(
+      triples: DataFrame,
+      prov: DataFrame,
+      /** The tool's report rows (fix_corrupted_dois.py `build_report`):
+        * (truncated_doi, correct_doi, duplicate_entity, surviving_entity,
+        * matching_score, action, reason), action in {merge, manual_review}. */
+      cases: DataFrame,
+      /** Applied (surviving, merged) URI pairs — feed to
+        * [[Checkers.mergeAudit]]. */
+      mergePairs: DataFrame)
+
+  /** `run/patches/fix_corrupted_dois.py` — the offline arm. SICI DOIs end
+    * in `#`, which an upstream converter bug stripped, leaving a truncated
+    * `...co;2-` DOI owned by a duplicate entity while the curated CSV
+    * claims the correct entity (`extract_sici_mismatch_errors`,
+    * `build_sici_cases`). Cases are the `omid_mismatch` violations with
+    * scheme doi and a value ending `co;2-`; per found entity (the
+    * reference's `found_omids[0]`) the candidate DOI is `value + "#"` and
+    * the surviving entity is the CSV's first expected omid.
+    *
+    * Classification: the reference scores the duplicate's triplestore
+    * metadata against Crossref's record for the candidate DOI
+    * (`determine_actions`). Crossref needs network egress — out of scope
+    * like D11's API arm — so the offline authority is the surviving
+    * entity's OWN store metadata (the entity the curated CSV says the
+    * candidate DOI belongs to): same [[graft.functions.BiblioMatch]]
+    * score, same `MATCHING_THRESHOLD` accept/`manual_review` split.
+    * Accepted cases merge the duplicate (and any further expected omids of
+    * a 1-to-n group, `_execute_merge`) into the surviving entity, then
+    * delete the truncated-DOI id entity it inherited; everything else is
+    * reported for manual review and left untouched. Chained merges defer
+    * to the next run like [[fixOmidMismatches]]. */
+  def fixCorruptedDois(rows: DataFrame, triples: DataFrame, prov: DataFrame,
+      generatedAt: String,
+      threshold: Double = graft.functions.BiblioMatch.MatchingThreshold): CorruptedDoiFixResult = {
+    import rows.sparkSession.implicits._
+    val kind = (c: Column) => substring_index(c, "/", 1)
+    val subjects = triples.select($"s").distinct()
+    val owners = Checkers.storeIds(triples).filter($"owner_meta".isNotNull)
+      .groupBy($"scheme", $"value")
+      .agg(sort_array(collect_set($"owner_meta")).as("owners"))
+    val rawCases = Checkers.idMentions(rows)
+      .filter($"scheme" === "doi" && $"expected_omid".isNotNull &&
+        lower($"value").endsWith("co;2-"))
+      .join(owners, Seq("scheme", "value"))
+      .filter(!array_contains($"owners", $"expected_omid"))
+      .withColumn("dup", element_at($"owners", 1))
+      .filter(kind($"expected_omid") === kind($"dup"))
+      .join(subjects.select($"s".as("surv_uri")),
+        uriOf($"expected_omid") === $"surv_uri", "left_semi")
+      .groupBy($"dup")
+      .agg(min($"value").as("truncated_doi"),
+        sort_array(collect_set($"expected_omid")).as("all_expected"))
+      .withColumn("surviving", element_at($"all_expected", 1))
+      .filter($"surviving" =!= $"dup")
+      .localCheckpoint()
+
+    // offline classification: duplicate's store metadata vs the surviving
+    // entity's store metadata under the reference's weighted score
+    val meta = StoreMatch.brMetadata(triples)
+    def side(pfx: String, key: String) =
+      meta.columns.foldLeft(meta) { (df, c) =>
+        df.withColumnRenamed(c, if (c == "br") key else pfx + c) }
+    val scored = rawCases
+      .withColumn("dup_uri", uriOf($"dup"))
+      .withColumn("surv_uri", uriOf($"surviving"))
+      .join(side("d_", "dup_uri"), Seq("dup_uri"), "left")
+      .join(side("s_", "surv_uri"), Seq("surv_uri"), "left")
+      .withColumn("matching_score", graft.functions.BiblioMatch.matchingScore(
+        $"d_family", $"s_family", $"d_given", $"s_given",
+        $"d_title", $"s_title", $"d_venue", $"s_venue",
+        $"d_issn", $"s_issn", $"d_year", $"s_year",
+        $"d_volume", $"s_volume", $"d_issue", $"s_issue",
+        $"d_start_page", $"s_start_page", $"d_end_page", $"s_end_page"))
+      .withColumn("action",
+        when($"matching_score" >= lit(threshold), "merge")
+          .otherwise("manual_review"))
+      .localCheckpoint()
+    val report = scored.select(
+      $"truncated_doi",
+      concat($"truncated_doi", lit("#")).as("correct_doi"),
+      $"dup".as("duplicate_entity"),
+      $"surviving".as("surviving_entity"),
+      round($"matching_score", 2).as("matching_score"),
+      $"action",
+      when($"action" === "manual_review",
+        format_string("Matching score %.1f below threshold %.1f.",
+          $"matching_score", lit(threshold))).otherwise(lit("")).as("reason"))
+
+    // merges: duplicate + the tail of a 1-to-n expected group, all into
+    // the surviving entity (`_execute_merge`); chained survivors defer
+    val rawPairs = scored.filter($"action" === "merge")
+      .select($"surviving", $"truncated_doi",
+        explode(concat(array($"dup"),
+          expr("slice(all_expected, 2, greatest(size(all_expected) - 1, 0))")))
+          .as("merged"))
+      .filter($"merged" =!= $"surviving")
+      .distinct()
+    val pairs = rawPairs
+      .select(uriOf($"surviving").as("surviving"), uriOf($"merged").as("merged"))
+      .join(rawPairs.select(uriOf($"merged").as("surviving")),
+        Seq("surviving"), "left_anti")
+      .localCheckpoint()
+    val prefix = Vocab.BaseIri + "/"
+    val metaPairs = pairs.select(
+      expr(s"substring(surviving, ${prefix.length + 1})").as("surviving"),
+      expr(s"substring(merged, ${prefix.length + 1})").as("merged"))
+    val mergedTriples = graft.operators.Tools.applyMerges(triples, pairs).localCheckpoint()
+    val mergedProv = Provenance.mergeProvenance(prov, metaPairs, generatedAt)
+      .localCheckpoint()
+    // the surviving entity inherited the truncated-DOI id entity — delete
+    // it (editor.delete(surviving, HAS_ID, id); editor.delete(id))
+    val truncPairs = scored.filter($"action" === "merge")
+      .select($"truncated_doi".as("t_value"), $"surviving".as("t_surv"))
+    val truncIds = Checkers.storeIds(mergedTriples)
+      .filter($"scheme" === "doi")
+      .join(truncPairs, $"value" === $"t_value" && $"owner_meta" === $"t_surv",
+        "left_semi")
+      .select(uriOf($"id_meta").as("s")).distinct()
+    val r = Editor.deleteEntities(mergedTriples, mergedProv, truncIds, generatedAt)
+    CorruptedDoiFixResult(r.triples, r.prov, report, pairs)
+  }
+
+  final case class ProvBackfillResult(
+      prov: DataFrame,
+      /** entity metas that received a backfilled snapshot. */
+      created: DataFrame)
+
+  /** `run/patches/add_missing_provenance.py`: entities present in the data
+    * graph but uncovered by any provenance snapshot (no `specializationOf`
+    * pointing at them — here: no snapshot 1 in the prov table) get a
+    * backfilled creation snapshot, stamped with the tool's run time and
+    * attributed to the responsible agent, exactly like the reference's
+    * `ProvSet.generate_provenance` backfill arm (`_backfill_file`,
+    * add_missing_provenance.py:64-117). The reference's find pass is
+    * [[Checkers.missingProvenance]]; this composes it with the snapshot
+    * append — one anti-join + one union, no per-file loop.
+    *
+    * Robustness beyond the reference: an entity that somehow has LATER
+    * snapshots but no snapshot 1 gets its backfilled snapshot
+    * pre-invalidated at the earliest existing snapshot's timestamp, so the
+    * open-snapshot invariant (Checkers check 5) still holds. */
+  def addMissingProvenance(triples: DataFrame, prov: DataFrame,
+      generatedAt: String,
+      agent: String = "https://w3id.org/oc/meta/prov/pa/1"): ProvBackfillResult = {
+    import triples.sparkSession.implicits._
+    val prefix = Vocab.BaseIri + "/"
+    val missing = triples.filter($"s".startsWith(prefix))
+      .select(expr(s"substring(s, ${prefix.length + 1})").as("entity")).distinct()
+      .join(prov.filter($"snapshot_n" === 1L).select($"entity").distinct(),
+        Seq("entity"), "left_anti")
+      .localCheckpoint()
+    val earliest = prov.groupBy($"entity").agg(min($"generated_at").as("first_at"))
+    val snaps = missing.join(earliest, Seq("entity"), "left")
+      .select(
+        $"entity",
+        lit(1L).as("snapshot_n"),
+        lit(generatedAt).as("generated_at"),
+        $"first_at".as("invalidated_at"),
+        array().cast("array<string>").as("derived_from"),
+        lit("Entity created").as("description"),
+        lit(agent).as("attributed_to"))
+    ProvBackfillResult(prov.unionByName(snaps), missing)
+  }
+
   /** `run/patches/has_next.py` (the repair arm): diff the store's hasNext
     * edges against [[ChainAnomalies.repairPlan]]'s canonical chains and
     * apply the difference — drop every edge not in the plan, insert every

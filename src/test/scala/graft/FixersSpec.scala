@@ -246,6 +246,132 @@ class FixersSpec extends AnyFunSuite {
       $"description" === "Entity modified").count() == 1)
   }
 
+  test("fixCorruptedDois merges SICI-truncated duplicates, defers low scores") {
+    import spark.implicits._
+    val u = Vocab.uri _
+    val nil = null.asInstanceOf[String]
+    val str = Vocab.XsdString
+    val article = "http://purl.org/spar/fabio/JournalArticle"
+    val doiScheme = Vocab.Datacite + "doi"
+    val trunc1 = "10.1175/1520-0469(1992)049<0608:tiotws>2.0.co;2-"
+    val trunc2 = "10.1175/1520-0450(1995)034<0209:other>2.0.co;2-"
+    def idEnt(id: String, value: String) = Seq(
+      (u(id), Vocab.RdfType, Vocab.IdentifierClass, nil),
+      (u(id), Vocab.UsesIdentifierScheme, doiScheme, nil),
+      (u(id), Vocab.HasLiteralValue, value, str))
+    def author(br: String, ar: String, ra: String, fam: String, giv: String) = Seq(
+      (u(br), Vocab.IsDocumentContextFor, u(ar), nil),
+      (u(ar), Vocab.WithRole, Vocab.Pro + "author", nil),
+      (u(ar), Vocab.IsHeldBy, u(ra), nil),
+      (u(ra), Vocab.FoafFamilyName, fam, str),
+      (u(ra), Vocab.FoafGivenName, giv, str))
+    // E = the CSV's entity (owns the corrected "#" DOI); D = the duplicate
+    // holding the truncated DOI, near-identical metadata -> merge
+    val t = (Seq(
+      (u("br/06201"), Vocab.RdfType, Vocab.Expression, nil),
+      (u("br/06202"), Vocab.RdfType, Vocab.Expression, nil),
+      (u("br/06203"), Vocab.RdfType, Vocab.Expression, nil),
+      (u("br/06205"), Vocab.RdfType, Vocab.Expression, nil),
+      (u("br/06201"), Vocab.RdfType, article, nil),
+      (u("br/06201"), Vocab.Title, "Tropical influences on winter storms", str),
+      (u("br/06201"), Vocab.PublicationDate, "1992-03", Vocab.XsdGYearMonth),
+      (u("br/06201"), Vocab.Embodiment, u("re/06201"), nil),
+      (u("re/06201"), Vocab.StartingPage, "608", str),
+      (u("re/06201"), Vocab.EndingPage, "627", str),
+      (u("br/06201"), Vocab.HasIdentifier, u("id/06201"), nil),
+      (u("br/06202"), Vocab.RdfType, article, nil),
+      (u("br/06202"), Vocab.Title, "Tropical influences on winter storms", str),
+      (u("br/06202"), Vocab.PublicationDate, "1992-03", Vocab.XsdGYearMonth),
+      (u("br/06202"), Vocab.Embodiment, u("re/06202"), nil),
+      (u("re/06202"), Vocab.StartingPage, "608", str),
+      (u("re/06202"), Vocab.EndingPage, "627", str),
+      (u("br/06202"), Vocab.HasIdentifier, u("id/06202"), nil),
+      // manual-review pair: unrelated metadata
+      (u("br/06203"), Vocab.RdfType, article, nil),
+      (u("br/06203"), Vocab.Title, "Completely unrelated treatise", str),
+      (u("br/06203"), Vocab.HasIdentifier, u("id/06203"), nil),
+      (u("br/06205"), Vocab.RdfType, article, nil),
+      (u("br/06205"), Vocab.Title, "Another distinct monograph", str))
+      ++ idEnt("id/06201", trunc1 + "#") ++ idEnt("id/06202", trunc1)
+      ++ idEnt("id/06203", trunc2)
+      ++ author("br/06201", "ar/06201", "ra/06201", "Hoskins", "Brian")
+      ++ author("br/06202", "ar/06202", "ra/06202", "Hoskins", "B"))
+      .toDF("s", "p", "o", "o_datatype").localCheckpoint()
+    val prefix = Vocab.BaseIri + "/"
+    val seedProv = t
+      .select(expr(s"substring(s, ${prefix.length + 1})").as("entity")).distinct()
+      .filter(!$"entity".startsWith("http"))
+      .select($"entity", lit(1L).as("snapshot_n"), lit(T0).as("generated_at"),
+        lit(nil).as("invalidated_at"),
+        array().cast("array<string>").as("derived_from"),
+        lit("Entity created").as("description"),
+        lit("https://w3id.org/oc/meta/prov/pa/1").as("attributed_to"))
+      .localCheckpoint()
+    val csv = Seq(
+      (s"doi:$trunc1 omid:br/06201", "", "", "", ""),
+      (s"doi:$trunc2 omid:br/06205", "", "", "", ""))
+      .toDF("id", "author", "editor", "publisher", "venue")
+
+    val r = Fixers.fixCorruptedDois(csv, t, seedProv, T1)
+    val cases = r.cases.collect().map(x => (x.getAs[String]("duplicate_entity"),
+      x.getAs[String]("surviving_entity"), x.getAs[String]("action"),
+      x.getAs[String]("correct_doi"))).toSet
+    assert(cases == Set(
+      ("br/06202", "br/06201", "merge", trunc1 + "#"),
+      ("br/06203", "br/06205", "manual_review", trunc2 + "#")))
+    val after = r.triples.localCheckpoint()
+    // the duplicate was merged away; the truncated id entity is gone, the
+    // corrected "#" DOI survives on the CSV's entity
+    assert(after.filter($"s" === u("br/06202")).count() == 0)
+    assert(after.filter($"s" === u("id/06202")).count() == 0)
+    assert(after.filter($"s" === u("br/06201") && $"p" === Vocab.HasIdentifier &&
+      $"o" === u("id/06201")).count() == 1)
+    // only the manual-review value still mismatches — by design unfixed
+    val remaining = Checkers.omidMismatch(csv, after)
+      .select($"entity").as[String].collect().toSet
+    assert(remaining == Set(s"doi:$trunc2"))
+    // the manual-review pair is untouched
+    assert(after.filter($"s" === u("br/06203") && $"p" === Vocab.HasIdentifier)
+      .count() == 1)
+    // and the merge batch passes the audit
+    val audit = Checkers.mergeAudit(r.mergePairs, after, r.prov)
+    assert(audit.isEmpty, audit.collect().take(10).mkString("\n"))
+  }
+
+  test("addMissingProvenance backfills creation snapshots for uncovered entities") {
+    import spark.implicits._
+    // drop all provenance for two entities, and leave a third with only a
+    // later snapshot (no snapshot 1) to exercise the pre-invalidated arm
+    val victims = prov.orderBy($"entity").limit(2).select($"entity")
+      .as[String].collect().toSeq
+    val weird = prov.orderBy($"entity".desc).limit(1).collect().head
+    val corruptedProv = prov
+      .filter(!$"entity".isin(victims: _*))
+      .withColumn("snapshot_n",
+        when($"entity" === weird.getString(0), lit(2L)).otherwise($"snapshot_n"))
+      .localCheckpoint()
+    val red = Checkers.missingProvenance(triples, corruptedProv)
+    assert(fired(red) == Set("missing_provenance"))
+    assert(red.count() == 3)
+    val r = Fixers.addMissingProvenance(triples, corruptedProv, T1)
+    assert(Checkers.missingProvenance(triples, r.prov).isEmpty)
+    assert(r.created.count() == 3)
+    // fully-uncovered entities got an OPEN creation snapshot stamped T1
+    val back = r.prov.filter($"entity" === victims.head && $"snapshot_n" === 1L)
+      .collect().head
+    assert(back.getAs[String]("generated_at") == T1 &&
+      back.getAs[String]("invalidated_at") == null &&
+      back.getAs[String]("description") == "Entity created")
+    // the has-later-snapshots entity got a PRE-INVALIDATED snapshot 1, so
+    // the open-snapshot invariant still holds store-wide
+    val wback = r.prov.filter($"entity" === weird.getString(0) && $"snapshot_n" === 1L)
+      .collect().head
+    assert(wback.getAs[String]("invalidated_at") != null)
+    assert(Checkers.openSnapshotInvariant(r.prov).isEmpty)
+    // idempotent: a second run backfills nothing
+    assert(Fixers.addMissingProvenance(triples, r.prov, T1).created.isEmpty)
+  }
+
   test("fixHasNextChains repairs corrupted chains and leaves healthy ones") {
     import spark.implicits._
     // corrupt one chain: drop a real edge, add a self-loop
