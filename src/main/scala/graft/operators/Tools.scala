@@ -162,4 +162,82 @@ object Tools {
       .drop("from", "to", "keep")
     subjRedirected.distinct()
   }
+
+  // ---- counting / statistics suite (G4 composes) ------------------------
+
+  /** `run/count/triples.py`: triple/quad counts of a dump directory, per
+    * file and in total. `format` mirrors the tool's `--format`:
+    * `nquads`/`nt` count parseable statement lines, `json-ld` counts the
+    * triples of each line's node document (its `_count_jsonld_object`
+    * arithmetic — one per @type value, one per predicate value). The
+    * reference walks files in a multiprocess pool; here it is one text
+    * scan grouped by `input_file_name`. Returns (file, triples) plus a
+    * `__total__` row. */
+  def countDumpTriples(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "nquads"): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+      .withColumn("file", input_file_name())
+    val perLine = format match {
+      case "json-ld" =>
+        lines.as[(String, String)].map { case (line, file) =>
+          import org.json4s._
+          val n = org.json4s.jackson.JsonMethods.parseOpt(line) match {
+            case Some(JObject(fields)) =>
+              fields.map {
+                case ("@id", _) => 0
+                case ("@type", JArray(vs)) => vs.length
+                case ("@type", _) => 1
+                case (_, JArray(vs)) => vs.length
+                case _ => 1
+              }.sum
+            case _ => 0
+          }
+          (file, n.toLong)
+        }.toDF("file", "n")
+      case _ => // nquads / nt: a statement per parseable line
+        lines.select($"file",
+          when(trim($"value").rlike("^<[^>]+>\\s+<[^>]+>\\s+\\S"), 1L)
+            .otherwise(0L).as("n"))
+    }
+    val perFile = perLine.groupBy($"file").agg(sum($"n").as("triples"))
+    perFile.unionByName(
+      perFile.select(lit("__total__").as("file"),
+        coalesce(sum($"triples"), lit(0L)).as("triples")))
+      .orderBy($"file")
+  }
+
+  /** `run/count/meta_entities.py` (`OCMetaStatistics`): the statistics
+    * report as one (metric, count) frame — distinct fabio:Expression
+    * subjects, RoleInTime counts per pro:author/publisher/editor, and
+    * distinct venues from the curated CSV (keyed by omid when the venue
+    * carries other external ids, by lowercased name otherwise —
+    * `_count_venues_in_file`). The reference runs one SPARQL COUNT per
+    * metric plus a CSV-dump pass; here each metric is a distinct-count
+    * over the same predicate slice and the union is a single report. */
+  def metaEntityStats(triples: DataFrame, curatedRows: DataFrame): DataFrame = {
+    import triples.sparkSession.implicits._
+    val v = graft.rdf.Vocab
+    val expressions = triples
+      .filter($"p" === v.RdfType && $"o" === v.Expression)
+      .agg(count_distinct($"s").as("count"))
+      .select(lit("expressions").as("metric"), $"count")
+    val roles = Seq("author", "publisher", "editor").map { r =>
+      triples.filter($"p" === v.WithRole && $"o" === v.Pro + r)
+        .agg(count_distinct($"s").as("count"))
+        .select(lit("pro:" + r).as("metric"), $"count")
+    }.reduce(_ unionByName _)
+    val venueCell = curatedRows
+      .select(trim(regexp_replace($"venue", "\\[[^\\]]*\\]", "")).as("name"),
+        regexp_extract($"venue", "\\[([^\\]]*)\\]", 1).as("ids_str"))
+      .filter(length(trim($"ids_str")) > 0)
+      .withColumn("toks", filter(split($"ids_str", "\\s+"), t => length(t) > 0))
+      .withColumn("omid", filter($"toks", t => t.startsWith("omid:")).getItem(0))
+      .withColumn("others", size(filter($"toks", t => !t.startsWith("omid:"))))
+      .select(when($"others" > 0 && $"omid".isNotNull, $"omid")
+        .otherwise(lower($"name")).as("venue_key"))
+    val venues = venueCell.agg(count_distinct($"venue_key").as("count"))
+      .select(lit("venues").as("metric"), $"count")
+    expressions.unionByName(roles).unionByName(venues)
+  }
 }

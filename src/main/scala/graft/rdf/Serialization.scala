@@ -209,7 +209,8 @@ object Serialization {
   /** One JSON-LD node document per entity, partitioned by the reference's
     * dir-split buckets. */
   def writeJsonLd(triples: DataFrame, outDir: String,
-      dirSplit: Long = 10000, itemsPerFile: Long = 1000): Unit = {
+      dirSplit: Long = 10000, itemsPerFile: Long = 1000,
+      numberPattern: String = "(\\d+)$"): Unit = {
     import triples.sparkSession.implicits._
     val obj = when($"o_datatype".isNull,
       to_json(struct($"o".as("@id"))))
@@ -221,7 +222,7 @@ object Serialization {
     val docs = perPred.groupBy($"s")
       .agg(concat_ws(",", sort_array(collect_list($"pv"))).as("body"))
       .withColumn("doc", concat(lit("{\"@id\":\""), $"s", lit("\","), $"body", lit("}")))
-    val n = regexp_extract($"s", "(\\d+)$", 1).cast("long")
+    val n = regexp_extract($"s", numberPattern, 1).cast("long")
     docs
       .withColumn("dir_bucket", (n / dirSplit).cast("long") * dirSplit + dirSplit)
       .withColumn("file_bucket", (n / itemsPerFile).cast("long") * itemsPerFile + itemsPerFile)
@@ -257,5 +258,88 @@ object Serialization {
         case _ => Seq.empty
       }
     }.toDF("s", "p", "o", "o_datatype")
+  }
+
+  // ---- N-Quads export ⇄ dir-split JSON-LD tree (S10 compose) ------------
+  // The reference's migration pair: `run/migration/rdf_from_export.py`
+  // (N-Quads dump -> per-entity dir-split JSON-LD files, provenance
+  // bucketed with its OWNING entity via find_paths) and
+  // `run/migration/stream_nquads.py` (the tree back to one N-Quads
+  // stream, data/prov/all modes). Both reference tools are per-file
+  // multiprocess loops over rdflib graphs; here each direction is ONE
+  // distributed plan over the triples frame.
+
+  private val NqLine = ("^<([^>]+)>\\s+<([^>]+)>\\s+" +
+    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@[A-Za-z-]+)?)" +
+    "\\s*(?:<([^>]+)>\\s*)?\\.\\s*$").r
+
+  /** Graph-aware N-Quads parse: (s,p,o,o_datatype,g); triple lines with
+    * no graph term get a null g. Malformed lines are dropped like
+    * [[fromNTriples]]. */
+  def fromNQuads(lines: DataFrame): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines.select(col(lines.columns.head).as("line"))
+      .as[String]
+      .flatMap {
+        case NqLine(s, p, iri, lit_, dt, g) =>
+          if (iri != null) Some((s, p, iri, null.asInstanceOf[String], g))
+          else Some((s, p, unescapeLiteral(lit_),
+            if (dt != null) dt else Vocab.XsdString, g))
+        case _ => None
+      }
+      .toDF("s", "p", "o", "o_datatype", "g")
+  }
+
+  /** Render (s,p,o,o_datatype,g) as N-Quads lines with the per-row graph
+    * (null g -> plain triple line). */
+  def toNQuads(quads: DataFrame): DataFrame = {
+    import quads.sparkSession.implicits._
+    val obj = when($"o_datatype".isNull, concat(lit("<"), $"o", lit(">")))
+      .otherwise(concat(lit("\""), escapeLiteral($"o"), lit("\"^^<"), $"o_datatype", lit(">")))
+    val g = when($"g".isNull, lit("")).otherwise(concat(lit(" <"), $"g", lit(">")))
+    quads.select(concat(
+      lit("<"), $"s", lit("> <"), $"p", lit("> "), obj, g, lit(" .")).as("value"))
+  }
+
+  private val ProvSnapshotRe = "/prov/se/\\d+$"
+
+  /** `rdf_from_export.py`: an N-Quads export (plain or .gz — Hadoop
+    * codecs) becomes the dir-split JSON-LD tree: entity documents under
+    * `data/`, provenance snapshots under `prov/` bucketed by the OWNING
+    * entity's number (the reference's find_paths puts `se` files inside
+    * the entity's bucket dir). */
+  def migrateNQuadsToTree(spark: SparkSession, nqPath: String, outDir: String,
+      dirSplit: Long = 10000, itemsPerFile: Long = 1000): Unit = {
+    import spark.implicits._
+    val quads = fromNQuads(spark.read.text(nqPath)).localCheckpoint()
+    val isProv = $"s".rlike(ProvSnapshotRe)
+    writeJsonLd(quads.filter(!isProv).drop("g"), s"$outDir/data",
+      dirSplit, itemsPerFile)
+    writeJsonLd(quads.filter(isProv).drop("g"), s"$outDir/prov",
+      dirSplit, itemsPerFile, numberPattern = "(\\d+)/prov/se/\\d+$")
+  }
+
+  /** `stream_nquads.py`: the dir-split tree back to one N-Quads frame.
+    * `mode` mirrors the tool's `--mode all|data|prov`. Graph names follow
+    * the OCDM layout the reference dumps use: data rows live in the
+    * entity-kind graph `{base}/{kind}/`, provenance rows in their
+    * entity's `{entity}/prov/` graph. */
+  def treeToNQuads(spark: SparkSession, treeDir: String,
+      mode: String = "all"): DataFrame = {
+    import spark.implicits._
+    val kindGraph = concat(lit(Vocab.BaseIri + "/"),
+      regexp_extract($"s",
+        "^" + java.util.regex.Pattern.quote(Vocab.BaseIri) + "/([a-z]+)/", 1),
+      lit("/"))
+    lazy val data = readJsonLd(spark, s"$treeDir/data").withColumn("g", kindGraph)
+    lazy val prov = readJsonLd(spark, s"$treeDir/prov")
+      .withColumn("g", concat(
+        regexp_extract($"s", "^(.*)/prov/se/\\d+$", 1), lit("/prov/")))
+    val quads = mode match {
+      case "data" => data
+      case "prov" => prov
+      case _      => data.unionByName(prov)
+    }
+    toNQuads(quads)
   }
 }

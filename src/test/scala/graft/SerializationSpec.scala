@@ -107,4 +107,56 @@ class SerializationSpec extends AnyFunSuite {
       s"shared id must adopt the first store match, got $conflicted")
     assert(upd.preexisting.as[String].collect().toSet.contains("br/0601"))
   }
+
+  test("migration: N-Quads dump ⇄ dir-split JSON-LD tree round-trips data and prov") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = graft.rdf.Vocab.BaseIri
+    val provNs = "http://www.w3.org/ns/prov#"
+    // reference-shaped dump: data triples in their kind graphs, prov
+    // snapshots in their entity's /prov/ graph
+    val kindGraph = concat(lit(base + "/"),
+      regexp_extract($"s",
+        "^" + java.util.regex.Pattern.quote(base) + "/([a-z]+)/", 1), lit("/"))
+    val dataQuads = triples.withColumn("g", kindGraph).localCheckpoint()
+    val provQuads = Seq(
+      (s"$base/br/0601/prov/se/1", provNs + "specializationOf", s"$base/br/0601",
+        null.asInstanceOf[String]),
+      (s"$base/br/0601/prov/se/1", provNs + "generatedAtTime",
+        "2026-01-01T00:00:00Z", graft.rdf.Vocab.XsdString),
+      (s"$base/br/0601/prov/se/2", provNs + "specializationOf", s"$base/br/0601",
+        null.asInstanceOf[String]),
+      (s"$base/ra/0603/prov/se/1", provNs + "specializationOf", s"$base/ra/0603",
+        null.asInstanceOf[String]))
+      .toDF("s", "p", "o", "o_datatype")
+      .withColumn("g", concat(regexp_extract($"s", "^(.*)/prov/se/\\d+$", 1),
+        lit("/prov/")))
+      .localCheckpoint()
+    val dump = Files.createTempDirectory("graft_dump").toString + "/export.nq"
+    Serialization.toNQuads(dataQuads.unionByName(provQuads))
+      .write.text(dump)
+    val tree = Files.createTempDirectory("graft_tree").toString + "/rdf"
+    Serialization.migrateNQuadsToTree(spark, dump, tree, itemsPerFile = 100)
+
+    def asQuadSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o", "o_datatype", "g").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)), r.getString(4))).toSet
+    // full round-trip: every quad back, graphs reconstructed per layout
+    val back = Serialization.fromNQuads(Serialization.treeToNQuads(spark, tree))
+    assert(asQuadSet(back) == asQuadSet(dataQuads.unionByName(provQuads)))
+    // mode filters mirror stream_nquads --mode
+    val dataOnly = Serialization.fromNQuads(
+      Serialization.treeToNQuads(spark, tree, mode = "data"))
+    assert(asQuadSet(dataOnly) == asQuadSet(dataQuads))
+    val provOnly = Serialization.fromNQuads(
+      Serialization.treeToNQuads(spark, tree, mode = "prov"))
+    assert(asQuadSet(provOnly) == asQuadSet(provQuads))
+    // find_paths behavior: a prov snapshot lands in its OWNING entity's
+    // bucket, not the snapshot-number bucket
+    val provFiles = new java.io.File(tree + "/prov").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(provFiles.exists(_.startsWith("dir_bucket=10000")),
+      s"prov bucketed by entity number 0601/0603 -> dir 10000, got $provFiles")
+  }
 }

@@ -145,4 +145,47 @@ class ToolsSpec extends AnyFunSuite {
     val origB = triples.filter($"s" === Vocab.uri(b) && $"p" === Vocab.HasIdentifier).count()
     assert(survivorIds == origA + origB)
   }
+
+  test("G4 count suite: dump triple counts per file and meta-entity statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val triples = TriplesEmitter.emit(batch).localCheckpoint()
+    // nquads counting over a written dump: total == frame count
+    val out = java.nio.file.Files.createTempDirectory("graft_cnt").toString + "/nq"
+    graft.rdf.Serialization.writeNQuads(triples, Vocab.BaseIri + "/br/", out)
+    val report = Tools.countDumpTriples(spark, out, "nquads").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("__total__") == triples.count())
+    assert(report.size >= 2) // at least one real file + the total row
+    // json-ld counting agrees with the parsed triple count
+    val ldOut = java.nio.file.Files.createTempDirectory("graft_cntld").toString + "/ld"
+    graft.rdf.Serialization.writeJsonLd(triples, ldOut, itemsPerFile = 100)
+    val ldReport = Tools.countDumpTriples(spark, s"$ldOut/*/*", "json-ld").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ldReport("__total__") == triples.count())
+
+    // meta-entity statistics match direct counts over the same store
+    val stats = Tools.metaEntityStats(triples, batch.rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("expressions") ==
+      triples.filter($"p" === Vocab.RdfType && $"o" === Vocab.Expression)
+        .select($"s").distinct().count())
+    assert(stats("pro:author") ==
+      triples.filter($"p" === Vocab.WithRole && $"o" === Vocab.Pro + "author")
+        .select($"s").distinct().count())
+    assert(stats("pro:author") > 0 && stats("pro:publisher") > 0)
+    // venue keying: omid when other ids exist, lowercased name otherwise
+    val rows = Seq(
+      ("J of A [omid:br/0601 issn:1111-2222]", ""),
+      ("J OF A [omid:br/0601 issn:1111-2222]", ""),   // same omid -> one venue
+      ("Nameless venue [omid:br/0699]", ""),           // omid-only -> by name
+      ("NAMELESS VENUE [omid:br/0698]", ""),           // same name -> one venue
+      ("No ids at all", ""),                            // skipped (no bracket)
+      ("", ""))
+      .toDF("venue", "id")
+    val vStats = Tools.metaEntityStats(triples.limit(0), rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vStats("venues") == 2L,
+      s"expected omid-keyed + name-keyed = 2, got ${vStats("venues")}")
+  }
 }
