@@ -45,7 +45,12 @@ object ConnectedComponents {
 
     // labels only ever decrease, so an unchanged sum(label) means a fixed
     // point — one cheap aggregate per round instead of a join-based diff.
-    var prevSum = labels.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
+    // decimal(38,0) accumulator: labels may be full-range hashes (e.g.
+    // xxhash64 row ids), whose long sum overflows under ANSI mode
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"label".cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -57,9 +62,9 @@ object ConnectedComponents {
         .select($"entity",
           least($"label", coalesce($"proposal", $"label")).as("label"))
         .localCheckpoint()
-      val newSum = next.agg(coalesce(sum($"label"), lit(0L))).head.getLong(0)
+      val newSum = labelSum(next)
       labels = next
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }

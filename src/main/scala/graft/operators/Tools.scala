@@ -163,6 +163,127 @@ object Tools {
     subjRedirected.distinct()
   }
 
+  /** `run/merge/group_entities.py`: split a merge-row batch into
+    * conflict-free groups — rows whose entities are RDF-connected (one
+    * hop over non-schema predicates, either direction, neighbor must
+    * itself be a subject — the tool's batched SPARQL probe) or whose
+    * entities land in the same dump file must process in the same group.
+    * The reference's driver-side UnionFind over per-row SPARQL round
+    * trips becomes the SAME distributed connected-components operator
+    * entity resolution uses, fed by one join against the triples table;
+    * `optimize_groups`'s singleton packing (batches of `targetSize`, a
+    * lone remainder folded into the smallest multi-row group) is a window
+    * over the singleton set.
+    * @param mergeRows (surviving_entity, merged_entities) — merged
+    *        entities "; "-separated like the tool's CSV
+    * @return input rows + group_id (stable strings, not the reference's
+    *         arbitrary UF roots) */
+  def groupMergeRows(mergeRows: DataFrame, triples: DataFrame,
+      dirSplit: Long = 10000, itemsPerFile: Long = 1000,
+      targetSize: Int = 50): DataFrame = {
+    import mergeRows.sparkSession.implicits._
+    val v = graft.rdf.Vocab
+    val rows = mergeRows.select($"surviving_entity", $"merged_entities")
+      .withColumn("row_id", xxhash64($"surviving_entity", $"merged_entities"))
+      .localCheckpoint()
+    val rowEnts = rows.select($"row_id", explode(array_union(
+        array($"surviving_entity"),
+        filter(transform(split($"merged_entities", ";"), t => trim(t)),
+          t => length(t) > 0))).as("entity"))
+      .localCheckpoint()
+    // RDF connections: the entity itself plus its one-hop neighborhood
+    val skip = Seq(v.RdfType, v.UsesIdentifierScheme, v.WithRole)
+    val edges = triples.filter(!$"p".isin(skip: _*))
+    val subs = triples.select($"s").distinct()
+    val nbrs = edges.select($"s".as("entity"), $"o".as("key"))
+      .unionByName(edges.select($"o".as("entity"), $"s".as("key")))
+      .join(rowEnts, Seq("entity"))
+      .join(subs.select($"s".as("key")), Seq("key"), "left_semi")
+      .select($"row_id", $"key")
+    val selfKeys = rowEnts.select($"row_id", $"entity".as("key"))
+    // file-range conflicts: the dir-split bucket of each touched entity
+    val fileKeys = rowEnts
+      .withColumn("n", regexp_extract($"entity", "(\\d+)$", 1).cast("long"))
+      .filter($"n".isNotNull)
+      .select($"row_id", concat(lit("FILE:"),
+        regexp_extract($"entity", "/([a-z]+)/\\d+$", 1), lit("/"),
+        (($"n" / dirSplit).cast("long") * dirSplit + dirSplit), lit("/"),
+        (($"n" / itemsPerFile).cast("long") * itemsPerFile + itemsPerFile))
+        .as("key"))
+    val membership = selfKeys.unionByName(nbrs).unionByName(fileKeys)
+      .select($"row_id".as("entity"), $"key")
+    val cc = graft.curation.ConnectedComponents.byShardKey(membership)
+      .select($"entity".as("row_id"), $"component")
+    val labeled = rows.join(cc, Seq("row_id"), "left")
+      .withColumn("component", coalesce($"component", $"row_id"))
+      .localCheckpoint()
+    val sizes = labeled.groupBy($"component").agg(count(lit(1)).as("gsz"))
+      .localCheckpoint()
+    val multis = labeled.join(sizes.filter($"gsz" > 1), Seq("component"))
+      .select($"surviving_entity", $"merged_entities",
+        concat(lit("group_"), $"component").as("group_id"))
+    // optimize_groups: singles pack into chunks of targetSize...
+    val singles = labeled.join(sizes.filter($"gsz" === 1), Seq("component"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"surviving_entity")))
+    val nSingles = singles.count()
+    val nMultis = sizes.filter($"gsz" > 1).count()
+    // ...and a lone remainder folds into the smallest multi-row group
+    val foldLast = nMultis > 0 && nSingles % targetSize == 1
+    val smallestMulti: Long =
+      if (foldLast)
+        sizes.filter($"gsz" > 1).orderBy($"gsz", $"component")
+          .select($"component").head.getLong(0)
+      else 0L
+    val packed = singles.select($"surviving_entity", $"merged_entities",
+      when(lit(foldLast) && $"rk" === nSingles,
+        lit("group_" + smallestMulti))
+        .otherwise(concat(lit("singles_"), (($"rk" - 1) / targetSize).cast("long")))
+        .as("group_id"))
+    multis.unionByName(packed)
+  }
+
+  /** `run/merge/compact_output_csv.py`: keep only the Done=true rows of a
+    * merge-output batch, projected to (surviving_entity, merged_entities).
+    * The tool's per-file loop + totals report is the frame's own count. */
+  def compactMergeRows(mergeOutput: DataFrame): DataFrame = {
+    import mergeOutput.sparkSession.implicits._
+    mergeOutput.filter(lower(trim(coalesce($"Done", lit("")))) === "true")
+      .select(trim($"surviving_entity").as("surviving_entity"),
+        trim($"merged_entities").as("merged_entities"))
+  }
+
+  /** `run/infodir/check.py`: verify stored counters against the store.
+    * Two violation classes, reported as (check, entity, detail) rows like
+    * [[graft.rdf.Checkers]]: an entity-kind counter smaller than the max
+    * minted number (`max_resource_numbers` vs the counter files), and a
+    * provenance counter that disagrees with the entity's max snapshot
+    * number (`lookup_prov_counter != max_snapshot`).
+    * @param storedCounters (kind, next_n) — the info-dir state, e.g. from
+    *        [[regenerateCounters]] of an earlier run
+    * @param provCounters (entity, counter) stored per-entity prov counters
+    * @param prov the prov_snapshots table */
+  def checkCounters(storedCounters: DataFrame, entityMetas: DataFrame,
+      prefix: String, provCounters: DataFrame, prov: DataFrame): DataFrame = {
+    import storedCounters.sparkSession.implicits._
+    val actual = regenerateCounters(entityMetas, prefix)
+      .select($"kind", $"next_n".as("actual_n"))
+    val entityViol = storedCounters.select($"kind", $"next_n".as("stored_n"))
+      .join(actual, Seq("kind"), "full_outer")
+      .filter(coalesce($"stored_n", lit(-1L)) < coalesce($"actual_n", lit(0L)))
+      .select(lit("counter_behind").as("check"), $"kind".as("entity"),
+        concat(lit("stored "), coalesce($"stored_n", lit(0L)),
+          lit(", max minted "), coalesce($"actual_n", lit(0L))).as("detail"))
+    val maxSnap = prov.groupBy($"entity").agg(max($"snapshot_n").as("max_snap"))
+    val provViol = provCounters.select($"entity", $"counter")
+      .join(maxSnap, Seq("entity"), "full_outer")
+      .filter(coalesce($"counter", lit(0L)) =!= coalesce($"max_snap", lit(0L)))
+      .select(lit("prov_counter_mismatch").as("check"), $"entity",
+        concat(lit("counter "), coalesce($"counter", lit(0L)),
+          lit(", max snapshot "), coalesce($"max_snap", lit(0L))).as("detail"))
+    entityViol.unionByName(provViol)
+  }
+
   // ---- counting / statistics suite (G4 composes) ------------------------
 
   /** `run/count/triples.py`: triple/quad counts of a dump directory, per

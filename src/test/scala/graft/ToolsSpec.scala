@@ -146,6 +146,79 @@ class ToolsSpec extends AnyFunSuite {
     assert(survivorIds == origA + origB)
   }
 
+  test("D10 group_entities: RDF/file conflicts share a group, singles pack") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val u = Vocab.uri _
+    val nil = null.asInstanceOf[String]
+    // br/3001 -> partOf -> br/0602 makes row A (touching 0602) and row B
+    // (surviving 3001) RDF-connected; br/7001 and br/7555 share the
+    // 1000-item dump file bucket; br/5001 and br/9001 are isolated
+    val t = Seq(
+      (u("br/3001"), Vocab.PartOf, u("br/0602"), nil),
+      (u("br/0602"), Vocab.Title, "x", Vocab.XsdString),
+      (u("br/0601"), Vocab.Title, "x", Vocab.XsdString),
+      (u("br/7001"), Vocab.Title, "x", Vocab.XsdString),
+      (u("br/7555"), Vocab.Title, "x", Vocab.XsdString))
+      .toDF("s", "p", "o", "o_datatype").localCheckpoint()
+    val rows = Seq(
+      (u("br/0601"), u("br/0602")),
+      (u("br/3001"), u("br/3002")),
+      (u("br/7001"), u("br/7010")),
+      (u("br/7555"), u("br/7600")),
+      (u("br/5001"), u("br/5002")),
+      (u("br/9001"), u("br/9002")))
+      .toDF("surviving_entity", "merged_entities")
+    val grouped = Tools.groupMergeRows(rows, t, targetSize = 2)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(grouped.size == 6)
+    assert(grouped(u("br/0601")) == grouped(u("br/3001")),
+      "RDF-connected rows must share a group")
+    assert(grouped(u("br/7001")) == grouped(u("br/7555")),
+      "same-dump-file rows must share a group")
+    assert(grouped(u("br/0601")) != grouped(u("br/7001")))
+    // the two isolated rows pack into one singles batch of targetSize=2
+    assert(grouped(u("br/5001")) == grouped(u("br/9001")))
+    assert(grouped(u("br/5001")).startsWith("singles_"))
+    // a LONE single with multi groups present folds into the smallest one
+    val grouped2 = Tools.groupMergeRows(rows.filter($"surviving_entity" =!= u("br/9001")), t)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(grouped2(u("br/5001")).startsWith("group_"),
+      s"lone single should fold into a multi group, got ${grouped2(u("br/5001"))}")
+  }
+
+  test("D10 compact_output_csv keeps Done=true rows only") {
+    import spark.implicits._
+    val out = Seq(
+      (" a ", " b; c ", "True"), ("d", "e", "false"), ("f", "g", ""),
+      ("h", "i", "true"))
+      .toDF("surviving_entity", "merged_entities", "Done")
+    val kept = Tools.compactMergeRows(out).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("a", "b; c"), ("h", "i")))
+  }
+
+  test("R7 infodir check: counters behind the store and prov mismatches fire") {
+    import spark.implicits._
+    val metas = Seq("br/0605", "br/0603", "ra/0602", "id/0609")
+      .toDF("meta")
+    val good = Tools.regenerateCounters(metas, "06")
+    val prov = Seq(("br/0605", 1L), ("br/0605", 2L), ("ra/0602", 1L))
+      .toDF("entity", "snapshot_n")
+    val goodProv = Seq(("br/0605", 2L), ("ra/0602", 1L)).toDF("entity", "counter")
+    assert(Tools.checkCounters(good.select($"kind", $"next_n"), metas, "06",
+      goodProv, prov).isEmpty)
+    // a stale br counter and a stale prov counter both fire
+    val stale = good.select($"kind",
+      org.apache.spark.sql.functions.when($"kind" === "br", 3L)
+        .otherwise($"next_n").as("next_n"))
+    val staleProv = Seq(("br/0605", 1L), ("ra/0602", 1L)).toDF("entity", "counter")
+    val report = Tools.checkCounters(stale, metas, "06", staleProv, prov)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(report == Set(
+      ("counter_behind", "br"), ("prov_counter_mismatch", "br/0605")))
+  }
+
   test("G4 count suite: dump triple counts per file and meta-entity statistics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
