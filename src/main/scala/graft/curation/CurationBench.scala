@@ -117,6 +117,13 @@ object CurationBench {
     entitiesCreated = Provenance.allEntities(fresh).count()
     }
 
+    // phase boundary: drop the fresh phase's cache/localCheckpoint
+    // residue so the update measurement doesn't depend on what ran before
+    // it (same accumulated-storage skew Bench.scala clears per query —
+    // measured update 43.6 vs 24.4 rec/s run-to-run without this)
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
     // update phase: partial preload becomes the store, complete data re-curated
     if (scenario == "update" || scenario == "both") {
     val partialStoreBatch = Curator.curateFresh(syntheticRecords(spark, n, partial = true))
