@@ -67,6 +67,8 @@ object SparkEntry {
     "q43_ann_ivf_exact" -> ((s, d) => Similarity.ivfTopKExact(s, d)),
     "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
     "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
+    "q46_hash_sample" -> (TA.q46HashSample _),
+    "q47_vocab_topk" -> ((s, d) => TA.q47VocabTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +112,7 @@ object SparkEntry {
     "q43_ann_ivf_exact" -> Similarity.q43ExactSql,
     "q44_token_budget_mix" -> TA.q44Sql,
     "q45_embedding_clusters" -> Dedup.q45Sql,
+    "q46_hash_sample" -> TA.q46Sql,
+    "q47_vocab_topk" -> TA.q47Sql,
   )
 }

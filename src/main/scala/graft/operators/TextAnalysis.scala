@@ -182,6 +182,62 @@ object TextAnalysis {
       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin
 
+  /** q46 — deterministic per-source downsampling, the standard
+    * training-mix rebalancing op (keep 100% of a high-quality source, 10%
+    * of a crawl): a document is kept when the first 8 hex digits of
+    * md5(source:doc_id) fall below the source's rate threshold (fixed-
+    * width lowercase hex compares lexicographically == numerically, and
+    * md5 renders identically in Spark and DuckDB, so the oracle gates the
+    * exact selection). Stateless row-local predicate — at corpus scale
+    * this is a pure filter pushdown-adjacent scan: no shuffle, no window,
+    * embarrassingly parallel, reproducible across runs and engines.
+    * Rates cycle by source number: 1.0, 0.5, 0.25, 0.1. */
+  def q46HashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcN = regexp_extract($"source", "(\\d+)$", 1).cast("int")
+    val thr = when(pmod(srcN, lit(4)) === 0, lit("zzzzzzzz")) // 1.0: above any hex
+      .when(pmod(srcN, lit(4)) === 1, lit("80000000"))        // 0.5
+      .when(pmod(srcN, lit(4)) === 2, lit("40000000"))        // 0.25
+      .otherwise(lit("19999999"))                        // 0.1
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"), $"source",
+        substring(md5(concat_ws(":", $"source", $"doc_id")), 1, 8).as("h8"))
+      .filter($"h8" < thr)
+      .orderBy($"doc_id")
+  }
+
+  val q46Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    substr(md5(concat_ws(':', source, doc_id)), 1, 8) AS h8,
+      |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 AS m
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, h8 FROM t
+      |WHERE h8 < CASE m WHEN 0 THEN 'zzzzzzzz' WHEN 1 THEN '80000000'
+      |                  WHEN 2 THEN '40000000' ELSE '19999999' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q47 — corpus vocabulary extraction by document frequency (the
+    * tokenizer-building / stopword-mining primitive): distinct tokens per
+    * document, global df count, deterministic top-k (df desc, token asc).
+    * One explode + one count shuffle; the top-k is a single ordered limit
+    * (TakeOrderedAndProject — no global sort materialization at scale). */
+  def q47VocabTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).cast("long").as("df"))
+      .orderBy($"df".desc, $"token")
+      .limit(k)
+  }
+
+  val q47Sql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS df
+      |FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin
+
   /** q40 — sessionization (streaming-shape computed in batch): session
     * boundary = gap > 30 min; per-user session and event counts. The same
     * logic drives the Structured Streaming path (graft.streaming). */
