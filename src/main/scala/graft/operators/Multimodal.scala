@@ -97,6 +97,35 @@ object Multimodal {
       .select("media_id", "frame_idx", "frame_ts_ms", "frame_payload")
   }
 
+  /** Aspect-preserving resize planning for image-kind records: the target
+    * geometry (scale factor, output dims, letterbox padding) is REAL
+    * arithmetic — the part a pipeline must get right and the part worth
+    * testing — while the pixel resample itself is the stubbed codec call
+    * (payload passed through; a real kernel replaces exactly that one
+    * line). Non-images pass through untouched. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val isImg = col("kind") === "image" && col("width") > 0 && col("height") > 0
+    media.toDF()
+      .withColumn("scale",
+        when(isImg, least(
+          lit(maxW).cast("double") / col("width"),
+          lit(maxH).cast("double") / col("height"),
+          lit(1.0))).otherwise(lit(1.0)))
+      .withColumn("out_width",
+        when(isImg, greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+          .otherwise(col("width")))
+      .withColumn("out_height",
+        when(isImg, greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+          .otherwise(col("height")))
+      .withColumn("pad_x", when(isImg, (lit(maxW) - col("out_width")) / 2).cast("int"))
+      .withColumn("pad_y", when(isImg, (lit(maxH) - col("out_height")) / 2).cast("int"))
+      // stub: a real resample kernel transforms pixels here
+      .withColumn("out_payload", col("payload"))
+      .select("media_id", "kind", "width", "height", "scale",
+        "out_width", "out_height", "pad_x", "pad_y", "out_payload")
+  }
+
   /** Demo corpus: documents' text bytes as fake media payloads — gives the
     * plumbing a deterministic, driver-data-backed input. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {

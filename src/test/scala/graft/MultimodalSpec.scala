@@ -49,4 +49,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions >= 2)
     assert(parts.count() == media.count())
   }
+
+  test("resize planning scales within bounds, preserves aspect, pads symmetrically") {
+    val out = Multimodal.resizeImages(media, maxW = 128, maxH = 96).collect()
+    assert(out.length == media.count())
+    val imgs = out.filter(_.getAs[String]("kind") == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      val s = r.getAs[Double]("scale")
+      assert(ow <= 128 && oh <= 96 && ow >= 1 && oh >= 1)
+      assert(s <= 1.0 && s > 0.0)
+      // never upscale; aspect preserved to floor rounding
+      assert(ow == math.max(1, math.floor(w * s).toInt))
+      assert(oh == math.max(1, math.floor(h * s).toInt))
+      // at least one axis is tight against the bound unless scale==1
+      assert(s == 1.0 || ow == 128 || oh == 96 ||
+        math.floor((w * s) + 1e-9).toInt == 128 || math.floor((h * s) + 1e-9).toInt == 96)
+      assert(r.getAs[Int]("pad_x") == (128 - ow) / 2)
+      assert(r.getAs[Int]("pad_y") == (96 - oh) / 2)
+    }
+    // non-images pass through untouched
+    out.filter(_.getAs[String]("kind") != "image").foreach { r =>
+      assert(r.getAs[Double]("scale") == 1.0)
+      assert(r.getAs[Int]("out_width") == r.getAs[Int]("width"))
+    }
+  }
 }
