@@ -241,6 +241,10 @@ object Dedup {
       .join(side("d2"), "d2")
       .withColumnRenamed("nd1", "n1").withColumnRenamed("hvd1", "hv1")
       .withColumnRenamed("nd2", "n2").withColumnRenamed("hvd2", "hv2")
+      // exact size-ratio prune: J >= t forces min(n1,n2) >= t*max(n1,n2)
+      // (i <= min and union >= max), so hopeless pairs skip the merge-
+      // intersect kernel entirely — a column compare vs an O(n1+n2) scan
+      .filter(least($"n1", $"n2") >= lit(threshold) * greatest($"n1", $"n2"))
       .withColumn("i",
         graft.plans.VectorExpressions.sortedLongIntersectSize($"hv1", $"hv2").cast("double"))
       .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))
