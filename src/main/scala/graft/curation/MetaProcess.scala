@@ -1,0 +1,115 @@
+package graft.curation
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rdf.{Provenance, StoreViews, TriplesEmitter, Vocab}
+
+/** `run/meta_process.py` — the reference's primary entry point: process a
+  * sorted queue of input CSVs against an EVOLVING store, with a done-cache
+  * so an interrupted run resumes where it stopped (`init_cache`,
+  * meta_process.py:182-193) and counters that carry across batches (the
+  * counter-handler flush, :599).
+  *
+  * The per-file loop is inherently sequential — file N must curate
+  * against the store as of file N-1, the same invariant the reference
+  * holds — but it is a loop over FILES (driver state = one done-set and a
+  * per-kind counter map), while everything inside a file is the
+  * distributed [[Curator]]/[[StoreCurator]] batch. Store evolution is the
+  * oc_ocdm overlay: a batch's emitted subjects replace their old graphs,
+  * untouched subjects persist; provenance upserts a "modified" snapshot
+  * for entities whose graph actually changed, a creation snapshot for new
+  * ones, and leaves unchanged entities' chains alone.
+  */
+object MetaProcess {
+
+  /** Evolving pipeline state between batches. `triples`/`prov` are None
+    * before the first batch. Persist `done` (the reference's cache.txt)
+    * and the parquet frames to make a run resumable across processes. */
+  final case class PipelineState(
+      triples: Option[DataFrame],
+      prov: Option[DataFrame],
+      counters: Map[String, Long],
+      done: Set[String])
+
+  val Empty: PipelineState = PipelineState(None, None, Map.empty, Set.empty)
+
+  private def snapUri(entity: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column) =
+    concat(lit(Vocab.BaseIri + "/"), entity, lit("/prov/se/"), n)
+
+  private def countersOf(b: Curator.CuratedBatch, prefix: String,
+      prev: Map[String, Long]): Map[String, Long] = {
+    val batchMax = graft.operators.Tools
+      .regenerateCounters(Provenance.allEntities(b), prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    (prev.keySet ++ batchMax.keySet).map { k =>
+      k -> math.max(prev.getOrElse(k, 0L), batchMax.getOrElse(k, 0L))
+    }.toMap
+  }
+
+  /** Process every file not yet in `state.done`, in sorted order (the
+    * reference's `sort_files`). Returns the advanced state. */
+  def run(spark: SparkSession, files: Seq[String], generatedAt: String,
+      state: PipelineState = Empty, prefix: String = "060"): PipelineState = {
+    import spark.implicits._
+    var st = state
+    for (f <- files.sorted if !st.done.contains(f)) {
+      val input = Curator.readInput(spark, f)
+      st = (st.triples, st.prov) match {
+        case (None, _) =>
+          val b = Curator.curateFresh(input, prefix).checkpointed
+          PipelineState(
+            Some(TriplesEmitter.emit(b).localCheckpoint()),
+            Some(Provenance.freshSnapshots(b, generatedAt).localCheckpoint()),
+            countersOf(b, prefix, st.counters),
+            st.done + f)
+        case (Some(oldTriples), Some(oldProv)) =>
+          val store = StoreViews.fromTriples(oldTriples, prefix)
+          val upd = StoreCurator.curateWithStore(input, store, prefix,
+            prov = Some(oldProv), counterOffsets = Some(st.counters))
+          val b = upd.batch
+          val delta = TriplesEmitter.emit(b).localCheckpoint()
+          // overlay: batch subjects' graphs are replaced, others persist
+          val touched = delta.select($"s").distinct()
+          val newTriples = oldTriples.join(touched, Seq("s"), "left_anti")
+            .unionByName(delta).localCheckpoint()
+          // provenance: snapshot only entities whose graph CHANGED (new
+          // triples or retracted old ones); adopted-but-identical
+          // entities keep their chains untouched
+          val oldTouched = oldTriples.join(touched, Seq("s"), "left_semi")
+          val changedSubjects = delta.exceptAll(oldTouched)
+            .unionByName(oldTouched.exceptAll(delta))
+            .select($"s").distinct()
+          val prefixUri = Vocab.BaseIri + "/"
+          val changedEnts = changedSubjects
+            .filter($"s".startsWith(prefixUri))
+            .select(expr(s"substring(s, ${prefixUri.length + 1})").as("entity"))
+          val known = oldProv.select($"entity").distinct()
+          val agent = lit("https://w3id.org/oc/meta/prov/pa/1")
+          val latest = oldProv.filter($"invalidated_at".isNull)
+            .select($"entity", $"snapshot_n")
+          val modified = changedEnts.join(latest, Seq("entity"))
+            .select($"entity", lit(1L).as("snapshot_n"),
+              lit(generatedAt).as("generated_at"),
+              lit(null).cast("string").as("invalidated_at"),
+              array(snapUri($"entity", $"snapshot_n")).as("derived_from"),
+              lit("Entity modified").as("description"),
+              agent.as("attributed_to"))
+          val created = changedEnts.join(known, Seq("entity"), "left_anti")
+            .select($"entity", lit(1L).as("snapshot_n"),
+              lit(generatedAt).as("generated_at"),
+              lit(null).cast("string").as("invalidated_at"),
+              array().cast("array<string>").as("derived_from"),
+              lit("Entity created").as("description"),
+              agent.as("attributed_to"))
+          val newProv = Provenance.upsert(oldProv,
+            modified.unionByName(created), generatedAt).localCheckpoint()
+          PipelineState(Some(newTriples), Some(newProv),
+            countersOf(b, prefix, st.counters), st.done + f)
+        case _ =>
+          throw new IllegalStateException("state has triples but no prov")
+      }
+    }
+    st
+  }
+}

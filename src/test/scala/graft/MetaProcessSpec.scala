@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.curation.MetaProcess
+import graft.rdf.Checkers
+
+/** The reference's primary entry (`run/meta_process.py`): a sorted file
+  * queue curated against an evolving store with resume. */
+class MetaProcessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val T0 = "2026-08-13T00:00:00Z"
+  val f1 = "/root/reference/example_metadata.csv"
+
+  // batch 2: the first file's DOI enriched with a NEW pmid (graph change)
+  // plus one brand-new work
+  lazy val f2: String = {
+    val dir = Files.createTempDirectory("graft_mp")
+    val p = dir.resolve("zbatch2.csv")
+    Files.writeString(p,
+      "\"id\",\"title\",\"author\",\"pub_date\",\"venue\",\"volume\",\"issue\",\"page\",\"type\",\"publisher\",\"editor\"\n" +
+      "\"doi:10.1007/978-3-662-07918-8_3 pmid:99999999\",\"Influence of Dielectric Properties, State, and Electrodes on Electric Strength\",\"Ushakov, Vasily Y.\",\"2004\",,,,,\"book chapter\",,\n" +
+      "\"doi:10.9999/new-entry\",\"A Brand New Work\",\"Doe, Jane\",\"2024\",,,,\"11-22\",\"journal article\",,\n")
+    p.toString
+  }
+
+  test("meta_process: evolving store, enrichment provenance, resume equivalence") {
+    import spark.implicits._
+    val full = MetaProcess.run(spark, Seq(f1, f2), T0)
+    assert(full.done == Set(f1, f2))
+    val triples = full.triples.get.localCheckpoint()
+    val prov = full.prov.get.localCheckpoint()
+
+    // the overlapping DOI still has exactly ONE owning entity, now also
+    // carrying the new pmid
+    val ids = Checkers.storeIds(triples)
+    val doiOwners = ids.filter($"scheme" === "doi" &&
+      $"value" === "10.1007/978-3-662-07918-8_3")
+      .select($"owner_meta").distinct().as[String].collect()
+    assert(doiOwners.toSeq == Seq("br/0601"))
+    val pmidOwners = ids.filter($"scheme" === "pmid" && $"value" === "99999999")
+      .select($"owner_meta").distinct().as[String].collect()
+    assert(pmidOwners.toSeq == Seq("br/0601"))
+
+    // counters carried across batches: the new work minted a number past
+    // batch 1's maximum, and no br number is duplicated
+    val brMetas = triples.filter($"p" === graft.rdf.Vocab.RdfType &&
+      $"s".contains("/br/")).select($"s").distinct().count()
+    assert(full.counters("br") >= brMetas)
+
+    // provenance: the enriched entity has a closed snapshot 1 + an open
+    // "Entity modified" 2; the new work has one open creation snapshot;
+    // an untouched batch-1 entity keeps its single open snapshot
+    val enriched = prov.filter($"entity" === "br/0601").collect()
+      .sortBy(_.getAs[Long]("snapshot_n"))
+    assert(enriched.length == 2)
+    assert(enriched(0).getAs[String]("invalidated_at") == T0)
+    assert(enriched(1).getAs[String]("description") == "Entity modified" &&
+      enriched(1).getAs[String]("invalidated_at") == null)
+    val newBr = full.counters("br")
+    val created = prov.filter($"entity" === s"br/060$newBr").collect()
+    assert(created.length == 1 &&
+      created(0).getAs[String]("description") == "Entity created")
+    assert(prov.filter($"entity" === "br/0602").count() == 1)
+    // store-wide invariants hold after the run
+    assert(Checkers.missingProvenance(triples, prov).isEmpty)
+    assert(Checkers.openSnapshotInvariant(prov).isEmpty)
+
+    // resume: stopping after file 1 and restarting reaches the same state
+    val s1 = MetaProcess.run(spark, Seq(f1), T0)
+    assert(s1.done == Set(f1))
+    val resumed = MetaProcess.run(spark, Seq(f1, f2), T0, state = s1)
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(tset(resumed.triples.get) == tset(triples))
+    assert(resumed.counters == full.counters)
+    // an all-done queue is a no-op
+    val noop = MetaProcess.run(spark, Seq(f1, f2), T0, state = resumed)
+    assert(noop.done == resumed.done)
+    assert(tset(noop.triples.get) == tset(triples))
+  }
+}
