@@ -47,6 +47,40 @@ object MetaProcess {
     }.toMap
   }
 
+  /** Persist the evolving state to a work dir (triples/prov parquet, the
+    * done-cache as a text file, counters as one CSV line each) so a
+    * later PROCESS resumes exactly where this one stopped — the
+    * reference's cache.txt + counter-file flush. */
+  def saveState(st: PipelineState, workDir: String): Unit = {
+    st.triples.foreach(_.write.mode("overwrite").parquet(s"$workDir/triples"))
+    st.prov.foreach(_.write.mode("overwrite").parquet(s"$workDir/prov"))
+    val spark = st.triples.map(_.sparkSession)
+      .orElse(st.prov.map(_.sparkSession))
+    spark.foreach { s =>
+      import s.implicits._
+      st.done.toSeq.sorted.toDF("file").coalesce(1)
+        .write.mode("overwrite").text(s"$workDir/done")
+      st.counters.toSeq.sortBy(_._1).toDF("kind", "n").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(s"$workDir/counters")
+    }
+  }
+
+  /** Load a previously saved state; [[Empty]] when the dir has none. */
+  def loadState(spark: SparkSession, workDir: String): PipelineState = {
+    import spark.implicits._
+    def exists(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p))
+    if (!exists(s"$workDir/triples")) Empty
+    else PipelineState(
+      Some(spark.read.parquet(s"$workDir/triples")),
+      Some(spark.read.parquet(s"$workDir/prov")),
+      spark.read.option("header", "true").csv(s"$workDir/counters")
+        .collect().map(r => r.getString(0) -> r.getString(1).toLong).toMap,
+      spark.read.text(s"$workDir/done").as[String].collect().toSet)
+  }
+
   /** Process every file not yet in `state.done`, in sorted order (the
     * reference's `sort_files`). Returns the advanced state. */
   def run(spark: SparkSession, files: Seq[String], generatedAt: String,
@@ -111,5 +145,42 @@ object MetaProcess {
       }
     }
     st
+  }
+}
+
+/** CLI wrapper with cross-process resume:
+  *
+  *   runMain graft.curation.MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt]
+  *
+  * Loads any state in `workDir`, processes the pending `*.csv` files of
+  * `inputDir` in sorted order, and persists the advanced state back. */
+object MetaProcessJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt]")
+    val (inputDir, workDir) = (args(0), args(1))
+    val prefix = if (args.length > 2) args(2) else "060"
+    val generatedAt = if (args.length > 3) args(3)
+      else java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-meta-process")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fs = new org.apache.hadoop.fs.Path(inputDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$inputDir/*.csv"))
+      .map(_.getPath.toString).toSeq
+    val st0 = MetaProcess.loadState(spark, workDir)
+    val st = MetaProcess.run(spark, files, generatedAt, st0, prefix)
+    MetaProcess.saveState(st, workDir)
+    println(s"[meta_process] ${st.done.size - st0.done.size} file(s) processed, " +
+      s"${st.triples.map(_.count()).getOrElse(0L)} triples, " +
+      s"${st.prov.map(_.count()).getOrElse(0L)} prov snapshots -> $workDir")
+    spark.stop()
   }
 }

@@ -87,5 +87,17 @@ class MetaProcessSpec extends AnyFunSuite {
     val noop = MetaProcess.run(spark, Seq(f1, f2), T0, state = resumed)
     assert(noop.done == resumed.done)
     assert(tset(noop.triples.get) == tset(triples))
+
+    // cross-process resume: state round-trips through the work dir and a
+    // fresh load continues to the same final state
+    val workDir = Files.createTempDirectory("graft_mpstate").toString
+    MetaProcess.saveState(s1, workDir)
+    val reloaded = MetaProcess.loadState(spark, workDir)
+    assert(reloaded.done == s1.done && reloaded.counters == s1.counters)
+    assert(tset(reloaded.triples.get) == tset(s1.triples.get))
+    val resumed2 = MetaProcess.run(spark, Seq(f1, f2), T0, state = reloaded)
+    assert(tset(resumed2.triples.get) == tset(triples))
+    assert(MetaProcess.loadState(spark,
+      Files.createTempDirectory("graft_mpempty").toString).done.isEmpty)
   }
 }
