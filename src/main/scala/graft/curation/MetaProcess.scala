@@ -52,8 +52,14 @@ object MetaProcess {
     * later PROCESS resumes exactly where this one stopped — the
     * reference's cache.txt + counter-file flush. */
   def saveState(st: PipelineState, workDir: String): Unit = {
-    st.triples.foreach(_.write.mode("overwrite").parquet(s"$workDir/triples"))
-    st.prov.foreach(_.write.mode("overwrite").parquet(s"$workDir/prov"))
+    // localCheckpoint materializes BEFORE the overwrite: a no-op run's
+    // frames still point at these very parquet paths, and overwriting a
+    // path being lazily read truncates it mid-plan (observed: second
+    // MetaProcessJob invocation corrupting its own work dir)
+    st.triples.foreach(_.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$workDir/triples"))
+    st.prov.foreach(_.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$workDir/prov"))
     val spark = st.triples.map(_.sparkSession)
       .orElse(st.prov.map(_.sparkSession))
     spark.foreach { s =>
@@ -177,10 +183,13 @@ object MetaProcessJob {
       .map(_.getPath.toString).toSeq
     val st0 = MetaProcess.loadState(spark, workDir)
     val st = MetaProcess.run(spark, files, generatedAt, st0, prefix)
+    // count BEFORE saving: the overwrite replaces the very files a
+    // loaded no-op frame still points at
+    val nTriples = st.triples.map(_.count()).getOrElse(0L)
+    val nProv = st.prov.map(_.count()).getOrElse(0L)
     MetaProcess.saveState(st, workDir)
     println(s"[meta_process] ${st.done.size - st0.done.size} file(s) processed, " +
-      s"${st.triples.map(_.count()).getOrElse(0L)} triples, " +
-      s"${st.prov.map(_.count()).getOrElse(0L)} prov snapshots -> $workDir")
+      s"$nTriples triples, $nProv prov snapshots -> $workDir")
     spark.stop()
   }
 }

@@ -97,6 +97,11 @@ class MetaProcessSpec extends AnyFunSuite {
     assert(tset(reloaded.triples.get) == tset(s1.triples.get))
     val resumed2 = MetaProcess.run(spark, Seq(f1, f2), T0, state = reloaded)
     assert(tset(resumed2.triples.get) == tset(triples))
+    // load -> no-op -> save must not corrupt the dir it is reading from
+    val noop2 = MetaProcess.run(spark, Seq(f1), T0, state = reloaded)
+    MetaProcess.saveState(noop2, workDir)
+    assert(tset(MetaProcess.loadState(spark, workDir).triples.get) ==
+      tset(s1.triples.get))
     assert(MetaProcess.loadState(spark,
       Files.createTempDirectory("graft_mpempty").toString).done.isEmpty)
   }
