@@ -69,6 +69,9 @@ object SparkEntry {
     "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
     "q46_hash_sample" -> (TA.q46HashSample _),
     "q47_vocab_topk" -> ((s, d) => TA.q47VocabTopK(s, d)),
+    "q48_decontamination" -> ((s, d) => Dedup.decontaminationHits(s, d)),
+    "q49_repetition_quality" -> (TA.q49Repetition _),
+    "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +117,8 @@ object SparkEntry {
     "q45_embedding_clusters" -> Dedup.q45Sql,
     "q46_hash_sample" -> TA.q46Sql,
     "q47_vocab_topk" -> TA.q47Sql,
+    "q48_decontamination" -> Dedup.q48Sql,
+    "q49_repetition_quality" -> TA.q49Sql,
+    "q50_incremental_dedup" -> Dedup.q50Sql,
   )
 }

@@ -363,6 +363,100 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** q48 — benchmark decontamination: flag training documents that share
+    * any word n-gram with a held-out evaluation set (the standard
+    * pre-training hygiene pass — eval text leaking into training data
+    * inflates benchmark scores). The eval set here is the deterministic
+    * slice doc_id % benchMod == 0; in production it is a separate, small,
+    * fixed-size table. Scale shape: the eval gram set is O(|benchmark|)
+    * and BROADCAST, so the 100 TB training corpus is never shuffled at
+    * all — one scan, a map-side hash probe per shingle, and a partial
+    * count-aggregate per doc. Gram identity uses the same 64-bit hashed
+    * shingles as q31/q32 (ShingleKernelSpec proves hash-set == string-set
+    * cardinalities on these corpora). Output: one row per contaminated
+    * training doc with its shared-gram count. */
+  def decontaminationHits(s: SparkSession, dir: String, n: Int = 5,
+      benchMod: Long = 7): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir, n)
+    val bench = sets.filter($"doc_id" % benchMod === 0)
+      .select(explode($"hv").as("sg")).distinct()
+    // hv is distinct per doc, so count(*) counts distinct shared grams
+    sets.filter($"doc_id" % benchMod =!= 0)
+      .select($"doc_id", explode($"hv").as("sg"))
+      .join(broadcast(bench), "sg")
+      .groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** q48 oracle — the same overlap computed on STRING 5-grams in DuckDB
+    * (independent of the hashed-shingle kernel). */
+  val q48Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]) AS s
+      |  FROM toks WHERE len(t) >= 5
+      |), bench AS (
+      |  SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 7 = 0
+      |), train AS (
+      |  SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 7 <> 0
+      |)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM train t JOIN bench b ON t.sg = b.sg
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q50 — INCREMENTAL dedup: near-dups of a new ingest batch against the
+    * already-ingested corpus, the shape a 100 TB pipeline actually runs
+    * day-to-day (full-corpus self-dedup happens once; every later ingest
+    * only needs new-vs-corpus + new-vs-new). The batch here is the
+    * deterministic slice doc_id % newMod == 0. Candidates come from the
+    * banded MinHash table restricted to new x old — the corpus side
+    * shuffles O(old_docs * bands) band rows once, the batch side is tiny,
+    * and no old x old candidate is ever generated (that quadratic bulk is
+    * exactly what incremental ingestion avoids). Verification is the same
+    * exact-Jaccard kernel as q31/q32, so output pairs are exact. */
+  def incrementalDedupPairs(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 32, rows: Int = 4, threshold: Double = 0.8,
+      newMod: Long = 10): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir, n).cache()
+    val nDocs = sets.count()
+    val banded = bandedSignatures(sets, bands, rows)
+    val newB = banded.filter($"doc_id" % newMod === 0)
+    val oldB = banded.filter($"doc_id" % newMod =!= 0)
+    val cand = oldB.as("o").hint("shuffle_hash").join(newB.as("nw"),
+        $"o.band" === $"nw.band" && $"o.bh" === $"nw.bh")
+      .select($"nw.doc_id".as("d1"), $"o.doc_id".as("d2"))
+      .distinct()
+    jaccardVerify(cand, sets, threshold, nDocs)
+      .withColumnRenamed("d1", "new_id").withColumnRenamed("d2", "old_id")
+  }
+
+  /** q50 oracle — exact new x old Jaccard pairs (candidate join on shared
+    * string shingles, like q31's oracle, restricted to the batch split). */
+  val q50Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)]) AS s
+      |  FROM toks WHERE len(t) >= 5
+      |), exn AS (
+      |  SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 10 = 0
+      |), exo AS (
+      |  SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 10 <> 0
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      |  FROM exn a JOIN exo b ON a.sg = b.sg
+      |), j AS (
+      |  SELECT new_id, old_id,
+      |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) AS jac
+      |  FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = old_id
+      |)
+      |SELECT CAST(new_id AS BIGINT) AS new_id, CAST(old_id AS BIGINT) AS old_id,
+      |  round(jac, 6) AS jac
+      |FROM j WHERE jac >= 0.8 ORDER BY new_id, old_id""".stripMargin
+
   /** Banded-MinHash candidate pairs from a (doc_id, sh) shingle frame:
     * signature of bands*rows permutations, one bucket hash per band
     * (xxhash64 of the band's row slice, salted by the band index), then
@@ -378,19 +472,25 @@ object Dedup {
     * is 1-(1-J^rows)^bands; shuffle volume is O(docs * bands) rows
     * regardless of corpus size. Shared by the document-dedup path (q32)
     * and the LSH-fronted bibliographic match (q22). */
+  /** The checkpointed (doc_id, band, bh) table: signature of bands*rows
+    * permutations, one bucket hash per band (xxhash64 of the band's row
+    * slice, salted by the band index). Base hashes are a per-element pmod
+    * over the already-hashed shingle array — cheap enough to inline into
+    * the signature projection; the checkpoint makes the signature subtree
+    * compute exactly once even when the table feeds both join sides. */
+  private def bandedSignatures(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
+    import sets.sparkSession.implicits._
+    sets.select($"doc_id",
+        minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
+      .localCheckpoint()
+  }
+
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
-    // base hashes are a per-element pmod over the already-hashed shingle
-    // array — cheap enough to inline into the signature projection (the
-    // old string pipeline needed a checkpoint here to avoid re-hashing
-    // strings twice; the banded checkpoint below still computes the
-    // signature subtree exactly once)
-    val sig = sets.select($"doc_id",
-      minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
-    val banded = sig.select($"doc_id", posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
-      .localCheckpoint()
+    val banded = bandedSignatures(sets, bands, rows)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))

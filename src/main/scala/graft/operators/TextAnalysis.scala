@@ -238,6 +238,59 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  /** q49 — repetition-based quality signals (the Gopher-rules family):
+    * duplicate-token fraction (1 - distinct/total), top-token frequency
+    * fraction, duplicate-bigram fraction. Everything is computed with
+    * row-local array arithmetic — size/array_distinct/zip_with — so the
+    * operator is a pure projection over the corpus scan: no explode, no
+    * shuffle, embarrassingly parallel at 100 TB. The top-token count is
+    * O(tokens * distinct) per row, bounded by document length — cheaper
+    * than the explode + two-level groupBy alternative, which would
+    * shuffle every token of the corpus. All fractions exact-integer-
+    * derived, round(6), so the DuckDB oracle gates the arithmetic. */
+  def q49Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n", size($"toks"))
+      .filter($"n" > 0)
+      .withColumn("bigrams", zip_with(
+        slice($"toks", lit(1), $"n" - 1), slice($"toks", lit(2), $"n" - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .withColumn("maxc", array_max(transform(array_distinct($"toks"),
+        d => size(filter($"toks", t => t === d)))))
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"n".cast("long").as("n_tok"),
+        round(lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n", 6)
+          .as("dup_tok_frac"),
+        round($"maxc".cast("double") / $"n", 6).as("top_tok_frac"),
+        when($"n" < lit(2), lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct($"bigrams")).cast("double") / ($"n" - 1), 6))
+          .as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q49Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS bigrams,
+      |    list_max(list_transform(list_distinct(toks),
+      |      d -> len(list_filter(toks, x -> x = d)))) AS maxc
+      |  FROM t WHERE len(toks) > 0
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(n AS BIGINT) AS n_tok,
+      |  round(1.0 - len(list_distinct(toks))::DOUBLE / n, 6) AS dup_tok_frac,
+      |  round(maxc::DOUBLE / n, 6) AS top_tok_frac,
+      |  CASE WHEN n < 2 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(bigrams))::DOUBLE / (n - 1), 6) END
+      |    AS dup_bigram_frac
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** q40 — sessionization (streaming-shape computed in batch): session
     * boundary = gap > 30 min; per-user session and event counts. The same
     * logic drives the Structured Streaming path (graft.streaming). */

@@ -86,6 +86,54 @@ object Tools {
       .orderBy($"surviving", $"merged")
   }
 
+  /** `run/find/duplicated_entities.py`: entities of a dump that share an
+    * identifier. The tool's in-memory UnionFind over the
+    * entity<->identifier bipartite graph (duplicated_entities.py:24-52,
+    * 174-191) IS [[graft.curation.ConnectedComponents.byShardKey]] with
+    * the identifier as the shard key, so the per-zip-file loop collapses
+    * into one scan + one CC call. Input is the triples frame of a dump
+    * tree (e.g. [[graft.rdf.Serialization.readJsonLd]]); `resourceType`
+    * mirrors the tool's br/ra/both folder choice via rdf:type
+    * (fabio:Expression / foaf:Agent — get_entity_type, lines 143-148).
+    * Output rows are the tool's CSV shape: group sorted, first member
+    * surviving, rest "; "-joined (save_duplicates_to_csv, lines 159-171). */
+  def duplicatedEntities(triples: DataFrame, resourceType: String = "both"): DataFrame = {
+    import triples.sparkSession.implicits._
+    val v = graft.rdf.Vocab
+    val wanted = resourceType match {
+      case "br" => Seq(v.Expression)
+      case "ra" => Seq(v.FoafAgent)
+      case _    => Seq(v.Expression, v.FoafAgent)
+    }
+    val ents = triples.filter($"p" === v.RdfType && $"o".isin(wanted: _*))
+      .select($"s".as("entity")).distinct()
+    val edges = triples.filter($"p" === v.HasIdentifier)
+      .select($"s".as("entity"), $"o".as("key"))
+      .join(ents, Seq("entity"), "left_semi")
+      .withColumn("eid", xxhash64($"entity"))
+      .localCheckpoint()
+    val cc = graft.curation.ConnectedComponents.byShardKey(
+      edges.select($"eid".as("entity"), $"key"))
+      .withColumnRenamed("entity", "eid")
+    edges.select($"entity", $"eid").distinct()
+      .join(cc, Seq("eid"))
+      .groupBy($"component").agg(sort_array(collect_set($"entity")).as("members"))
+      .filter(size($"members") > 1)
+      .select(element_at($"members", 1).as("surviving_entity"),
+        array_join(expr("slice(members, 2, size(members) - 1)"), "; ")
+          .as("merged_entities"))
+      .orderBy($"surviving_entity")
+  }
+
+  /** `run/meta/merge_csv.py`: concatenate every CSV of a directory into
+    * one frame under the first file's header (merge_csv.py:38-60 — all
+    * reference inputs share a schema, so Spark's positional union over
+    * the directory is the same concat). Write with the S2 CSV sink for
+    * the tool's single-file output. */
+  def mergeCsvDir(spark: org.apache.spark.sql.SparkSession,
+      inputDir: String): DataFrame =
+    spark.read.option("header", "true").csv(inputDir)
+
   /** R7 — counter (info-dir) regeneration (`run/infodir/gen.py`): max
     * entity number per (kind, prefix) from the entity corpus. */
   def regenerateCounters(entityMetas: DataFrame, prefix: String): DataFrame = {

@@ -193,4 +193,56 @@ class OperatorsSpec extends AnyFunSuite {
     val sum = groups.agg(coalesce(org.apache.spark.sql.functions.sum("n"), lit(0L))).head.getLong(0)
     assert(sum == total)
   }
+
+  test("q48 decontamination hits match a driver-side string-shingle recompute") {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    def grams(t: Seq[String]) =
+      t.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+    val expect = docs.filter(_._1 % 7 != 0)
+      .map { case (id, t) => (id, grams(t).count(bench.contains).toLong) }
+      .filter(_._2 > 0).toMap
+    val got = Dedup.decontaminationHits(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty, "test data should contain contaminated docs")
+    assert(got == expect)
+  }
+
+  test("q49 repetition fractions match a driver-side recompute") {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq))
+    val got = graft.operators.TextAnalysis.q49Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == docs.count(_._2.nonEmpty))
+    docs.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      val n = t.size
+      val e1 = 1.0 - t.distinct.size.toDouble / n
+      val e2 = t.groupBy(identity).values.map(_.size).max.toDouble / n
+      val e3 = if (n < 2) 0.0
+        else 1.0 - t.sliding(2).map(_.mkString(" ")).toSeq.distinct.size.toDouble / (n - 1)
+      val (gn, g1, g2, g3) = got(id)
+      assert(gn == n, s"doc $id token count")
+      assert(math.abs(g1 - e1) < 5e-7 && math.abs(g2 - e2) < 5e-7 &&
+        math.abs(g3 - e3) < 5e-7, s"doc $id fractions")
+    }
+  }
+
+  test("q50 incremental dedup equals the exact pair set restricted to new x old") {
+    val full = Dedup.ngramJaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = full.flatMap { case (d1, d2, j) =>
+      (d1 % 10 == 0, d2 % 10 == 0) match {
+        case (true, false) => Some((d1, d2, j))
+        case (false, true) => Some((d2, d1, j))
+        case _ => None // old x old and new x new are out of contract
+      }
+    }.toSet
+    val got = Dedup.incrementalDedupPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expect.nonEmpty, "test data should contain new x old near-dups")
+    assert(got == expect)
+  }
 }

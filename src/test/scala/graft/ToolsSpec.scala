@@ -261,4 +261,46 @@ class ToolsSpec extends AnyFunSuite {
     assert(vStats("venues") == 2L,
       s"expected omid-keyed + name-keyed = 2, got ${vStats("venues")}")
   }
+
+  test("duplicated_entities groups dump entities transitively by shared ids") {
+    import spark.implicits._
+    val m = "https://w3id.org/oc/meta/"
+    def ty(s: String, t: String) = (s, Vocab.RdfType, t, null: String)
+    def hid(s: String, id: String) = (s, Vocab.HasIdentifier, id, null: String)
+    val triples = Seq(
+      ty(m + "br/0601", Vocab.Expression), hid(m + "br/0601", m + "id/0601"),
+      hid(m + "br/0601", m + "id/0602"),
+      ty(m + "br/0602", Vocab.Expression), hid(m + "br/0602", m + "id/0602"),
+      hid(m + "br/0602", m + "id/0603"),
+      ty(m + "br/0604", Vocab.Expression), hid(m + "br/0604", m + "id/0603"),
+      ty(m + "br/0605", Vocab.Expression), hid(m + "br/0605", m + "id/0699"),
+      ty(m + "ra/0601", Vocab.FoafAgent), hid(m + "ra/0601", m + "id/0701"),
+      ty(m + "ra/0602", Vocab.FoafAgent), hid(m + "ra/0602", m + "id/0701"),
+      // re/ entities are neither br nor ra -> never grouped
+      ty(m + "re/0601", "http://purl.org/spar/fabio/Manifestation"),
+      hid(m + "re/0601", m + "id/0602"))
+      .toDF("s", "p", "o", "o_datatype")
+    val both = Tools.duplicatedEntities(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // br chain 0601-0602-0604 is transitive through id/0602, id/0603
+    assert(both.toSeq == Seq(
+      (m + "br/0601", m + "br/0602; " + m + "br/0604"),
+      (m + "ra/0601", m + "ra/0602")))
+    // folder choice: ra-only run ignores the br group
+    val raOnly = Tools.duplicatedEntities(triples, "ra").collect()
+    assert(raOnly.length == 1 && raOnly.head.getString(0) == m + "ra/0601")
+  }
+
+  test("merge_csv concatenates a directory of CSVs under one header") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergecsv")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "id,title\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "id,title\n3,gamma\n".getBytes("UTF-8"))
+    val merged = Tools.mergeCsvDir(spark, dir.toString)
+    assert(merged.columns.toSeq == Seq("id", "title"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"id" === "3").head.getAs[String]("title") == "gamma")
+  }
 }
