@@ -118,10 +118,18 @@ object Curator {
     val prepassed = input
       .withColumn("volume", pv).withColumn("issue", pi).withColumn("type", pt)
     val trimmed = prepassed.select(Validation.InputColumns.map(c => trim(col(c)).as(c)): _*)
-    val valid = trimmed.filter(Validation.isValidRow($"id", $"title", $"author",
-      $"pub_date", $"venue", $"volume", $"issue", $"page", $"type", $"publisher", $"editor"))
-
-    val indexed = withRowIndex(valid, "row_idx")
+    // Index BEFORE the validity filter: withRowIndex is an RDD barrier, so
+    // isValidRow evaluates against materialized attributes. Filtering first
+    // let Catalyst substitute the readInput/prePass/trim expression towers
+    // into the filter's 11-column CASE chain — the generated method blew
+    // janino's 64 KB limit and dropped the whole scan stage out of
+    // whole-stage codegen (and re-paid a failed ~1 s compile per batch
+    // plan). row_idx keeps gaps where invalid rows fell; every consumer is
+    // ordinal (min-label CC, first-non-empty, sequence ordering), so a
+    // monotone relabeling with gaps is semantically identical.
+    val indexed = withRowIndex(trimmed, "row_idx")
+      .filter(Validation.isValidRow($"id", $"title", $"author",
+        $"pub_date", $"venue", $"volume", $"issue", $"page", $"type", $"publisher", $"editor"))
 
     val (v1, i1) = Validation.dropViForNonJournal(Validation.canonicalType($"type"), $"volume", $"issue")
     val parsed0 = indexed
