@@ -72,6 +72,8 @@ object SparkEntry {
     "q48_decontamination" -> ((s, d) => Dedup.decontaminationHits(s, d)),
     "q49_repetition_quality" -> (TA.q49Repetition _),
     "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupPairs(s, d)),
+    "q51_crossdoc_dup_fraction" -> ((s, d) => Dedup.crossDocDupFraction(s, d)),
+    "q52_dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +122,7 @@ object SparkEntry {
     "q48_decontamination" -> Dedup.q48Sql,
     "q49_repetition_quality" -> TA.q49Sql,
     "q50_incremental_dedup" -> Dedup.q50Sql,
+    "q51_crossdoc_dup_fraction" -> Dedup.q51Sql,
+    "q52_dedup_corpus" -> Dedup.q52Sql,
   )
 }

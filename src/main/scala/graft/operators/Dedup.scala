@@ -599,4 +599,101 @@ object Dedup {
       .select($"v1", $"v2", round($"cos", 6).as("cos"))
       .orderBy($"v1", $"v2")
   }
+
+  /** q51 — cross-document duplicated-chunk fraction: for each document,
+    * the fraction of its consecutive non-overlapping k-token chunks whose
+    * exact content also occurs in at least one OTHER document. This is the
+    * corpus-level duplication quality signal of large-scale curation
+    * pipelines (distinct from q49's within-doc repetition and q48's
+    * eval-set overlap): high-fraction docs are boilerplate/templated text
+    * that survives document-level dedup because the whole doc is not a
+    * near-dup of any single other doc.
+    *
+    * Scale shape: one chunk-explode (rows = tokens/k, an order less than a
+    * shingle explode), one groupBy on the 64-bit chunk hash for the
+    * distinct-doc count, one hash-join back on the same key (co-partitioned
+    * by the groupBy's shuffle), one per-doc aggregate. No self-join, no
+    * candidate generation — O(corpus tokens / k) shuffle volume end to
+    * end. A chunk repeated only within one document does not count
+    * (distinct-doc count stays 1), matching the cross-document
+    * definition. */
+  def crossDocDupFraction(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val toks = filter(split($"text", " "), t => length(t) > lit(0))
+    val nChunks = (size($"t") / k).cast("int")
+    val occ = documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id".cast("long").as("doc_id"), toks.as("t"))
+      .filter(size($"t") >= k)
+      .select($"doc_id", explode(transform(sequence(lit(0), nChunks - 1),
+        i => xxhash64(concat_ws(" ", slice($"t", i * k + 1, lit(k)))))).as("ch"))
+    val nd = occ.groupBy($"ch").agg(countDistinct($"doc_id").as("ndocs"))
+    occ.join(nd, "ch")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .select($"doc_id", $"n_chunks", $"n_dup",
+        round($"n_dup".cast("double") / $"n_chunks", 6).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** q51 oracle — the same per-doc duplicated-chunk stats computed on the
+    * chunk STRINGS in DuckDB (independent of the xxhash64 chunk key). */
+  val q51Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
+      |), occ AS (
+      |  SELECT doc_id, unnest([array_to_string(t[(i-1)*8+1:i*8], ' ') for i in range(1, len(t)//8 + 1)]) AS ch
+      |  FROM toks WHERE len(t) >= 8
+      |), nd AS (
+      |  SELECT ch, count(DISTINCT doc_id) AS ndocs FROM occ GROUP BY ch
+      |), per_doc AS (
+      |  SELECT o.doc_id, count(*) AS n_chunks,
+      |    sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+      |  FROM occ o JOIN nd ON o.ch = nd.ch GROUP BY o.doc_id
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(n_dup AS BIGINT) AS n_dup,
+      |  round(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_frac
+      |FROM per_doc ORDER BY doc_id""".stripMargin
+
+  /** q52 — the dedup DECISION over the whole corpus: every document with
+    * its near-dup cluster id (its own id when unclustered) and whether it
+    * survives (kept iff it is its cluster's canonical min-id member).
+    * Completes the family end-to-end — q31/q32 find pairs, q42 groups
+    * them, this emits the surviving corpus; "the deduplicated dataset" is
+    * then `WHERE kept = 1`. Scale shape: [[nearDupClusters]]'s
+    * O(docs*bands) LSH + label propagation, plus one join of the (small —
+    * clustered docs only) cluster table back to the corpus; AQE broadcasts
+    * it at real-world dup rates. */
+  def dedupCorpus(s: SparkSession, dir: String, n: Int = 5,
+      bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
+    val clusters = nearDupClusters(s, dir, n, bands, rows, threshold)
+      .select($"doc_id", $"cluster")
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+      .select($"doc_id", $"cluster",
+        when($"cluster" === $"doc_id", 1L).otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** q52 oracle — q42's independent recursive-reachability CC, left-joined
+    * onto the full corpus so unclustered docs appear as their own kept
+    * cluster. */
+  val q52Sql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |pairs AS (SELECT d1, d2 FROM j WHERE jac >= 0.8),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+      |reach AS (
+      |  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON r.node = e.a
+      |), cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |  CAST(coalesce(cc.cluster, d.doc_id) AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN coalesce(cc.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id ORDER BY doc_id""".stripMargin
 }

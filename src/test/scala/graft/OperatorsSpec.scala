@@ -245,4 +245,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "test data should contain new x old near-dups")
     assert(got == expect)
   }
+
+  test("q51 cross-doc duplicated-chunk stats match a driver-side recompute") {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    def chunks(t: Seq[String]) =
+      t.grouped(8).filter(_.size == 8).map(_.mkString(" ")).toSeq
+    val ndocs = docs.flatMap { case (id, t) => chunks(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val got = Dedup.crossDocDupFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val withChunks = docs.filter(_._2.size >= 8)
+    assert(got.size == withChunks.size)
+    var anyDup = false
+    withChunks.foreach { case (id, t) =>
+      val cs = chunks(t)
+      val nDup = cs.count(c => ndocs(c) >= 2).toLong
+      if (nDup > 0) anyDup = true
+      val (gn, gd, gf) = got(id)
+      assert(gn == cs.size.toLong, s"doc $id chunk count")
+      assert(gd == nDup, s"doc $id dup count")
+      assert(math.abs(gf - nDup.toDouble / cs.size) < 5e-7, s"doc $id fraction")
+    }
+    assert(anyDup, "test data should contain cross-doc duplicated chunks")
+  }
+
+  test("q52 dedup corpus keeps exactly one min-id representative per cluster") {
+    val clusters = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val all = graft.Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = Dedup.dedupCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == all, "one row per corpus doc")
+    got.foreach { case (id, cluster, kept) =>
+      assert(cluster == clusters.getOrElse(id, id), s"doc $id cluster")
+      assert(kept == (if (cluster == id) 1L else 0L), s"doc $id kept flag")
+    }
+    val dropped = got.count(_._3 == 0L)
+    assert(dropped > 0 && dropped == clusters.count { case (id, c) => id != c })
+  }
 }
