@@ -74,6 +74,7 @@ object SparkEntry {
     "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupPairs(s, d)),
     "q51_crossdoc_dup_fraction" -> ((s, d) => Dedup.crossDocDupFraction(s, d)),
     "q52_dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
+    "q53_corpus_stats" -> (TA.q53CorpusStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,5 +125,6 @@ object SparkEntry {
     "q50_incremental_dedup" -> Dedup.q50Sql,
     "q51_crossdoc_dup_fraction" -> Dedup.q51Sql,
     "q52_dedup_corpus" -> Dedup.q52Sql,
+    "q53_corpus_stats" -> TA.q53Sql,
   )
 }

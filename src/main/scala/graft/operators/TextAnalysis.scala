@@ -238,6 +238,59 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  /** q53 — corpus-statistics quality score: the CCNet idea of scoring each
+    * document against a corpus-level language model, reduced to exact
+    * rational arithmetic (no logs, no transcendentals) so the DuckDB
+    * oracle gates the numbers bit-for-bit. Per document: mean document
+    * frequency of its token occurrences, and the fraction of occurrences
+    * whose token is corpus-rare — rare self-calibrates as df below half
+    * the corpus median df, so the operator needs no magic constant tied
+    * to corpus size. Low mean_df / high rare_frac flags gibberish and OCR
+    * noise; anomalously high mean_df flags boilerplate.
+    *
+    * Scale shape: one distinct-token explode + groupBy builds the df
+    * table (vocabulary-sized — orders smaller than the corpus), a
+    * two-value broadcast carries the median threshold, and the occurrence
+    * join is vocabulary vs corpus tokens: AQE broadcasts the df side
+    * until the vocabulary genuinely outgrows the executors, at which
+    * point the token key is the shuffle key for both sides. One per-doc
+    * aggregate ends the pipeline. */
+  def q53CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"),
+        explode(tokens($"text")).as("token"))
+    val dfv = documents(s, dir)
+      .select(explode(array_distinct(tokens($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).cast("long").as("df"))
+    val thresh = dfv.agg((median($"df") / 2).as("rare_below"))
+    occ.join(dfv, "token").crossJoin(broadcast(thresh))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum($"df").cast("long").as("sum_df"),
+        sum(when($"df" < $"rare_below", 1L).otherwise(0L)).cast("long").as("n_rare"))
+      .select($"doc_id", $"n_tokens",
+        round($"sum_df".cast("double") / $"n_tokens", 6).as("mean_df"),
+        round($"n_rare".cast("double") / $"n_tokens", 6).as("rare_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** q53 oracle — identical rational arithmetic in DuckDB. */
+  val q53Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), dfv AS (
+      |  SELECT token, count(DISTINCT doc_id) AS df FROM occ GROUP BY token
+      |), th AS (
+      |  SELECT median(df) / 2 AS rare_below FROM dfv
+      |)
+      |SELECT CAST(o.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(sum(df)::DOUBLE / count(*), 6) AS mean_df,
+      |  round(sum(CASE WHEN df < rare_below THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rare_frac
+      |FROM occ o JOIN dfv USING (token) CROSS JOIN th
+      |GROUP BY o.doc_id ORDER BY doc_id""".stripMargin
+
   /** q49 — repetition-based quality signals (the Gopher-rules family):
     * duplicate-token fraction (1 - distinct/total), top-token frequency
     * fraction, duplicate-bigram fraction. Everything is computed with

@@ -270,6 +270,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(anyDup, "test data should contain cross-doc duplicated chunks")
   }
 
+  test("q53 corpus-stats quality matches a driver-side recompute") {
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq))
+    val dfv = docs.flatMap { case (id, t) => t.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (tok, xs) => tok -> xs.size.toLong }
+    val sorted = dfv.values.toSeq.sorted
+    val median = if (sorted.size % 2 == 1) sorted(sorted.size / 2).toDouble
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    val rareBelow = median / 2
+    val got = graft.operators.TextAnalysis.q53CorpusStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val withToks = docs.filter(_._2.nonEmpty)
+    assert(got.size == withToks.size)
+    var anyRare = false
+    withToks.foreach { case (id, t) =>
+      val n = t.size
+      val meanDf = t.map(dfv).sum.toDouble / n
+      val rareFrac = t.count(tok => dfv(tok) < rareBelow).toDouble / n
+      if (rareFrac > 0) anyRare = true
+      val (gn, gm, gr) = got(id)
+      assert(gn == n.toLong, s"doc $id token count")
+      assert(math.abs(gm - meanDf) < 5e-7 && math.abs(gr - rareFrac) < 5e-7,
+        s"doc $id stats")
+    }
+    assert(anyRare, "test data should contain corpus-rare tokens")
+  }
+
   test("q52 dedup corpus keeps exactly one min-id representative per cluster") {
     val clusters = Dedup.nearDupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
