@@ -478,13 +478,17 @@ object Dedup {
     * over the already-hashed shingle array — cheap enough to inline into
     * the signature projection; the checkpoint makes the signature subtree
     * compute exactly once even when the table feeds both join sides. */
+  /** Array of `bands` 64-bit band keys from a minhash signature: band b's
+    * key hashes signature rows [b*rows, (b+1)*rows) salted with b. */
+  private[graft] def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * lit(rows) + lit(1), lit(rows)), b))
+
   private def bandedSignatures(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
     sets.select($"doc_id",
         minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
-      .select($"doc_id", posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b))).as(Seq("band", "bh")))
+      .select($"doc_id", posexplode(bandKeys($"sig", bands, rows)).as(Seq("band", "bh")))
       .localCheckpoint()
   }
 

@@ -72,6 +72,72 @@ object EventStreams {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  final case class BandRow(doc_id: Long, ingest_ts: java.sql.Timestamp,
+    band: Int, bh: Long)
+  final case class BucketState(docs: List[(Long, Long)]) // (doc_id, ingestMs)
+  final case class CandidatePair(d1: Long, d2: Long, band: Int)
+
+  /** Streaming NEAR-dup candidate gate — the ingest-time analog of
+    * `Dedup.incrementalDedupPairs` (q50): each arriving document is
+    * minhash-banded with the same kernels as the batch path, and every
+    * band bucket keeps the documents seen within the watermark horizon as
+    * `flatMapGroupsWithState` state. A new arrival sharing a bucket with a
+    * stored document emits a (d1, d2, band) candidate immediately — the
+    * exact-Jaccard confirm is the downstream batch join (`jaccardVerify`),
+    * exactly as `dedupDocuments` defers historical dedup to the batch
+    * operator. Pairs colliding in several bands are emitted once per band
+    * (distinct downstream), matching the batch candidate stage before its
+    * `.distinct()`.
+    *
+    * State is bounded the only way that survives a 100 TB/day feed: per
+    * bucket, (doc_id, ingestMs) pairs only — no shingle sets, no
+    * signatures — pruned to the horizon on every update and expired whole
+    * via event-time timeout, so memory is O(ingest rate x horizon x
+    * bands), independent of history. */
+  def nearDupCandidates(docs: DataFrame, bands: Int = 32, rows: Int = 4,
+      n: Int = 5, watermark: String = "1 hour",
+      horizonMs: Long = 60L * 60 * 1000): org.apache.spark.sql.Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val banded = docs
+      .withColumn("hv", Dedup.shingleHashes(col("text"), n))
+      .filter(size(col("hv")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(
+        Dedup.shingleBaseHashes(col("hv")), bands, rows))
+      .select(col("doc_id").cast("long").as("doc_id"), col("ingest_ts"),
+        posexplode(Dedup.bandKeys(col("sig"), bands, rows)).as(Seq("band", "bh")))
+      .withWatermark("ingest_ts", watermark)
+      .as[BandRow]
+    banded.groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rowsIt: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rowsIt.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+            var docs = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+            var maxMs = docs.headOption.map(_._2).getOrElse(0L)
+            for (a <- arrivals; ms = a.ingest_ts.getTime) {
+              maxMs = math.max(maxMs, ms)
+              if (!docs.exists(_._1 == a.doc_id)) {
+                for ((d, dm) <- docs if dm >= ms - horizonMs)
+                  out += CandidatePair(math.min(d, a.doc_id),
+                    math.max(d, a.doc_id), a.band)
+                docs = (a.doc_id, ms) :: docs
+              }
+            }
+            docs = docs.filter(_._2 >= maxMs - horizonMs)
+            state.update(BucketState(docs))
+            // a bucket fed only late events could compute a timeout at or
+            // behind the watermark, which Spark rejects
+            state.setTimeoutTimestamp(
+              math.max(maxMs + horizonMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Long, total: Double)

@@ -86,6 +86,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate flags bucket collisions within the horizon only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val dup = (1 to 30).map(i => s"tok$i").mkString(" ") // >= 5 tokens, fixed
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val horizon = 10L * 60 * 1000
+    val out = EventStreams.nearDupCandidates(
+      in.toDF().toDF("doc_id", "text", "ingest_ts"),
+      watermark = "10 minutes", horizonMs = horizon)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      // batch 1: identical texts one minute apart -> all 32 bands collide;
+      // an unrelated text shares no bucket
+      in.addData((1L, dup, ts(t0)), (2L, dup, ts(t0 + 60 * 1000)),
+        (3L, other, ts(t0 + 1000)))
+      q.processAllAvailable()
+      val first = spark.table("neardup_out").as[EventStreams.CandidatePair].collect()
+      assert(first.map(p => (p.d1, p.d2)).distinct.toSeq == Seq((1L, 2L)))
+      assert(first.length == 32, "identical docs collide in every band")
+      // batch 2: the same text far past the horizon -> old state expired,
+      // no pair against docs 1/2
+      in.addData((4L, dup, ts(t0 + 100 * 60 * 1000)))
+      q.processAllAvailable()
+      in.addData((5L, other, ts(t0 + 200 * 60 * 1000))) // advance watermark
+      q.processAllAvailable()
+      val later = spark.table("neardup_out").as[EventStreams.CandidatePair].collect()
+        .filter(p => p.d2 == 4L)
+      assert(later.isEmpty, s"horizon-expired state must not pair: ${later.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes sessions on gap") {
     import spark.implicits._
     val t0 = 1700000000000L
