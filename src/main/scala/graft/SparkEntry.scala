@@ -75,6 +75,7 @@ object SparkEntry {
     "q51_crossdoc_dup_fraction" -> ((s, d) => Dedup.crossDocDupFraction(s, d)),
     "q52_dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "q53_corpus_stats" -> (TA.q53CorpusStats _),
+    "q54_token_budget_mix_salted" -> ((s, d) => TA.q54TokenBudgetMixSalted(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +127,6 @@ object SparkEntry {
     "q51_crossdoc_dup_fraction" -> Dedup.q51Sql,
     "q52_dedup_corpus" -> Dedup.q52Sql,
     "q53_corpus_stats" -> TA.q53Sql,
+    "q54_token_budget_mix_salted" -> TA.q54Sql,
   )
 }

@@ -182,6 +182,47 @@ object TextAnalysis {
       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
       |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin
 
+  /** q54 — SALTED token-budget mixing: q44's documented skew answer as
+    * gated code. q44's window puts every row of one source in a single
+    * task — correct, but a 100 TB corpus dominated by one source
+    * serializes on it. Salting splits each source's budget into `salts`
+    * deterministic sub-budgets keyed by doc_id % salts, so the window
+    * partition key becomes (source, salt) and the heaviest source fans
+    * out over `salts` tasks. The selection is deterministic but
+    * intentionally different from q44's (each sub-window fills
+    * independently); the under-fill vs the unsalted budget is bounded by
+    * salts x max doc tokens, the usual salting trade. */
+  def q54TokenBudgetMixSalted(s: SparkSession, dir: String, budget: Long = 800,
+      salts: Int = 4): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"salt").orderBy($"ord", $"doc_id")
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"), $"source",
+        ($"doc_id" % salts).cast("long").as("salt"),
+        size(tokens($"text")).cast("long").as("n_tokens"), md5($"text").as("ord"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget / salts)
+      .select($"doc_id", $"source", $"salt", $"n_tokens", $"cum_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q54Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(doc_id % 4 AS BIGINT) AS salt,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+      |    md5(text) AS ord
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, salt, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source, salt ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, salt, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= 200 ORDER BY doc_id""".stripMargin
+
   /** q46 — deterministic per-source downsampling, the standard
     * training-mix rebalancing op (keep 100% of a high-quality source, 10%
     * of a crawl): a document is kept when the first 8 hex digits of

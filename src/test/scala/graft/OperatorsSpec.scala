@@ -270,6 +270,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(anyDup, "test data should contain cross-doc duplicated chunks")
   }
 
+  test("q54 salted budget mix fills each (source, salt) sub-budget greedily") {
+    val budget = 800L; val salts = 4
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("cast(doc_id as long) doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs
+      .map { case (id, src, text) =>
+        (id, src, id % salts,
+          text.toLowerCase.split(" ").count(_.nonEmpty).toLong, md5hex(text))
+      }
+      .groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, group) =>
+        var cum = 0L
+        group.sortBy(d => (d._5, d._1)).flatMap { case (id, src, salt, n, _) =>
+          cum += n
+          if (cum <= budget / salts) Some((id, src, salt, n, cum)) else None
+        }
+      }.toSet
+    val got = graft.operators.TextAnalysis.q54TokenBudgetMixSalted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty && got == expect)
+    assert(got.groupBy(t => (t._2, t._3)).size > 1, "multiple sub-windows")
+  }
+
   test("q53 corpus-stats quality matches a driver-side recompute") {
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
       .map(r => (r.getLong(0),
