@@ -28,17 +28,23 @@ object TextAnalysis {
   private def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** q36 — language-ID heuristic: stopword-hit ratio per language, argmax
-    * (ties -> lexicographically first language). */
-  def q36LangId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = tokens($"text")
+  /** Best-language struct (score, lang) from a materialized token-array
+    * column — shared by q36 and the composed [[DocumentPipeline]] so the
+    * fused single-scan pipeline computes the identical signal. */
+  def langBestStruct(toks: Column): Column = {
     val scoreCols = StopwordTable.map { case (lang, words) =>
       struct((stopwordHits(toks, words).cast("double") / size(toks)).as("score"),
         lit(lang).as("lang"))
     }
+    sort_array(array(scoreCols: _*), asc = false)(0)
+  }
+
+  /** q36 — language-ID heuristic: stopword-hit ratio per language, argmax
+    * (ties -> lexicographically first language). */
+  def q36LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     documents(s, dir)
-      .withColumn("best", sort_array(array(scoreCols: _*), asc = false)(0))
+      .withColumn("best", langBestStruct(tokens($"text")))
       .select($"doc_id".cast("long").as("doc_id"),
         $"best.lang".as("pred_lang"), round($"best.score", 6).as("score"))
       .orderBy($"doc_id")
@@ -68,22 +74,25 @@ object TextAnalysis {
 
   /** q37 — quality scoring: length, mean token length, stopword ratio,
     * punctuation ratio (all exact-integer-derived, round(6)). */
+  /** Quality-signal columns (n_tok, mean_tok_len, stop_ratio, punct_ratio)
+    * from materialized text + token-array columns — shared by q37 and the
+    * composed [[DocumentPipeline]]. */
+  def qualitySignals(text: Column, toks: Column): Seq[Column] = {
+    val enWords = StopwordTable.head._2
+    val n = size(toks)
+    Seq(n.cast("long").as("n_tok"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 6)
+        .as("mean_tok_len"),
+      round(stopwordHits(toks, enWords).cast("double") / n, 6).as("stop_ratio"),
+      round((length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double")
+        / length(text), 6).as("punct_ratio"))
+  }
+
   def q37Quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val enWords = StopwordTable.head._2
     documents(s, dir)
-      .withColumn("n_tok", size(toks))
-      .withColumn("mean_tok_len",
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / $"n_tok", 6))
-      .withColumn("stop_ratio",
-        round(stopwordHits(toks, enWords).cast("double") / $"n_tok", 6))
-      .withColumn("punct_ratio",
-        round((length($"text") - length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast("double")
-          / length($"text"), 6))
-      .select($"doc_id".cast("long").as("doc_id"),
-        $"n_tok".cast("long").as("n_tok"),
-        $"mean_tok_len", $"stop_ratio", $"punct_ratio")
+      .select(($"doc_id".cast("long").as("doc_id") +:
+        qualitySignals($"text", tokens($"text"))): _*)
       .orderBy($"doc_id")
   }
 
@@ -342,26 +351,35 @@ object TextAnalysis {
     * than the explode + two-level groupBy alternative, which would
     * shuffle every token of the corpus. All fractions exact-integer-
     * derived, round(6), so the DuckDB oracle gates the arithmetic. */
+  /** Repetition-signal columns (dup_tok_frac, top_tok_frac,
+    * dup_bigram_frac) from a materialized token-array column — shared by
+    * q49 and the composed [[DocumentPipeline]]. Null for empty token
+    * arrays (the negative-length bigram slice must not evaluate; CaseWhen
+    * branches lazily). */
+  def repetitionSignals(toks: Column): Seq[Column] = {
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val maxc = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, t => t === d))))
+    Seq(when(n > 0,
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 6))
+        .as("dup_tok_frac"),
+      when(n > 0, round(maxc.cast("double") / n, 6)).as("top_tok_frac"),
+      when(n < lit(2), when(n > 0, lit(0.0))).otherwise(
+        round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / (n - 1), 6))
+        .as("dup_bigram_frac"))
+  }
+
   def q49Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
     documents(s, dir)
-      .withColumn("toks", toks)
-      .withColumn("n", size($"toks"))
-      .filter($"n" > 0)
-      .withColumn("bigrams", zip_with(
-        slice($"toks", lit(1), $"n" - 1), slice($"toks", lit(2), $"n" - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .withColumn("maxc", array_max(transform(array_distinct($"toks"),
-        d => size(filter($"toks", t => t === d)))))
-      .select($"doc_id".cast("long").as("doc_id"),
-        $"n".cast("long").as("n_tok"),
-        round(lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n", 6)
-          .as("dup_tok_frac"),
-        round($"maxc".cast("double") / $"n", 6).as("top_tok_frac"),
-        when($"n" < lit(2), lit(0.0)).otherwise(
-          round(lit(1.0) - size(array_distinct($"bigrams")).cast("double") / ($"n" - 1), 6))
-          .as("dup_bigram_frac"))
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") > 0)
+      .select(($"doc_id".cast("long").as("doc_id") +:
+        size($"toks").cast("long").as("n_tok") +:
+        repetitionSignals($"toks")): _*)
       .orderBy($"doc_id")
   }
 

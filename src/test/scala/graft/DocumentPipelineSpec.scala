@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, DocumentPipeline, TextAnalysis}
+
+/** The composed corpus-curation pipeline must agree signal-for-signal with
+  * the individually oracle-gated operators it fuses, and its keep/select
+  * decisions must satisfy the stage contracts. */
+class DocumentPipelineSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  test("composed pipeline agrees with the gated operators and its contracts") {
+    val cfg = DocumentPipeline.Config()
+    val out = DocumentPipeline.curate(spark, dir, cfg).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(out.size.toLong == nDocs, "one row per input document")
+
+    // row-local signals == the oracle-gated operators'
+    val q36 = TextAnalysis.q36LangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q37 = TextAnalysis.q37Quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val q49 = TextAnalysis.q49Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getAs[String]("pred_lang") == q36(id), s"doc $id lang")
+      val (n, punct) = q37(id)
+      assert(r.getAs[Long]("n_tok") == n, s"doc $id n_tok")
+      assert(math.abs(r.getAs[Double]("punct_ratio") - punct) < 5e-7, s"doc $id punct")
+      q49.get(id).foreach(f =>
+        assert(math.abs(r.getAs[Double]("dup_bigram_frac") - f) < 5e-7, s"doc $id rep"))
+    }
+
+    // corpus-level signals == the oracle-gated operators'
+    val q52 = Dedup.dedupCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q48 = Dedup.decontaminationHits(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q51 = Dedup.crossDocDupFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Long]("cluster") == q52(id), s"doc $id cluster")
+      assert(r.getAs[Long]("n_hits") == q48.getOrElse(id, 0L), s"doc $id hits")
+      assert(math.abs(r.getAs[Double]("cross_dup_frac") - q51.getOrElse(id, 0.0)) < 5e-7,
+        s"doc $id crossdup")
+    }
+
+    // decision contracts
+    out.values.foreach { r =>
+      val reason = r.getAs[String]("drop_reason")
+      assert(r.getAs[Boolean]("kept") == reason.isEmpty)
+      if (reason == "near_dup")
+        assert(r.getAs[Long]("cluster") != r.getAs[Long]("doc_id"))
+      if (reason == "contaminated") assert(r.getAs[Long]("n_hits") > 0)
+      if (!r.getAs[Boolean]("kept")) assert(!r.getAs[Boolean]("selected"))
+    }
+    val reasons = out.values.map(_.getAs[String]("drop_reason")).toSet
+    assert(reasons.contains("near_dup") && reasons.contains("contaminated"),
+      s"test corpus should exercise dedup + decontamination drops: $reasons")
+
+    // budget contract: per (source, doc_id%salts) selected token mass fits
+    val perBucket = out.values.filter(_.getAs[Boolean]("selected"))
+      .groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id") % cfg.salts))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tok")).sum }
+    assert(perBucket.nonEmpty)
+    assert(perBucket.forall(_ <= cfg.budgetPerSource / cfg.salts))
+  }
+}
