@@ -62,6 +62,8 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // stage events arrive async; attribute them to THIS query's window
+      org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
       // cached bytes still resident at query end (before the next clear):
       // the query's own cache()/localCheckpoint footprint
       val cached = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum

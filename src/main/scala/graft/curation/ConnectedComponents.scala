@@ -62,7 +62,12 @@ object ConnectedComponents {
       val e = r.getLong(0)
       if (!par.containsKey(e)) par.put(e, e)
       val k = r.get(1)
-      if (keyRep.containsKey(k)) union(e, keyRep.get(k)) else keyRep.put(k, e)
+      // null keys join nothing in the distributed arm's equi-join (SQL
+      // null != null), so they must not union here either — the entity
+      // stays a singleton
+      if (k != null) {
+        if (keyRep.containsKey(k)) union(e, keyRep.get(k)) else keyRep.put(k, e)
+      }
     }
     // canonical label = min entity of the component (union keeps the
     // smaller root, so the root IS the min)

@@ -88,9 +88,13 @@ object MetaProcess {
   }
 
   /** Process every file not yet in `state.done`, in sorted order (the
-    * reference's `sort_files`). Returns the advanced state. */
+    * reference's `sort_files`). Returns the advanced state. With
+    * `persistTo` set, the state is ALSO saved after every file — the
+    * reference's per-file cache.txt flush — so a crash mid-queue resumes
+    * from the last completed file, not from the start of the run. */
   def run(spark: SparkSession, files: Seq[String], generatedAt: String,
-      state: PipelineState = Empty, prefix: String = "060"): PipelineState = {
+      state: PipelineState = Empty, prefix: String = "060",
+      persistTo: Option[String] = None): PipelineState = {
     import spark.implicits._
     var st = state
     for (f <- files.sorted if !st.done.contains(f)) {
@@ -149,6 +153,7 @@ object MetaProcess {
         case _ =>
           throw new IllegalStateException("state has triples but no prov")
       }
+      persistTo.foreach(saveState(st, _))
     }
     st
   }
@@ -182,12 +187,13 @@ object MetaProcessJob {
     val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$inputDir/*.csv"))
       .map(_.getPath.toString).toSeq
     val st0 = MetaProcess.loadState(spark, workDir)
-    val st = MetaProcess.run(spark, files, generatedAt, st0, prefix)
-    // count BEFORE saving: the overwrite replaces the very files a
-    // loaded no-op frame still points at
+    // per-file persistence (persistTo): a crash mid-queue resumes from
+    // the last completed file; a no-op run writes nothing, so the loaded
+    // frames never race their own backing files
+    val st = MetaProcess.run(spark, files, generatedAt, st0, prefix,
+      persistTo = Some(workDir))
     val nTriples = st.triples.map(_.count()).getOrElse(0L)
     val nProv = st.prov.map(_.count()).getOrElse(0L)
-    MetaProcess.saveState(st, workDir)
     println(s"[meta_process] ${st.done.size - st0.done.size} file(s) processed, " +
       s"$nTriples triples, $nProv prov snapshots -> $workDir")
     spark.stop()

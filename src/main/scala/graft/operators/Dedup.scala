@@ -378,7 +378,9 @@ object Dedup {
   def decontaminationHits(s: SparkSession, dir: String, n: Int = 5,
       benchMod: Long = 7): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, dir, n)
+    // cached: the frame feeds both the broadcast bench side and the train
+    // side — uncached, the corpus tokenize + shingle-hash scan runs twice
+    val sets = shingleSets(s, dir, n).cache()
     val bench = sets.filter($"doc_id" % benchMod === 0)
       .select(explode($"hv").as("sg")).distinct()
     // hv is distinct per doc, so count(*) counts distinct shared grams
@@ -411,11 +413,13 @@ object Dedup {
     * day-to-day (full-corpus self-dedup happens once; every later ingest
     * only needs new-vs-corpus + new-vs-new). The batch here is the
     * deterministic slice doc_id % newMod == 0. Candidates come from the
-    * banded MinHash table restricted to new x old — the corpus side
-    * shuffles O(old_docs * bands) band rows once, the batch side is tiny,
-    * and no old x old candidate is ever generated (that quadratic bulk is
-    * exactly what incremental ingestion avoids). Verification is the same
-    * exact-Jaccard kernel as q31/q32, so output pairs are exact. */
+    * banded MinHash table restricted to new x old plus the tiny new x new
+    * self-join (same-batch near-dups must be caught too) — the corpus
+    * side shuffles O(old_docs * bands) band rows once, the batch side is
+    * tiny, and no old x old candidate is ever generated (that quadratic
+    * bulk is exactly what incremental ingestion avoids). Verification is
+    * the same exact-Jaccard kernel as q31/q32, so output pairs are
+    * exact. */
   def incrementalDedupPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8,
       newMod: Long = 10): DataFrame = {
@@ -425,16 +429,23 @@ object Dedup {
     val banded = bandedSignatures(sets, bands, rows)
     val newB = banded.filter($"doc_id" % newMod === 0)
     val oldB = banded.filter($"doc_id" % newMod =!= 0)
-    val cand = oldB.as("o").hint("shuffle_hash").join(newB.as("nw"),
+    val cross = oldB.as("o").hint("shuffle_hash").join(newB.as("nw"),
         $"o.band" === $"nw.band" && $"o.bh" === $"nw.bh")
       .select($"nw.doc_id".as("d1"), $"o.doc_id".as("d2"))
-      .distinct()
+    // intra-batch pairs: two near-dups arriving in the same ingest batch
+    // must still be caught — the batch is tiny, so this adds a small
+    // self-join, never the old x old bulk
+    val intra = newB.as("a").hint("shuffle_hash").join(newB.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    val cand = cross.union(intra).distinct()
     jaccardVerify(cand, sets, threshold, nDocs)
-      .withColumnRenamed("d1", "new_id").withColumnRenamed("d2", "old_id")
+      .withColumnRenamed("d1", "new_id").withColumnRenamed("d2", "other_id")
   }
 
-  /** q50 oracle — exact new x old Jaccard pairs (candidate join on shared
-    * string shingles, like q31's oracle, restricted to the batch split). */
+  /** q50 oracle — exact new x (old + same-batch) Jaccard pairs (candidate
+    * join on shared string shingles, like q31's oracle, restricted to the
+    * batch split; intra-batch pairs ordered new_id < other_id). */
   val q50Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
@@ -446,16 +457,19 @@ object Dedup {
       |), exo AS (
       |  SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 10 <> 0
       |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
       |  FROM exn a JOIN exo b ON a.sg = b.sg
+      |  UNION
+      |  SELECT DISTINCT a.doc_id, b.doc_id
+      |  FROM exn a JOIN exn b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |), j AS (
-      |  SELECT new_id, old_id,
+      |  SELECT new_id, other_id,
       |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) AS jac
-      |  FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = old_id
+      |  FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = other_id
       |)
-      |SELECT CAST(new_id AS BIGINT) AS new_id, CAST(old_id AS BIGINT) AS old_id,
+      |SELECT CAST(new_id AS BIGINT) AS new_id, CAST(other_id AS BIGINT) AS other_id,
       |  round(jac, 6) AS jac
-      |FROM j WHERE jac >= 0.8 ORDER BY new_id, old_id""".stripMargin
+      |FROM j WHERE jac >= 0.8 ORDER BY new_id, other_id""".stripMargin
 
   /** Banded-MinHash candidate pairs from a (doc_id, sh) shingle frame:
     * signature of bands*rows permutations, one bucket hash per band

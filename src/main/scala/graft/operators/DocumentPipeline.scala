@@ -39,7 +39,11 @@ object DocumentPipeline {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.5,
       maxDupBigramFrac: Double = 0.95,
-      maxCrossDupFrac: Double = 0.95,
+      // default 1.0 = off: near-dup twins score cross_dup_frac ~1.0, so a
+      // sub-1.0 cutoff here drops EVERY copy before the dedup stage can
+      // elect a survivor — duplication belongs to near-dup dedup; tighten
+      // this only to hunt boilerplate that document dedup cannot see
+      maxCrossDupFrac: Double = 1.0,
       chunkTokens: Int = 8,
       shingleN: Int = 5,
       nearDupThreshold: Double = 0.8,
@@ -103,23 +107,35 @@ object DocumentPipeline {
       .agg((sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("double") /
         count(lit(1))).as("cross_dup_frac"))
 
-    // ---- keep decision: first failing stage names the drop reason
-    val flagged = base.drop("toks", "text")
+    // ---- keep decision: first failing stage names the drop reason.
+    // Near-dup is judged LAST, against a representative re-elected among
+    // the docs that survive every content filter: if the cluster's min-id
+    // member is itself dropped for quality, the best surviving member
+    // keeps the cluster's content instead of the whole cluster vanishing.
+    val contentFlagged = base.drop("toks", "text")
       .join(clusters, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .join(crossDup, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce($"cluster", $"doc_id"))
       .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
       .withColumn("cross_dup_frac", coalesce($"cross_dup_frac", lit(0.0)))
-      .withColumn("drop_reason",
+      .withColumn("content_reason",
         when($"n_tok" < cfg.minTokens, "too_short")
           .when(!$"pred_lang".isInCollection(cfg.allowLangs), "lang")
           .when($"punct_ratio" > cfg.maxPunctRatio, "punct")
           .when($"dup_bigram_frac" > cfg.maxDupBigramFrac, "repetition")
           .when($"cross_dup_frac" > cfg.maxCrossDupFrac, "cross_dup")
-          .when($"cluster" =!= $"doc_id", "near_dup")
           .when(lit(cfg.decontaminate) && $"n_hits" > 0, "contaminated")
           .otherwise(""))
+    val reps = contentFlagged.filter($"content_reason" === "")
+      .groupBy($"cluster").agg(min($"doc_id").as("cluster_rep"))
+    val flagged = contentFlagged
+      .join(reps, Seq("cluster"), "left")
+      .withColumn("drop_reason",
+        when($"content_reason" =!= "", $"content_reason")
+          .when($"doc_id" =!= $"cluster_rep", "near_dup")
+          .otherwise(""))
+      .drop("content_reason", "cluster_rep")
       .withColumn("kept", ($"drop_reason" === "").cast("boolean"))
 
     // ---- salted per-source budget selection over survivors (q54 shape)

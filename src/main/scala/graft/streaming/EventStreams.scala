@@ -117,7 +117,11 @@ object EventStreams {
             val arrivals = rowsIt.toSeq.sortBy(r => (r.ingest_ts.getTime, r.doc_id))
             var docs = state.getOption.map(_.docs).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-            var maxMs = docs.headOption.map(_._2).getOrElse(0L)
+            // seed from the true stored max, not the list head: a late
+            // (within-watermark) arrival prepends an old timestamp, and a
+            // head-seeded max would move the timeout BACKWARD on the next
+            // batch, expiring the bucket early and losing pairs
+            var maxMs = if (docs.isEmpty) 0L else docs.map(_._2).max
             for (a <- arrivals; ms = a.ingest_ts.getTime) {
               maxMs = math.max(maxMs, ms)
               if (!docs.exists(_._1 == a.doc_id)) {

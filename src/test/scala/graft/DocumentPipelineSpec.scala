@@ -70,11 +70,34 @@ class DocumentPipelineSpec extends AnyFunSuite {
     assert(reasons.contains("near_dup") && reasons.contains("contaminated"),
       s"test corpus should exercise dedup + decontamination drops: $reasons")
 
+    // representative re-election: among the docs of a cluster that pass
+    // every content filter, exactly the min-id one is kept
+    out.values.groupBy(_.getAs[Long]("cluster")).foreach { case (c, members) =>
+      val contentOk = members.filter(r =>
+        Set("", "near_dup").contains(r.getAs[String]("drop_reason")))
+      if (contentOk.nonEmpty) {
+        val keptIds = contentOk.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id"))
+        assert(keptIds.toSeq == Seq(contentOk.map(_.getAs[Long]("doc_id")).min),
+          s"cluster $c should keep exactly its min content-surviving member")
+      }
+    }
+
     // budget contract: per (source, doc_id%salts) selected token mass fits
     val perBucket = out.values.filter(_.getAs[Boolean]("selected"))
       .groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id") % cfg.salts))
       .map { case (_, rs) => rs.map(_.getAs[Long]("n_tok")).sum }
     assert(perBucket.nonEmpty)
     assert(perBucket.forall(_ <= cfg.budgetPerSource / cfg.salts))
+  }
+
+  test("tightened cross-dup threshold exercises the boilerplate filter") {
+    val out = DocumentPipeline.curate(spark, dir,
+      DocumentPipeline.Config(maxCrossDupFrac = 0.5)).collect()
+    val reasons = out.map(_.getAs[String]("drop_reason"))
+    assert(reasons.contains("cross_dup"))
+    // cross_dup precedes the dedup stage, so with the tight cutoff the
+    // near-dup twins fall there instead
+    out.filter(_.getAs[String]("drop_reason") == "cross_dup")
+      .foreach(r => assert(r.getAs[Double]("cross_dup_frac") > 0.5))
   }
 }

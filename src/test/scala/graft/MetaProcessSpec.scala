@@ -104,5 +104,18 @@ class MetaProcessSpec extends AnyFunSuite {
       tset(s1.triples.get))
     assert(MetaProcess.loadState(spark,
       Files.createTempDirectory("graft_mpempty").toString).done.isEmpty)
+
+    // per-file persistence: each completed file lands on disk as it
+    // finishes, so a crash mid-queue resumes from the last one — simulate
+    // by running the queue one file at a time against only what a fresh
+    // load sees
+    val pfDir = Files.createTempDirectory("graft_mppf").toString
+    MetaProcess.run(spark, Seq(f1), T0, persistTo = Some(pfDir))
+    assert(MetaProcess.loadState(spark, pfDir).done ==
+      Set(f1), "file 1 persisted as soon as it completed")
+    val crashResumed = MetaProcess.run(spark, Seq(f1, f2), T0,
+      state = MetaProcess.loadState(spark, pfDir), persistTo = Some(pfDir))
+    assert(crashResumed.done == Set(f1, f2))
+    assert(tset(MetaProcess.loadState(spark, pfDir).triples.get) == tset(triples))
   }
 }

@@ -230,19 +230,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("q50 incremental dedup equals the exact pair set restricted to new x old") {
+  test("q50 incremental dedup equals the exact pairs touching the new batch") {
     val full = Dedup.ngramJaccardPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val expect = full.flatMap { case (d1, d2, j) =>
       (d1 % 10 == 0, d2 % 10 == 0) match {
         case (true, false) => Some((d1, d2, j))
         case (false, true) => Some((d2, d1, j))
-        case _ => None // old x old and new x new are out of contract
+        case (true, true) => Some((d1, d2, j)) // intra-batch, d1 < d2 already
+        case _ => None // old x old is out of contract
       }
     }.toSet
     val got = Dedup.incrementalDedupPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(expect.nonEmpty, "test data should contain new x old near-dups")
+    assert(expect.nonEmpty, "test data should contain new-batch near-dups")
     assert(got == expect)
   }
 
