@@ -76,6 +76,8 @@ object SparkEntry {
     "q52_dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "q53_corpus_stats" -> (TA.q53CorpusStats _),
     "q54_token_budget_mix_salted" -> ((s, d) => TA.q54TokenBudgetMixSalted(s, d)),
+    "q55_lang_eval" -> (TA.q55LangEval _),
+    "q56_ann_label_eval" -> ((s, d) => Similarity.q56AnnLabelEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +130,7 @@ object SparkEntry {
     "q52_dedup_corpus" -> Dedup.q52Sql,
     "q53_corpus_stats" -> TA.q53Sql,
     "q54_token_budget_mix_salted" -> TA.q54Sql,
+    "q55_lang_eval" -> TA.q55Sql,
+    "q56_ann_label_eval" -> Similarity.q56Sql,
   )
 }

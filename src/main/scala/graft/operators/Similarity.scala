@@ -21,6 +21,52 @@ import graft.Tables._
 object Similarity {
 
   /** q35 oracle — exact cosine top-k for the first 10 vectors. */
+  /** q56 — retrieval evaluation harness: label consistency of the exact
+    * top-k neighbors (fraction of a query's k nearest sharing the query's
+    * ground-truth `label`). The standard embedding-quality / ANN-sanity
+    * metric; same broadcast-queries single-corpus-scan shape as q35, plus
+    * one count aggregate. */
+  def q56AnnLabelEval(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"), $"label",
+        normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    val queries = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"label".as("query_label"), $"nv".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", dot($"nv", $"qv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .groupBy($"query_id", $"query_label")
+      .agg(sum(when($"label" === $"query_label", 1L).otherwise(0L))
+        .cast("long").as("n_same"))
+      .select($"query_id", $"query_label".cast("long").as("query_label"),
+        $"n_same", round($"n_same".cast("double") / k, 6).as("purity"))
+      .orderBy($"query_id")
+  }
+
+  /** q56 oracle — q35's brute-force shape with the label join. */
+  val q56Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 10
+      |), s AS (
+      |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
+      |)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(query_label AS BIGINT) AS query_label,
+      |  CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+      |  round(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS purity
+      |FROM r WHERE rank <= 5 GROUP BY query_id, query_label ORDER BY query_id""".stripMargin
+
   val q35Sql: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10

@@ -288,6 +288,32 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  /** q55 — classifier evaluation harness: confusion matrix of the q36
+    * language-ID heuristic against the corpus's ground-truth `lang`
+    * column. A training-data pipeline has to VALIDATE its filters, not
+    * just run them — this is the eval shape (works for any per-doc
+    * classifier joined to a labeled sample). One join + one count
+    * aggregate; ground truth is usually a small labeled slice, so at
+    * scale the join side is broadcast. */
+  def q55LangEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = q36LangId(s, dir).select($"doc_id", $"pred_lang")
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"), $"lang")
+      .join(pred, "doc_id")
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** q55 oracle — q36's oracle as a CTE joined to the ground truth. */
+  val q55Sql: String =
+    s"""WITH pred AS (
+       |${q36Sql}
+       |)
+       |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM documents d JOIN pred p ON CAST(d.doc_id AS BIGINT) = p.doc_id
+       |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin
+
   /** q53 — corpus-statistics quality score: the CCNet idea of scoring each
     * document against a corpus-level language model, reduced to exact
     * rational arithmetic (no logs, no transcendentals) so the DuckDB
