@@ -244,7 +244,13 @@ object TextAnalysis {
     * Rates cycle by source number: 1.0, 0.5, 0.25, 0.1. */
   def q46HashSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val srcN = regexp_extract($"source", "(\\d+)$", 1).cast("int")
+    // Lazy when(rlike) guard: under ANSI mode a bare cast would throw on
+    // the empty string regexp_extract yields for digit-less source names;
+    // those deterministically take the keep-everything (1.0 rate) branch.
+    val srcN = coalesce(
+      when($"source".rlike("\\d+$"),
+        regexp_extract($"source", "(\\d+)$", 1).cast("int")),
+      lit(0))
     val thr = when(pmod(srcN, lit(4)) === 0, lit("zzzzzzzz")) // 1.0: above any hex
       .when(pmod(srcN, lit(4)) === 1, lit("80000000"))        // 0.5
       .when(pmod(srcN, lit(4)) === 2, lit("40000000"))        // 0.25

@@ -250,8 +250,13 @@ object Tools {
       .select($"row_id", $"key")
     val selfKeys = rowEnts.select($"row_id", $"entity".as("key"))
     // file-range conflicts: the dir-split bucket of each touched entity
+    // when(rlike) guard: CaseWhen evaluates branches lazily, so the cast
+    // never sees the empty string regexp_extract yields on non-match —
+    // which would throw under Spark 4's default ANSI mode. Digit-less
+    // (malformed) entities fall through as null and are filtered out.
     val fileKeys = rowEnts
-      .withColumn("n", regexp_extract($"entity", "(\\d+)$", 1).cast("long"))
+      .withColumn("n", when($"entity".rlike("\\d+$"),
+        regexp_extract($"entity", "(\\d+)$", 1).cast("long")))
       .filter($"n".isNotNull)
       .select($"row_id", concat(lit("FILE:"),
         regexp_extract($"entity", "/([a-z]+)/\\d+$", 1), lit("/"),

@@ -214,6 +214,9 @@ object Serialization {
     import triples.sparkSession.implicits._
     val obj = when($"o_datatype".isNull,
       to_json(struct($"o".as("@id"))))
+      .when($"o_datatype".startsWith(Vocab.LangStringPrefix),
+        to_json(struct($"o".as("@value"),
+          substring_index($"o_datatype", "@", -1).as("@language"))))
       .otherwise(to_json(struct($"o".as("@value"), $"o_datatype".as("@type"))))
     val perPred = triples
       .withColumn("ov", obj)
@@ -222,7 +225,11 @@ object Serialization {
     val docs = perPred.groupBy($"s")
       .agg(concat_ws(",", sort_array(collect_list($"pv"))).as("body"))
       .withColumn("doc", concat(lit("{\"@id\":\""), $"s", lit("\","), $"body", lit("}")))
-    val n = regexp_extract($"s", numberPattern, 1).cast("long")
+    // when(rlike) guard: under ANSI mode a bare cast throws on the empty
+    // string regexp_extract yields for a subject with no number; such
+    // subjects land in bucket 0 instead of failing the whole write
+    val n = coalesce(when($"s".rlike(numberPattern),
+      regexp_extract($"s", numberPattern, 1).cast("long")), lit(0L))
     docs
       .withColumn("dir_bucket", (n / dirSplit).cast("long") * dirSplit + dirSplit)
       .withColumn("file_bucket", (n / itemsPerFile).cast("long") * itemsPerFile + itemsPerFile)
@@ -251,8 +258,11 @@ object Serialization {
                   val ref = vf.collectFirst { case ("@id", JString(v)) => v }
                   val value = vf.collectFirst { case ("@value", JString(v)) => v }
                   val dt = vf.collectFirst { case ("@type", JString(v)) => v }
+                  val lang = vf.collectFirst { case ("@language", JString(v)) => v }
                   (id, p, ref.orElse(value).getOrElse(""),
-                    if (ref.isDefined) null else dt.getOrElse(Vocab.XsdString))
+                    if (ref.isDefined) null
+                    else lang.map(Vocab.LangStringPrefix + _)
+                      .orElse(dt).getOrElse(Vocab.XsdString))
               }
           }.flatten
         case _ => Seq.empty
@@ -270,31 +280,43 @@ object Serialization {
   // distributed plan over the triples frame.
 
   private val NqLine = ("^<([^>]+)>\\s+<([^>]+)>\\s+" +
-    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@[A-Za-z-]+)?)" +
+    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@([A-Za-z0-9-]+))?)" +
     "\\s*(?:<([^>]+)>\\s*)?\\.\\s*$").r
 
   /** Graph-aware N-Quads parse: (s,p,o,o_datatype,g); triple lines with
-    * no graph term get a null g. Malformed lines are dropped like
+    * no graph term get a null g. Language-tagged literals (`"x"@en`)
+    * keep their tag as `rdf:langString@en` in o_datatype
+    * ([[Vocab.LangStringPrefix]]) so [[toNQuads]] round-trips them like
+    * the reference's rdflib pipeline. Malformed lines are dropped like
     * [[fromNTriples]]. */
   def fromNQuads(lines: DataFrame): DataFrame = {
     import lines.sparkSession.implicits._
     lines.select(col(lines.columns.head).as("line"))
       .as[String]
       .flatMap {
-        case NqLine(s, p, iri, lit_, dt, g) =>
+        case NqLine(s, p, iri, lit_, dt, lang, g) =>
           if (iri != null) Some((s, p, iri, null.asInstanceOf[String], g))
-          else Some((s, p, unescapeLiteral(lit_),
-            if (dt != null) dt else Vocab.XsdString, g))
+          else {
+            val datatype =
+              if (lang != null) Vocab.LangStringPrefix + lang
+              else if (dt != null) dt
+              else Vocab.XsdString
+            Some((s, p, unescapeLiteral(lit_), datatype, g))
+          }
         case _ => None
       }
       .toDF("s", "p", "o", "o_datatype", "g")
   }
 
   /** Render (s,p,o,o_datatype,g) as N-Quads lines with the per-row graph
-    * (null g -> plain triple line). */
+    * (null g -> plain triple line); `langString@tag` datatypes re-emit
+    * as `"lit"@tag`. */
   def toNQuads(quads: DataFrame): DataFrame = {
     import quads.sparkSession.implicits._
     val obj = when($"o_datatype".isNull, concat(lit("<"), $"o", lit(">")))
+      .when($"o_datatype".startsWith(Vocab.LangStringPrefix),
+        concat(lit("\""), escapeLiteral($"o"), lit("\"@"),
+          substring_index($"o_datatype", "@", -1)))
       .otherwise(concat(lit("\""), escapeLiteral($"o"), lit("\"^^<"), $"o_datatype", lit(">")))
     val g = when($"g".isNull, lit("")).otherwise(concat(lit(" <"), $"g", lit(">")))
     quads.select(concat(

@@ -36,6 +36,11 @@ object Vocab {
   val FoafGivenName = "http://xmlns.com/foaf/0.1/givenName"
 
   val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+  /** Language-tagged literals carry `langString@<tag>` in `o_datatype` so
+    * the tag survives the 4/5-column triples frame (rdflib parity: the
+    * reference round-trips `"x"@en` as rdf:langString, not xsd:string). */
+  val LangStringPrefix = RdfLangString + "@"
   val XsdGYear = "http://www.w3.org/2001/XMLSchema#gYear"
   val XsdGYearMonth = "http://www.w3.org/2001/XMLSchema#gYearMonth"
   val XsdDate = "http://www.w3.org/2001/XMLSchema#date"
