@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS); read as long (ns since epoch) —
-      // oracle side matches via DuckDB epoch_ns(ts).
+      // events.ts physical type varies by testdata generation (epoch-ns
+      // BIGINT / TIMESTAMP(NANOS) / timestamp[us]); queries adapt via
+      // Tables.tsEpochNanos. nanosAsLong kept for the NANOS generation.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

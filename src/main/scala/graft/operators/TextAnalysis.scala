@@ -245,12 +245,14 @@ object TextAnalysis {
   def q46HashSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Lazy when(rlike) guard: under ANSI mode a bare cast would throw on
-    // the empty string regexp_extract yields for digit-less source names;
-    // those deterministically take the keep-everything (1.0 rate) branch.
+    // the empty string regexp_extract yields for digit-less source names.
+    // Those coalesce to sentinel 3 → the otherwise (0.1) branch, matching
+    // both the oracle (CASE NULL → ELSE) and the pre-ANSI behavior where
+    // a null pmod fell through to otherwise.
     val srcN = coalesce(
       when($"source".rlike("\\d+$"),
         regexp_extract($"source", "(\\d+)$", 1).cast("int")),
-      lit(0))
+      lit(3))
     val thr = when(pmod(srcN, lit(4)) === 0, lit("zzzzzzzz")) // 1.0: above any hex
       .when(pmod(srcN, lit(4)) === 1, lit("80000000"))        // 0.5
       .when(pmod(srcN, lit(4)) === 2, lit("40000000"))        // 0.25
@@ -441,12 +443,14 @@ object TextAnalysis {
   def q40Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
     val gapNs = 30L * 60 * 1000000000L
-    events(s, dir)
-      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+    val ev = events(s, dir)
+    ev
+      .withColumn("ts_ns", tsEpochNanos(ev))
+      .withColumn("prev_ts", lag($"ts_ns", 1).over(byUser))
       .withColumn("new_sess",
-        when($"prev_ts".isNull || ($"ts" - $"prev_ts") > gapNs, 1L).otherwise(0L))
+        when($"prev_ts".isNull || ($"ts_ns" - $"prev_ts") > gapNs, 1L).otherwise(0L))
       .groupBy($"user_id")
       .agg(sum($"new_sess").cast("long").as("n_sessions"),
         count(lit(1)).cast("long").as("n_events"))

@@ -82,11 +82,14 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q14 — E4/E17-style date precision bucketing: events per UTC day.
-    * ts is epoch-ns (nanosAsLong read). */
+    * `ts` may be epoch-ns BIGINT or timestamp[us]; normalized via
+    * [[graft.Tables.tsEpochNanos]]. */
   def q14DateTrunc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    events(s, dir)
-      .withColumn("day", date_format(timestamp_micros(($"ts" / 1000).cast("long")), "yyyy-MM-dd"))
+    val ev = events(s, dir)
+    ev
+      .withColumn("day",
+        date_format(timestamp_micros((tsEpochNanos(ev) / 1000L).cast("long")), "yyyy-MM-dd"))
       .groupBy($"day")
       .agg(count(lit(1)).cast("long").as("n"),
         sum($"value".cast("decimal(18,2)")).cast("double").as("total"))

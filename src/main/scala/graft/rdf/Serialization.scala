@@ -33,6 +33,9 @@ object Serialization {
   def toNTriples(triples: DataFrame, graph: Option[String] = None): DataFrame = {
     import triples.sparkSession.implicits._
     val obj = when($"o_datatype".isNull, concat(lit("<"), $"o", lit(">")))
+      .when($"o_datatype".startsWith(Vocab.LangStringPrefix),
+        concat(lit("\""), escapeLiteral($"o"), lit("\"@"),
+          substring_index($"o_datatype", "@", -1)))
       .otherwise(concat(lit("\""), escapeLiteral($"o"), lit("\"^^<"), $"o_datatype", lit(">")))
     val g = graph.map(gu => concat(lit(" <"), lit(gu), lit(">"))).getOrElse(lit(""))
     triples.select(concat(
@@ -79,21 +82,27 @@ object Serialization {
   }
 
   private val NtLine = ("^<([^>]+)>\\s+<([^>]+)>\\s+" +
-    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@[A-Za-z-]+)?)" +
+    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"" +
+    "(?:\\^\\^<([^>]+)>|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?)" +
     "\\s*(?:<[^>]+>\\s*)?\\.\\s*$").r
 
   /** Parse N-Triples/N-Quads text into (s,p,o,o_datatype). Lines that are
     * comments/blank/unparseable are dropped (the reference's converters
-    * skip malformed lines the same way). Plain literals get xsd:string. */
+    * skip malformed lines the same way); `^^<dt>` and `@lang` are
+    * mutually exclusive per the N-Triples grammar, so a line carrying
+    * both is malformed and dropped. Plain literals get xsd:string;
+    * language-tagged ones `rdf:langString@tag` (mirrors [[fromNQuads]]). */
   def fromNTriples(lines: DataFrame): DataFrame = {
     import lines.sparkSession.implicits._
     val parsed = lines.select(col(lines.columns.head).as("line"))
       .as[String]
       .flatMap {
-        case NtLine(s, p, iri, lit_, dt) =>
+        case NtLine(s, p, iri, lit_, dt, lang) =>
           if (iri != null) Some((s, p, iri, null.asInstanceOf[String]))
           else Some((s, p, unescapeLiteral(lit_),
-            if (dt != null) dt else Vocab.XsdString))
+            if (lang != null) Vocab.LangStringPrefix + lang
+            else if (dt != null) dt
+            else Vocab.XsdString))
         case _ => None
       }
     parsed.toDF("s", "p", "o", "o_datatype")
@@ -279,8 +288,13 @@ object Serialization {
   // multiprocess loops over rdflib graphs; here each direction is ONE
   // distributed plan over the triples frame.
 
+  // ^^<dt> and @lang are mutually exclusive alternatives (N-Quads
+  // grammar); the tag follows BCP-47 shape [A-Za-z]+(-[A-Za-z0-9]+)* —
+  // a line carrying both, or an illegal tag like @9/@-en, is malformed
+  // and dropped rather than silently coerced.
   private val NqLine = ("^<([^>]+)>\\s+<([^>]+)>\\s+" +
-    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"(?:\\^\\^<([^>]+)>)?(?:@([A-Za-z0-9-]+))?)" +
+    "(?:<([^>]+)>|\"((?:[^\"\\\\]|\\\\.)*)\"" +
+    "(?:\\^\\^<([^>]+)>|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?)" +
     "\\s*(?:<([^>]+)>\\s*)?\\.\\s*$").r
 
   /** Graph-aware N-Quads parse: (s,p,o,o_datatype,g); triple lines with

@@ -66,6 +66,57 @@ class SerializationSpec extends AnyFunSuite {
     assert(byS("http://x/s3") == "okA")
   }
 
+  test("S10: language-tagged literals round-trip on BOTH the .nt and .nq paths") {
+    import spark.implicits._
+    val tagged = Seq(
+      ("http://x/s1", "http://purl.org/dc/terms/title", "ciao",
+        graft.rdf.Vocab.LangStringPrefix + "it"),
+      ("http://x/s2", "http://purl.org/dc/terms/title", "hello world",
+        graft.rdf.Vocab.LangStringPrefix + "en-US"),
+      ("http://x/s3", "http://purl.org/dc/terms/title", "plain",
+        graft.rdf.Vocab.XsdString))
+      .toDF("s", "p", "o", "o_datatype")
+    // triple path: toNTriples must emit "x"@tag, not a bogus
+    // ^^<...#langString@tag> datatype IRI (ADVICE r7)
+    val ntLines = Serialization.toNTriples(tagged).as[String].collect()
+    assert(ntLines.exists(_.contains("\"ciao\"@it")))
+    assert(ntLines.exists(_.contains("\"hello world\"@en-US")))
+    assert(!ntLines.exists(_.contains("langString@")))
+    assert(asSet(Serialization.fromNTriples(ntLines.toSeq.toDF("value"))) == asSet(tagged))
+    // quad path (writeNQuads → readNTriples covers the gzip sink too)
+    val out = Files.createTempDirectory("graft_lang").toString + "/nq"
+    Serialization.writeNQuads(tagged, "https://w3id.org/oc/meta/graph", out)
+    assert(asSet(Serialization.readNTriples(spark, out)) == asSet(tagged))
+    val quads = tagged.withColumn("g",
+      org.apache.spark.sql.functions.lit("http://x/g"))
+    val back = Serialization.fromNQuads(Serialization.toNQuads(quads))
+    assert(asSet(back) == asSet(tagged))
+  }
+
+  test("S10: illegal literal suffixes are dropped as malformed, not coerced") {
+    import spark.implicits._
+    val lines = Seq(
+      // both ^^<dt> and @lang: illegal per the grammar → dropped
+      "<http://x/bad1> <http://x/p> \"x\"^^<http://www.w3.org/2001/XMLSchema#string>@en .",
+      // illegal tags → dropped
+      "<http://x/bad2> <http://x/p> \"x\"@9 .",
+      "<http://x/bad3> <http://x/p> \"x\"@-en .",
+      // legal: subtags may carry digits after the first alpha run
+      "<http://x/ok1> <http://x/p> \"x\"@pt-BR .",
+      "<http://x/ok2> <http://x/p> \"x\"@en-US-2 .",
+      "<http://x/ok3> <http://x/p> \"x\"^^<http://www.w3.org/2001/XMLSchema#integer> .")
+      .toDF("value")
+    for (parsed <- Seq(Serialization.fromNTriples(lines),
+        Serialization.fromNQuads(lines).drop("g"))) {
+      val byS = parsed.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(byS.keySet == Set("http://x/ok1", "http://x/ok2", "http://x/ok3"),
+        s"malformed suffix lines must be dropped, got ${byS.keySet}")
+      assert(byS("http://x/ok1") == graft.rdf.Vocab.LangStringPrefix + "pt-BR")
+      assert(byS("http://x/ok2") == graft.rdf.Vocab.LangStringPrefix + "en-US-2")
+      assert(byS("http://x/ok3") == "http://www.w3.org/2001/XMLSchema#integer")
+    }
+  }
+
   test("S7/S9: JSON-LD dir-split round-trip preserves every triple") {
     val out = Files.createTempDirectory("graft_jsonld").toString + "/ld"
     Serialization.writeJsonLd(triples, out, dirSplit = 10000, itemsPerFile = 100)
