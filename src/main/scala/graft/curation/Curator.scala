@@ -63,7 +63,14 @@ object Curator {
       /** explicit `omid:` references carried by venue/agent cells
         * (owner_meta, ref) — unresolvable in a fresh world (D2(2)
         * discards them) but the store-adoption key for StoreCurator. */
-      explicitRefs: DataFrame) {
+      explicitRefs: DataFrame,
+      /** J6 per-row propagation feed (br_meta, row_idx, date, type2,
+        * vol3, iss3, br_ids, explicit_omid): the fresh collapse keeps
+        * last-row values (merge_duplicate_entities is donor-gated,
+        * curator.py:1374, and fresh batches have no resolved donors),
+        * but StoreCurator needs each row's cleaned fields plus its own
+        * resolution keys to decide which rows may donate. */
+      rowProp: DataFrame) {
     /** Every frame localCheckpoint'ed — callers that consume the batch
       * more than once use this so the curation DAG executes exactly once
       * (see the graft-driver-contract checkpoint discipline). */
@@ -74,7 +81,7 @@ object Curator {
       entities.localCheckpoint(), entityIds.localCheckpoint(),
       roles.localCheckpoint(), raNames.localCheckpoint(),
       pages.localCheckpoint(), partOf.localCheckpoint(),
-      explicitRefs.localCheckpoint())
+      explicitRefs.localCheckpoint(), rowProp.localCheckpoint())
   }
 
   /** S1 — CSV scan (file_manager.py:99-120): 11 string columns, header,
@@ -429,10 +436,9 @@ object Curator {
     // verbatim — so pub_date/type/volume/issue take the last row's cleaned
     // value, empty included. Title converges through the entity-store
     // (first non-empty in row order, curator.py:1299-1300) and the page
-    // through remeta (first non-empty, D8). The first-non-empty variants
-    // (`fne_*`) are carried for StoreCurator: rows resolved against the
-    // store DO propagate first-non-empty before the equalizer applies
-    // store precedence (curator.py:1384-1387).
+    // through remeta (first non-empty, D8). Update batches resolved
+    // against a store DO propagate — donor rows only, in row order — which
+    // StoreCurator reconstructs from the per-row `rowProp` frame below.
     val compAgg = rows.groupBy($"br_comp").agg(
       min($"row_idx").as("first_row"),
       firstNonEmpty($"title", $"row_idx").as("o_title"),
@@ -440,10 +446,6 @@ object Curator {
       max(struct($"row_idx", $"type2")).getField("type2").as("o_type"),
       max(struct($"row_idx", $"vol3")).getField("vol3").as("o_volume"),
       max(struct($"row_idx", $"iss3")).getField("iss3").as("o_issue"),
-      firstNonEmpty($"date", $"row_idx").as("fne_date"),
-      firstNonEmpty($"type2", $"row_idx").as("fne_type"),
-      firstNonEmpty($"vol3", $"row_idx").as("fne_volume"),
-      firstNonEmpty($"iss3", $"row_idx").as("fne_issue"),
       min(when($"venue_ent".isNotNull, struct($"row_idx", $"venue_ent"))).getField("venue_ent").as("o_venue_ent"),
       array_distinct(collect_list($"explicit_omid")).as("explicit_omids"))
 
@@ -492,11 +494,7 @@ object Curator {
         coalesce($"o_type", lit("")).as("type"),
         coalesce($"publisher_cell", lit("")).as("publisher"),
         coalesce($"editor_cell", lit("")).as("editor"),
-        $"author_pairs", $"publisher_pairs", $"editor_pairs",
-        coalesce($"fne_date", lit("")).as("fne_date"),
-        coalesce($"fne_type", lit("")).as("fne_type"),
-        coalesce($"fne_volume", lit("")).as("fne_volume"),
-        coalesce($"fne_issue", lit("")).as("fne_issue"))
+        $"author_pairs", $"publisher_pairs", $"editor_pairs")
       .orderBy($"first_row")
 
     // index tables (curator.py:1045-1101 formats)
@@ -665,7 +663,13 @@ object Curator {
       raRefs.unionByName(venueRefs)
     }
 
+    val rowProp = rows
+      .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
+      .select($"br_meta", $"row_idx", $"date", $"type2", $"vol3", $"iss3",
+        $"br_ids", $"explicit_omid")
+
     CuratedBatch(outRows, indexIdBr, indexIdRa, arIndex, reIndex, vviIndex,
-      entities, entityIds, roles, raNamesOut, pages, partOf, explicitRefs)
+      entities, entityIds, roles, raNamesOut, pages, partOf, explicitRefs,
+      rowProp)
   }
 }

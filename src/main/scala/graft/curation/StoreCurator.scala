@@ -86,12 +86,14 @@ object StoreCurator {
     val knownExplicit = explicitPerComp
       .join(storeBrs, Seq("ex_omid"), "left_semi")
       .select($"from_meta", $"ex_omid".as("to_meta"))
-    val mergedHopExplicit = prov match {
-      case None => knownExplicit.limit(0)
+    // (merged -> surviving) pairs from SCD2 merge snapshots (G8 shape);
+    // follow successor chains to a fixpoint (bounded by merge-history
+    // depth, not data size). Shared by component adoption and the J6
+    // per-row donor gate below.
+    val mergedHop: DataFrame = prov match {
+      case None => storeBrs.limit(0)
+        .select($"ex_omid".as("merged"), $"ex_omid".as("surviving"))
       case Some(p) =>
-        // (merged -> surviving) pairs from SCD2 merge snapshots (G8 shape);
-        // follow successor chains to a fixpoint (bounded by merge-history
-        // depth, not data size).
         var hop = graft.operators.Tools.mergedEntityPairs(p)
           .select($"merged", $"surviving").localCheckpoint()
         var iter = 0
@@ -108,12 +110,13 @@ object StoreCurator {
           hop = next
           iter += 1
         }
-        explicitPerComp
-          .join(storeBrs, Seq("ex_omid"), "left_anti")
-          .join(hop.withColumnRenamed("merged", "ex_omid"), Seq("ex_omid"))
-          .join(storeBrs.select($"ex_omid".as("surviving")), Seq("surviving"), "left_semi")
-          .select($"from_meta", $"surviving".as("to_meta"))
+        hop
     }
+    val mergedHopExplicit = explicitPerComp
+      .join(storeBrs, Seq("ex_omid"), "left_anti")
+      .join(mergedHop.withColumnRenamed("merged", "ex_omid"), Seq("ex_omid"))
+      .join(storeBrs.select($"ex_omid".as("surviving")), Seq("surviving"), "left_semi")
+      .select($"from_meta", $"surviving".as("to_meta"))
     val brAdoptExplicit = knownExplicit.unionByName(mergedHopExplicit)
 
     // ---- 2b: explicit omids in venue/agent cells ------------------------
@@ -162,6 +165,43 @@ object StoreCurator {
       brAdoptExplicit -> 1,
       refAdopt.filter($"from_meta".startsWith("br/")) -> 2,
       brAdoptIds -> 3)).localCheckpoint()
+
+    // ---- J6 donor gate (merge_duplicate_entities, curator.py:1361-1389) -
+    // Within an adopted component only rows that THEMSELVES resolve to
+    // the adopted store entity donate fields: the reference walks rows in
+    // order and lets a row propagate its values onto related rows only
+    // when its row id is a real meta — wannabe rows receive, never
+    // donate. Net effect per column: the first non-empty value among
+    // donor rows in row order wins (each later donor has already been
+    // overwritten by the earlier ones before its turn); if no donor
+    // carries the column, the final `{id: row}` dedupe keeps the last
+    // row's own value. Donor test: the row's explicit omid (after the
+    // merge-history hop) or one of its OWN id tokens belongs to the
+    // adopted meta.
+    val rpAdopted = fresh.rowProp
+      .join(brMap.withColumnRenamed("from_meta", "br_meta"), Seq("br_meta"))
+      .localCheckpoint()
+    val donorByExplicit = rpAdopted
+      .filter($"explicit_omid".isNotNull)
+      .join(mergedHop.withColumnRenamed("merged", "explicit_omid"),
+        Seq("explicit_omid"), "left")
+      .filter(coalesce($"surviving", $"explicit_omid") === $"to_meta")
+      .select($"br_meta", $"row_idx")
+    val storeBrIdOwners = store.entityIds
+      .filter($"owner_meta".startsWith("br/"))
+      .select($"literal", $"owner_meta".as("to_meta"))
+    val donorById = rpAdopted
+      .select($"br_meta", $"row_idx", $"to_meta", explode($"br_ids").as("literal"))
+      .join(storeBrIdOwners, Seq("literal", "to_meta"), "left_semi")
+      .select($"br_meta", $"row_idx")
+    val donorAgg = rpAdopted
+      .join(donorByExplicit.unionByName(donorById).distinct(),
+        Seq("br_meta", "row_idx"), "left_semi")
+      .groupBy($"br_meta").agg(
+        firstNonEmpty($"date", $"row_idx").as("dnr_date"),
+        firstNonEmpty($"type2", $"row_idx").as("dnr_type"),
+        firstNonEmpty($"vol3", $"row_idx").as("dnr_volume"),
+        firstNonEmpty($"iss3", $"row_idx").as("dnr_issue"))
 
     // ---- 2d: AR-sequence alignment on adopted BRs (clean_ra) ------------
     val adoptedStoreBrs = brMap.select($"to_meta".as("br_meta")).distinct()
@@ -441,7 +481,9 @@ object StoreCurator {
           t => !t.startsWith("omid:") && length(t) > 0))
       .withColumn("batch_id_tokens",
         filter(split($"id", "\\s+"), t => !t.startsWith("omid:") && length(t) > 0))
-    val rows1 = remapCols(rows0, Seq("br_meta", "re_meta", "ed_attach_meta", "venue_meta"))
+    // dnr_* join keys on the TEMP br meta (donorAgg is computed pre-remap)
+    val rows1 = remapCols(rows0.join(donorAgg, Seq("br_meta"), "left"),
+      Seq("br_meta", "re_meta", "ed_attach_meta", "venue_meta"))
       // venue cell rebuilt from the resolved venue entity (enrich(),
       // curator.py:995-1008): store title + store-id union when adopted.
       .join(storeMetas.select($"meta".as("venue_meta"), lit(true).as("v_adopted")),
@@ -479,17 +521,19 @@ object StoreCurator {
       .join(roleCellFor("publisher", "br_meta"), Seq("br_meta"), "left")
       .join(roleCellFor("editor", "ed_attach_meta"), Seq("ed_attach_meta"), "left")
       .withColumn("title", when(nonBlank($"st_title"), $"st_title").otherwise($"title"))
-      // J6: adopted components propagate first-non-empty across their rows
-      // (merge_duplicate_entities, curator.py:1384-1387) before store
-      // precedence; fresh components keep the last-row value from Curator.
+      // J6: store precedence first (equalizer, curator.py:1415-1417),
+      // then donor-row propagation — the first non-empty value among the
+      // rows that resolved to the store entity (donor gate above) — and
+      // finally the last row's own value (fresh components and adopted
+      // components whose donors leave the column empty).
       .withColumn("pub_date", when(nonBlank($"st_date"), $"st_date")
-        .otherwise(when($"_adopted", $"fne_date").otherwise($"pub_date")))
+        .otherwise(when(nonBlank($"dnr_date"), $"dnr_date").otherwise($"pub_date")))
       .withColumn("type", when(nonBlank($"st_type"), $"st_type")
-        .otherwise(when($"_adopted", $"fne_type").otherwise($"type")))
+        .otherwise(when(nonBlank($"dnr_type"), $"dnr_type").otherwise($"type")))
       .withColumn("volume", when(nonBlank($"st_volume"), $"st_volume")
-        .otherwise(when($"_adopted", $"fne_volume").otherwise($"volume")))
+        .otherwise(when(nonBlank($"dnr_volume"), $"dnr_volume").otherwise($"volume")))
       .withColumn("issue", when(nonBlank($"st_issue"), $"st_issue")
-        .otherwise(when($"_adopted", $"fne_issue").otherwise($"issue")))
+        .otherwise(when(nonBlank($"dnr_issue"), $"dnr_issue").otherwise($"issue")))
       .withColumn("page", when(nonBlank($"st_page"), $"st_page").otherwise($"page"))
       // venue equalizer (curator.py:1422-1447): store-chain venue replaces
       // an empty batch venue outright; same venue or shared ids merge
@@ -522,7 +566,8 @@ object StoreCurator {
       "st_venue_meta", "st_venue_name", "st_venue_ids", "st_venue_cell",
       "_adopted", "author_cell2", "publisher_cell2", "editor_cell2",
       "b_vtitle", "batch_vids", "batch_id_tokens", "v_adopted", "v_st_ids",
-      "v_st_title", "v_name", "v_ids", "v_ids_omid", "venue_resolved", "br_st_ids")
+      "v_st_title", "v_name", "v_ids", "v_ids_omid", "venue_resolved", "br_st_ids",
+      "dnr_date", "dnr_type", "dnr_volume", "dnr_issue")
 
     // Distinct batch components can land on the SAME store entity (shared
     // ids through the store, or the merged-entity hop). The reference's
@@ -625,7 +670,8 @@ object StoreCurator {
       raNames = raDisplay.select($"ra_meta", $"name"),
       pages = pages2,
       partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")),
-      explicitRefs = remapCol(fresh.explicitRefs, "owner_meta"))
+      explicitRefs = remapCol(fresh.explicitRefs, "owner_meta"),
+      rowProp = remapCol(fresh.rowProp, "br_meta"))
 
     // D9 preexisting: every store entity re-surfacing in this batch —
     // adopted entities plus the store structures materialized alongside
@@ -646,4 +692,9 @@ object StoreCurator {
   }
 
   private def nonBlank(c: Column) = c.isNotNull && length(c) > 0
+
+  /** First non-empty value of `valueCol` in row order within a group. */
+  private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
+    min(when(nonBlank(valueCol), struct(rowIdx, valueCol)))
+      .getField(valueCol.toString())
 }

@@ -191,4 +191,39 @@ class StoreCuratorSpec extends AnyFunSuite {
     assert(newRoles.length == 1 && newRoles.head.getAs[String]("ra_meta") == "ra/0601",
       "matched batch author must reuse the store sequence element, not mint a new AR")
   }
+
+  test("J6: only resolved donor rows propagate; wannabe rows receive but never donate") {
+    import spark.implicits._
+    // merge_duplicate_entities (curator.py:1361-1389): a row donates its
+    // fields to related rows only when its OWN id resolved to a real
+    // meta; rows merged in via shared batch-only ids stay wannabe and
+    // never donate. Store entities here carry NO pub_date so the
+    // equalizer's store precedence can't mask the propagation order.
+    val seedInput = Seq(
+      ("doi:10.1234/j6", "Stored Work", "", "", "", "", "", "", "journal article", "", ""),
+      ("doi:10.1234/j6b", "Stored Work B", "", "", "", "", "", "", "journal article", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val st = StoreViews.fromTriples(
+      TriplesEmitter.emit(Curator.curateFresh(seedInput)), "060")
+    val batch = Seq(
+      // component 1: non-donor row FIRST with a conflicting non-empty
+      // date; the later store-resolving (donor) row's value must win
+      ("doi:10.1234/xshared", "Stored Work", "", "2019", "", "", "", "", "journal article", "", ""),
+      ("doi:10.1234/j6 doi:10.1234/xshared", "Stored Work", "", "2021", "", "", "", "", "journal article", "", ""),
+      // component 2: the donor's date is EMPTY → no donor propagation;
+      // the final dedupe keeps the LAST row's own (empty) value, not the
+      // earlier wannabe row's 2018
+      ("doi:10.1234/yshared", "Stored Work B", "", "2018", "", "", "", "", "journal article", "", ""),
+      ("doi:10.1234/j6b doi:10.1234/yshared", "Stored Work B", "", "", "", "", "", "", "journal article", "", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val upd = StoreCurator.curateWithStore(batch, st)
+    val rows = upd.batch.rows.orderBy("first_row").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("br_meta") == "br/0601")
+    assert(rows(0).getAs[String]("pub_date") == "2021",
+      "donor row's date must override the earlier wannabe row's value")
+    assert(rows(1).getAs[String]("br_meta") == "br/0602")
+    assert(rows(1).getAs[String]("pub_date") == "",
+      "empty donor column falls back to the last row's own value, not the wannabe's")
+  }
 }
