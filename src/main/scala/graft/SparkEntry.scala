@@ -41,12 +41,18 @@ object SparkEntry {
     "q21_match_score" -> (TQ.q21MatchScore _),
     "q22_lsh_match_score" -> (TQ.q22LshMatchScore _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
+    // the ORACLE anchor runs uncapped so its documented behavior can
+    // never diverge from its own oracle; the production dfCap variant is
+    // registered separately (rows-only) below.
+    "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // dfCap bounds the per-shingle candidate bucket (k docs sharing a
     // shingle -> k^2 candidate rows): lossless at any cap >= the corpus's
     // max useful df (measured max df = 4 at these SFs; OperatorsSpec
     // asserts capped == uncapped), and at 100x scale it turns the one
-    // corpus-wide stop-phrase bucket from quadratic into dropped.
-    "q31_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, dfCap = 50)),
+    // corpus-wide stop-phrase bucket from quadratic into dropped. No
+    // oracle row BY DESIGN (q43 precedent): the cap may legitimately
+    // drop boilerplate pairs at scale, exactly when the oracle would not.
+    "q31_capped_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d, dfCap = 50)),
     "q32_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "q33_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q34_dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
@@ -67,6 +73,11 @@ object SparkEntry {
     "q43_ann_ivf_exact" -> ((s, d) => Similarity.ivfTopKExact(s, d)),
     "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
     "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
+    // production embedding-dedup paths (rows-only, q43 precedent): sign-
+    // LSH recall ~0.8 at cos>=0.45 by construction, so neither can hash-
+    // match the exact oracle; recall floors asserted in OperatorsSpec.
+    "q34_lsh_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLsh(s, d)),
+    "q45_lsh_embedding_clusters" -> ((s, d) => Dedup.embeddingClustersLsh(s, d)),
     "q46_hash_sample" -> (TA.q46HashSample _),
     "q47_vocab_topk" -> ((s, d) => TA.q47VocabTopK(s, d)),
     "q48_decontamination" -> ((s, d) => Dedup.decontaminationHits(s, d)),

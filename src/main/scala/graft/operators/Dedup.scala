@@ -346,14 +346,28 @@ object Dedup {
     * with theta~63 deg) — an LSH-fronted q45 could never pass the exact
     * cluster oracle, and pushing the miss rate below the oracle's noise
     * floor would take ~70 hash tables. The production swap-in is
-    * [[embeddingCosinePairsLsh]] feeding the same CC (recall-spec'd in
-    * OperatorsSpec); same scale shape as q42: pair generation + a few
-    * narrow label-propagation shuffles. */
+    * [[embeddingClustersLsh]] (registered rows-only as
+    * q45_lsh_embedding_clusters; recall-spec'd in OperatorsSpec); same
+    * scale shape as q42: pair generation + a few narrow
+    * label-propagation shuffles. */
   def embeddingClusters(s: SparkSession, dir: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45): DataFrame =
+    clustersFromEmbeddingPairs(embeddingCosinePairs(s, dir, threshold))
+
+  /** The production twin of [[embeddingClusters]]: identical CC collapse
+    * fed by [[embeddingCosinePairsLsh]] instead of the O(n²) all-pairs
+    * anchor. Registered rows-only (q43 precedent): sign-LSH recall at
+    * cos>=0.45 is ~0.8 by construction, so it can never hash-match the
+    * exact oracle — the recall floor vs the exact pairs is asserted in
+    * OperatorsSpec instead. */
+  def embeddingClustersLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame =
+    clustersFromEmbeddingPairs(embeddingCosinePairsLsh(s, dir, threshold))
+
+  private def clustersFromEmbeddingPairs(pairsIn: DataFrame): DataFrame = {
+    val s = pairsIn.sparkSession
     import s.implicits._
-    val pairs = embeddingCosinePairs(s, dir, threshold)
-      .select($"v1", $"v2").localCheckpoint()
+    val pairs = pairsIn.select($"v1", $"v2").localCheckpoint()
     val membership = pairs.select($"v1".as("entity"), struct($"v1", $"v2").as("key"))
       .union(pairs.select($"v2".as("entity"), struct($"v1", $"v2").as("key")))
     val cc = graft.curation.ConnectedComponents.byShardKey(membership)

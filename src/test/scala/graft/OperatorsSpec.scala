@@ -186,6 +186,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low — bucketing broken?")
   }
 
+  test("LSH embedding clusters (q45_lsh): consistent sizes, refinement of exact clusters") {
+    val lsh = Dedup.embeddingClustersLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(lsh.nonEmpty, "production cluster path must produce rows")
+    // cluster_size consistency
+    lsh.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.forall(_._3 == rows.length), s"cluster $c size mismatch")
+    }
+    // LSH pairs ⊆ exact pairs, so every LSH cluster must sit inside ONE
+    // exact cluster (the LSH clustering is a refinement of the exact one)
+    val exactCluster = Dedup.embeddingClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.groupBy(_._2).foreach { case (c, rows) =>
+      val parents = rows.map(r => exactCluster.get(r._1)).toSet
+      assert(parents.size == 1 && !parents.contains(None),
+        s"LSH cluster $c spans exact clusters $parents")
+    }
+    // membership recall floor: most exactly-clustered vectors survive
+    val clustered = exactCluster.keySet
+    val lshMembers = lsh.map(_._1).toSet
+    val memRecall = (clustered & lshMembers).size.toDouble / clustered.size
+    assert(memRecall >= 0.6, s"cluster membership recall $memRecall too low")
+  }
+
   test("exact dedup groups: every text maps to exactly one group") {
     val total = graft.Tables.documents(spark, dir).count()
     val groups = Dedup.exactDupGroups(spark, dir)
