@@ -50,27 +50,51 @@ object Bench {
     // an expensive one) to warm the SQL/codegen pipeline itself
     try SparkEntry.queries("q02_filter_project")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    spark.sharedState.cacheManager.clearCache()
-    // deterministic name order + a cache flush per query: Map iteration is
-    // hash-ordered and several operators cache()/checkpoint intermediates,
-    // so without this a query's wall time depends on which queries ran
-    // before it (measured: q21 5.4 s cold vs 13.7 s late in a hash-ordered
-    // run with accumulated storage).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // full storage flush between measurements: clearCache drops SQL-cached
+    // plans, and unpersisting every lingering RDD drops localCheckpoint
+    // residue (which clearCache does NOT touch) — without it cached_bytes
+    // read as a near-constant ~300 MB of warmup+checkpoint carry-over for
+    // every query, and late queries paid earlier queries' storage pressure
+    // (measured: q21 5.4 s cold vs 13.7 s late in a hash-ordered run).
+    // Prior queries' checkpointed RDDs are dead at this point, so the
+    // truncated lineage is never re-demanded.
+    def clearStorage(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      listener.reset()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // stage events arrive async; attribute them to THIS query's window
-      org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
-      // cached bytes still resident at query end (before the next clear):
-      // the query's own cache()/localCheckpoint footprint
-      val cached = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-      (name, sec, Map(
-        "spill_mem" -> listener.spillMem, "spill_disk" -> listener.spillDisk,
-        "shuffle_write" -> listener.shuffleWrite,
-        "peak_exec_mem" -> listener.peakExecMem, "cached_bytes" -> cached))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    clearStorage()
+    // variance-prone headline queries take the median of 3 cold trials so
+    // one loaded-sandbox run can't fake (or mask) a regression — the r7
+    // driver bench reported the pipeline at 29.4 s where a same-commit
+    // rerun gave 4.9 s. The cheap tail stays at 1 trial to bound bench
+    // wall time.
+    val headline = Set("q03_join_agg", "q19_levenshtein", "q21_match_score",
+      "q22_lsh_match_score", "q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
+      "q42_neardup_clusters", "q45_embedding_clusters", "q45_lsh_embedding_clusters")
+    // deterministic name order: Map iteration is hash-ordered, and a
+    // query's wall time must not depend on which queries ran before it.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val trials = if (headline(name)) 3 else 1
+      var metrics = Map.empty[String, Long]
+      val times = (1 to trials).map { _ =>
+        clearStorage()
+        listener.reset()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // stage events arrive async; attribute them to THIS query's window
+        org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+        // storage was empty at trial start, so what is resident now is the
+        // query's OWN cache()/localCheckpoint footprint
+        val cached = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        metrics = Map(
+          "spill_mem" -> listener.spillMem, "spill_disk" -> listener.spillDisk,
+          "shuffle_write" -> listener.shuffleWrite,
+          "peak_exec_mem" -> listener.peakExecMem, "cached_bytes" -> cached)
+        sec
+      }
+      (name, times.sorted.apply(times.length / 2), metrics)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -82,14 +106,29 @@ object Bench {
     // the composed corpus-curation pipeline, timed like a query (cold
     // cache) but reported separately: it is a multi-query program, not a
     // SparkEntry oracle row
-    spark.sharedState.cacheManager.clearCache()
-    val tp = System.nanoTime()
-    val pipelineSec =
-      try {
-        graft.operators.DocumentPipeline.curate(spark, sfDir).count()
-        (System.nanoTime() - tp) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir"}""")
+    val pipelineSec = {
+      val ts = (1 to 3).map { _ =>
+        clearStorage()
+        val tp = System.nanoTime()
+        try {
+          graft.operators.DocumentPipeline.curate(spark, sfDir).count()
+          (System.nanoTime() - tp) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }
+      ts.sorted.apply(1) // median of 3
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's committed BENCH artifact truncates to the output tail;
+    // persist the full line so per-query numbers survive the round
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"), line + "\n")
+      // repo-root copy rides the end-of-round commit (target/ is ignored)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -74,6 +74,25 @@ object CurationBench {
     rows.toDF(Validation.InputColumns: _*)
   }
 
+  /** One BR with thousands of authors — the reference's ATLAS-paper skew
+    * scenario (`run/benchmark/preload_high_author_data.py`: 2869 authors,
+    * same name/ORCID shape). This is the D5 stress case: AR-sequence
+    * alignment candidates are per-(BR, role) |authors|², i.e. one
+    * 2869²≈8.2M-row candidate bucket on a single key. */
+  def highAuthorRecord(spark: SparkSession, numAuthors: Int = 2869): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val auth = (0 until numAuthors).map { i =>
+      f"Author_${i + 1}%04d, Test [orcid:0000-000${i / 10000}%1d-${i % 10000}%04d-${1000 + rnd.nextInt(9000)}%04dX]"
+    }.mkString("; ")
+    Seq(("doi:10.1140/epjc/s10052-016-4041-9 pmid:28280425",
+      "Probing Lepton Flavour Violation Via Neutrinoless Tau Decays With The ATLAS Detector",
+      auth, "2016-04-26", "The European Physical Journal C [issn:1434-6044]",
+      "76", "5", "", "journal article",
+      "Springer Science And Business Media LLC [crossref:297]", ""))
+      .toDF(Validation.InputColumns: _*)
+  }
+
   private def materialize(b: Curator.CuratedBatch): Long = {
     // force every output frame (the reference measures full curation incl.
     // index building)
@@ -145,11 +164,35 @@ object CurationBench {
     tUpdate = (System.nanoTime() - t1) / 1e9
     }
 
+    // high-author skew scenario (preload_high_author_data.py): fresh-load
+    // the 2869-author record, then re-process it against the resulting
+    // store — the update leg drives the per-(BR, role) quadratic
+    // AR-alignment bucket (D5 skew).
+    var tHighFresh = 0.0; var tHighUpdate = 0.0; var nHighArs = 0L
+    if (scenario == "high_author" || scenario == "both") {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val rec = highAuthorRecord(spark)
+      val t2 = System.nanoTime()
+      val hf = Curator.curateFresh(rec).checkpointed
+      materialize(hf)
+      tHighFresh = (System.nanoTime() - t2) / 1e9
+      nHighArs = hf.roles.count()
+      val hstore = StoreViews.fromTriples(TriplesEmitter.emit(hf), "060")
+      hstore.entityIds.cache().count()
+      val t3 = System.nanoTime()
+      val hupd = StoreCurator.curateWithStore(rec, hstore)
+      materialize(hupd.batch)
+      tHighUpdate = (System.nanoTime() - t3) / 1e9
+    }
+
     println(s"""{"metric":"curation_bench","records":$n,""" +
       s""""fresh_sec":$tFresh,"fresh_rec_per_sec":${if (tFresh > 0) n / tFresh else 0},""" +
       s""""update_sec":$tUpdate,"update_rec_per_sec":${if (tUpdate > 0) n / tUpdate else 0},""" +
       s""""entities_created":$entitiesCreated,"triples":$nTriples,""" +
-      s""""prov_snapshots":$nProv,"preexisting_adopted":$nPre}""")
+      s""""prov_snapshots":$nProv,"preexisting_adopted":$nPre,""" +
+      s""""high_author_fresh_sec":$tHighFresh,"high_author_update_sec":$tHighUpdate,""" +
+      s""""high_author_ars":$nHighArs}""")
     spark.stop()
   }
 }
