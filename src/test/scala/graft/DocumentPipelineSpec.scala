@@ -100,4 +100,33 @@ class DocumentPipelineSpec extends AnyFunSuite {
     out.filter(_.getAs[String]("drop_reason") == "cross_dup")
       .foreach(r => assert(r.getAs[Double]("cross_dup_frac") > 0.5))
   }
+
+  test("pathological dup rate: one giant near-dup cluster elects exactly one rep") {
+    // the reps-join skew extreme: most of the corpus collapses into ONE
+    // cluster, so the reps side of the cluster-rep join is tiny while the
+    // corpus side funnels through a single cluster key. 40 near-identical
+    // copies (unique trailing token — same 5-shingle prefix set keeps
+    // them above the 0.8 Jaccard threshold) + 10 distinct docs.
+    import spark.implicits._
+    val common = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs =
+      (0 until 40).map(i => (i.toLong, s"$common copy$i", "en", "src1")) ++
+      (0 until 10).map(i => ((100 + i).toLong,
+        (1 to 30).map(j => s"unique${i}w$j").mkString(" "), "en", "src2"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_patho").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val out = DocumentPipeline.curate(spark, dir2,
+      DocumentPipeline.Config(decontaminate = false)).collect()
+    assert(out.length == 50, "one output row per input doc")
+    val copies = out.filter(_.getAs[Long]("doc_id") < 100)
+    val kept = copies.filter(_.getAs[Boolean]("kept"))
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L),
+      "exactly the min-id member of the giant cluster survives")
+    assert(copies.filter(_.getAs[String]("drop_reason") == "near_dup").length == 39)
+    // the distinct docs are untouched by the giant cluster
+    val uniques = out.filter(_.getAs[Long]("doc_id") >= 100)
+    assert(uniques.forall(_.getAs[String]("drop_reason") != "near_dup"))
+  }
 }

@@ -118,4 +118,46 @@ class MetaProcessSpec extends AnyFunSuite {
     assert(crashResumed.done == Set(f1, f2))
     assert(tset(MetaProcess.loadState(spark, pfDir).triples.get) == tset(triples))
   }
+
+  test("meta_process: crash BETWEEN triples write and done write reprocesses idempotently") {
+    import spark.implicits._
+    // saveState writes triples -> prov -> done -> counters non-atomically
+    // (SURVEY §7.4 risk 1). Worst-case kill: file 2's triples+prov are on
+    // disk but done/counters still say only file 1 finished. The resume
+    // then REPROCESSES file 2 against a store that already contains it —
+    // every row must adopt its existing entity (no new OMIDs minted, no
+    // doubled counters) and the final state must equal the clean run's.
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val clean = MetaProcess.run(spark, Seq(f1, f2), T0)
+
+    val work = Files.createTempDirectory("graft_mpcrash").toString
+    val s1 = MetaProcess.run(spark, Seq(f1), T0, persistTo = Some(work))
+    val s2 = MetaProcess.run(spark, Seq(f1, f2), T0, state = s1)
+    // simulated kill: only the first two saveState artifacts land
+    s2.triples.get.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$work/triples")
+    s2.prov.get.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$work/prov")
+
+    val loaded = MetaProcess.loadState(spark, work)
+    assert(loaded.done == Set(f1), "done-set must still reflect only file 1")
+    val resumed = MetaProcess.run(spark, Seq(f1, f2), T0, state = loaded,
+      persistTo = Some(work))
+
+    assert(tset(resumed.triples.get) == tset(clean.triples.get),
+      "reprocessing the already-applied file must not change the graph")
+    assert(resumed.counters == clean.counters,
+      "no double-counted OMIDs after the crash-resume")
+    // no external id may end up owned by two entities (double-minting)
+    val dupOwners = Checkers.storeIds(resumed.triples.get)
+      .groupBy($"scheme", $"value")
+      .agg(countDistinct($"owner_meta").as("n"))
+      .filter($"n" > 1).count()
+    assert(dupOwners == 0, "an external id adopted twice means a doubled OMID")
+    // provenance stays invariant-clean (no orphan or doubled-open chains)
+    assert(Checkers.missingProvenance(resumed.triples.get, resumed.prov.get).isEmpty)
+    assert(Checkers.openSnapshotInvariant(resumed.prov.get).isEmpty)
+  }
 }
