@@ -620,12 +620,20 @@ object Dedup {
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))
       .localCheckpoint()
-    val banded = e.select($"vec_id", $"nv", explode(array((0 until nTables).map(t =>
+    // candidate generation shuffles (vec_id, bucket) ONLY — carrying the
+    // dim-float vectors through the band explode and self-join multiplied
+    // shuffle bytes by ~20x (measured 701 MB -> ids-only at sf0.1); the
+    // vectors are fetched back by two equi-joins on the DEDUPED candidate
+    // set, so each vector crosses the wire O(tables + candidates) times
+    // instead of O(tables * bucket-width).
+    val banded = e.select($"vec_id", explode(array((0 until nTables).map(t =>
       Similarity.lshBucket($"nv", dim, nBits, t)): _*)).as("bucket"))
     banded.as("a").hint("shuffle_hash")
       .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"a.nv".as("nv1"), $"b.nv".as("nv2"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
       .dropDuplicates("v1", "v2")
+      .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")), "v1")
+      .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")), "v2")
       .withColumn("cos", Similarity.dot($"nv1", $"nv2"))
       .filter($"cos" >= threshold)
       .select($"v1", $"v2", round($"cos", 6).as("cos"))
