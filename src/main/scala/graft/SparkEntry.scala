@@ -89,6 +89,8 @@ object SparkEntry {
     "q54_token_budget_mix_salted" -> ((s, d) => TA.q54TokenBudgetMixSalted(s, d)),
     "q55_lang_eval" -> (TA.q55LangEval _),
     "q56_ann_label_eval" -> ((s, d) => Similarity.q56AnnLabelEval(s, d)),
+    "q57_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q58_unigram_logprob" -> (TA.q58UnigramLogprob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,5 +145,7 @@ object SparkEntry {
     "q54_token_budget_mix_salted" -> TA.q54Sql,
     "q55_lang_eval" -> TA.q55Sql,
     "q56_ann_label_eval" -> Similarity.q56Sql,
+    "q57_semantic_dedup" -> Dedup.q57Sql,
+    "q58_unigram_logprob" -> TA.q58Sql,
   )
 }

@@ -736,4 +736,73 @@ object Dedup {
       |  CAST(coalesce(cc.cluster, d.doc_id) AS BIGINT) AS cluster,
       |  CAST(CASE WHEN coalesce(cc.cluster, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM documents d LEFT JOIN cc ON cc.node = d.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q57 — SemDeDup-style semantic deduplication: quantize the corpus
+    * into coarse cells (the q43_exact deterministic seed quantizer —
+    * first-`nlist` vectors as centroids, argmax-cosine assignment), then
+    * within each cell drop every vector that has a smaller-id cell-mate
+    * with cosine >= threshold. This is the standard embedding-space
+    * answer to "near-dups that share no n-grams" (paraphrases,
+    * translations, re-renders), run after lexical dedup in large
+    * pipelines.
+    *
+    * Scale shape: assignment is a pure scan (centroids ride as literal
+    * columns — no join, no shuffle); the within-cell pair join is an
+    * equi-join on the cell id, so the quadratic term is bounded by the
+    * LARGEST CELL, not the corpus — production tunes nlist ~ sqrt(n)
+    * (IVF practice) to hold cells near-constant, and a skewed cell is
+    * exactly the IVF-imbalance problem, salted the same way. The pair
+    * join shuffles (vec_id, cell) ids with vectors fetched per surviving
+    * comparison — same ids-first discipline as [[embeddingCosinePairsLsh]].
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.7, nlist: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    val cents: Array[Array[Double]] = e.filter($"vec_id" < nlist).orderBy($"vec_id")
+      .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    val corpus = e
+      .withColumn("cluster", Similarity.nearestCentroid($"nv", cents).cast("long"))
+      .localCheckpoint()
+    val ids = corpus.select($"vec_id", $"cluster")
+    val dropped = ids.as("a").hint("shuffle_hash")
+      .join(ids.as("b"), $"a.cluster" === $"b.cluster" && $"b.vec_id" < $"a.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("mate"))
+      .join(corpus.select($"vec_id", $"nv"), "vec_id")
+      .join(corpus.select($"vec_id".as("mate"), $"nv".as("mv")), "mate")
+      .filter(Similarity.dot($"nv", $"mv") >= threshold)
+      .select($"vec_id").distinct()
+    corpus.select($"vec_id", $"cluster")
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster",
+        when($"is_dup".isNotNull, 0L).otherwise(1L).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** q57 oracle — the same seed quantizer + within-cell prune replayed in
+    * DuckDB (assignment CTE shared with q43_exact's oracle). */
+  val q57Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT e.vec_id, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |    FROM e, seeds s) WHERE rn = 1),
+      |dup AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM assign a JOIN assign b USING (cluster)
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE b.vec_id < a.vec_id
+      |    AND list_cosine_similarity(ea.v, eb.v) >= 0.7)
+      |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+      |  CAST(a.cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+      |ORDER BY vec_id""".stripMargin
 }

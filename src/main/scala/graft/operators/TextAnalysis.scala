@@ -486,4 +486,50 @@ object TextAnalysis {
       |  CAST(strlen(text) AS BIGINT) AS n_bytes,
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q58 — unigram language-model quality score (the CCNet-style LM
+    * filtering proxy): fit a unigram LM on the corpus itself (token
+    * frequency / total tokens) and score each document by its mean
+    * negative log-probability. Low scores = highly predictable, repeated
+    * boilerplate; high scores = rare-token noise (OCR garbage, code in a
+    * prose corpus) — pipelines keep the middle band. Per-token surprisal
+    * also yields `max_nll` for spotting single-junk-token docs.
+    *
+    * Scale shape: one token explode, one frequency aggregate on the
+    * token key, one hash-join back on the same key (co-partitioned with
+    * the aggregate's shuffle), one per-doc aggregate — identical plan
+    * skeleton to q53, O(corpus tokens) shuffle, no window, no self-join.
+    * The corpus total rides along as a 1-row broadcast (the q53
+    * threshold pattern). */
+  def q58UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val occ = documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"),
+        explode(tokens($"text")).as("token"))
+    val uf = occ.groupBy($"token").agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = uf.agg(sum($"cnt").cast("double").as("tot"))
+    occ.join(uf, "token").crossJoin(broadcast(tot))
+      .withColumn("nll", -log($"cnt" / $"tot"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg($"nll"), 6).as("mean_nll"),
+        round(max($"nll"), 6).as("max_nll"))
+      .orderBy($"doc_id")
+  }
+
+  /** q58 oracle — identical unigram arithmetic in DuckDB (natural log on
+    * both engines; per-token nll rounds only at the end). */
+  val q58Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS token
+      |  FROM documents
+      |), uf AS (
+      |  SELECT token, count(*) AS cnt FROM occ GROUP BY token
+      |), tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM uf)
+      |SELECT CAST(occ.doc_id AS BIGINT) AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(-ln(uf.cnt / tot.tot)), 6) AS mean_nll,
+      |  round(max(-ln(uf.cnt / tot.tot)), 6) AS max_nll
+      |FROM occ JOIN uf USING (token) CROSS JOIN tot
+      |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin
 }

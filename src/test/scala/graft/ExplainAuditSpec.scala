@@ -31,14 +31,15 @@ class ExplainAuditSpec extends AnyFunSuite {
   /** Bounded-broadcast nested-loop shapes: the NLJ's build side is a
     * broadcast of PROVABLY bounded cardinality, so the plan is linear in
     * the corpus no matter the scale —
-    *  - q53: crossJoin(broadcast(<1-row median threshold>));
+    *  - q53/q58: crossJoin(broadcast(<1-row corpus aggregate>));
     *  - q56: broadcast of the fixed nQueries=10 eval query set;
     *  - q35: corpus × bounded query set — the brute-force ANN oracle
     *    anchor whose production twins (lshTopK, q43 IVF) are equi-joins.
     * A new query with an UNBOUNDED nested-loop side must extend neither
     * set without the same justification. */
   private val boundedBroadcastNlj = Set(
-    "q35_ann_topk", "q53_corpus_stats", "q56_ann_label_eval")
+    "q35_ann_topk", "q53_corpus_stats", "q56_ann_label_eval",
+    "q58_unigram_logprob")
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
