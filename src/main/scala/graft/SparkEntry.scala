@@ -91,6 +91,7 @@ object SparkEntry {
     "q56_ann_label_eval" -> ((s, d) => Similarity.q56AnnLabelEval(s, d)),
     "q57_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q58_unigram_logprob" -> (TA.q58UnigramLogprob _),
+    "q59_sequence_packing" -> ((s, d) => TA.q59SequencePacking(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +148,6 @@ object SparkEntry {
     "q56_ann_label_eval" -> Similarity.q56Sql,
     "q57_semantic_dedup" -> Dedup.q57Sql,
     "q58_unigram_logprob" -> TA.q58Sql,
+    "q59_sequence_packing" -> TA.q59Sql,
   )
 }

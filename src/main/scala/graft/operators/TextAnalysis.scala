@@ -517,6 +517,59 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** q59 — sequence packing: lay documents end-to-end into fixed-size
+    * training context windows (GPT-style packing with document
+    * boundaries), the last preprocessing step before tokenized shards
+    * are written. Documents are concatenated in a deterministic
+    * shuffle order (md5 of text, the q54 ordering) within each
+    * (shard = doc_id % shards) stream, and a document lands in the
+    * window its cumulative token offset falls into; `win_off` is its
+    * start offset inside the window. Oversized documents (> ctx) simply
+    * span windows — real packers split them; the window id of the START
+    * token is still well-defined and that is what is emitted.
+    *
+    * Scale shape: the running sum is a window partitioned by the SHARD
+    * key, so parallelism is `shards` (set ~ cluster cores; each shard's
+    * stream is one training-data writer's worth of work, exactly how
+    * packed shards are produced in practice). No join, one shuffle on
+    * the shard key. */
+  def q59SequencePacking(s: SparkSession, dir: String, ctx: Long = 512,
+      shards: Int = 8): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"ord", $"doc_id")
+    documents(s, dir)
+      .select($"doc_id".cast("long").as("doc_id"),
+        ($"doc_id" % shards).cast("long").as("shard"),
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        md5($"text").as("ord"))
+      .withColumn("end_off", sum($"n_tokens").over(w))
+      .withColumn("start_off", $"end_off" - $"n_tokens")
+      .select($"doc_id", $"shard", $"n_tokens",
+        ($"start_off" / ctx).cast("long").as("win_id"),
+        pmod($"start_off", lit(ctx)).cast("long").as("win_off"))
+      .orderBy($"doc_id")
+  }
+
+  /** q59 oracle — the same shard-partitioned running sum in DuckDB. */
+  val q59Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(doc_id % 8 AS BIGINT) AS shard,
+      |    CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+      |    md5(text) AS ord
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+      |  FROM t
+      |)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST(start_off // 512 AS BIGINT) AS win_id,
+      |  CAST(start_off % 512 AS BIGINT) AS win_off
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** q58 oracle — identical unigram arithmetic in DuckDB (natural log on
     * both engines; per-token nll rounds only at the end). */
   val q58Sql: String =
