@@ -108,8 +108,9 @@ object Curator {
   private def nonBlank(c: Column): Column = c.isNotNull && length(c) > 0
 
   /** First non-empty value of `valueCol` in row order within a group —
-    * min over struct(row_idx, value) restricted to non-empty values. */
-  private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
+    * min over struct(row_idx, value) restricted to non-empty values.
+    * Shared with StoreCurator's donor aggregation. */
+  private[curation] def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
     min(when(nonBlank(valueCol), struct(rowIdx, valueCol))).getField(valueCol.toString())
 
   /** @param normalizeTitles the reference's `normalize_titles` setting

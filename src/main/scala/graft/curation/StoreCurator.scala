@@ -693,8 +693,6 @@ object StoreCurator {
 
   private def nonBlank(c: Column) = c.isNotNull && length(c) > 0
 
-  /** First non-empty value of `valueCol` in row order within a group. */
   private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
-    min(when(nonBlank(valueCol), struct(rowIdx, valueCol)))
-      .getField(valueCol.toString())
+    Curator.firstNonEmpty(valueCol, rowIdx)
 }

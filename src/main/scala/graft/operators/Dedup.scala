@@ -749,9 +749,13 @@ object Dedup {
     * Scale shape: assignment is a pure scan (centroids ride as literal
     * columns — no join, no shuffle); the within-cell pair join is an
     * equi-join on the cell id, so the quadratic term is bounded by the
-    * LARGEST CELL, not the corpus — production tunes nlist ~ sqrt(n)
-    * (IVF practice) to hold cells near-constant, and a skewed cell is
-    * exactly the IVF-imbalance problem, salted the same way. The pair
+    * LARGEST CELL, not the corpus. The REGISTERED query is the
+    * fixed-nlist=8 ORACLE ANCHOR (the seed quantizer the q43_exact
+    * oracle can replay) — at gate SFs cells are a few hundred vectors;
+    * a production run MUST pass nlist ~ sqrt(n) (IVF practice) so cells
+    * stay near-constant and the cell-key cardinality scales with the
+    * corpus, and a skewed cell is the IVF-imbalance problem, salted the
+    * same way. Same anchor-vs-production split as q34/q45. The pair
     * join shuffles (vec_id, cell) ids with vectors fetched per surviving
     * comparison — same ids-first discipline as [[embeddingCosinePairsLsh]].
     */

@@ -129,15 +129,15 @@ object DocumentPipeline {
           .otherwise(""))
     // reps cardinality tracks the DISTINCT-cluster count: ~corpus size at
     // a low dup rate (every doc its own cluster), tiny at a pathological
-    // one (everything collapses into few clusters). shuffle_hash keeps
-    // the join one hash build over the smaller reps side without sorting
-    // the corpus side, and AQE upgrades it to a broadcast at runtime
-    // whenever the surviving reps frame is small — both extremes are
-    // spec-covered (DocumentPipelineSpec pathological-dup-rate case).
+    // one (everything collapses into few clusters). Deliberately
+    // UN-hinted: a join-strategy hint would pin the physical join and
+    // suppress AQE's runtime broadcast upgrade, which is exactly the
+    // right plan when reps collapses — both extremes are spec-covered
+    // (DocumentPipelineSpec pathological-dup-rate case).
     val reps = contentFlagged.filter($"content_reason" === "")
       .groupBy($"cluster").agg(min($"doc_id").as("cluster_rep"))
     val flagged = contentFlagged
-      .join(reps.hint("shuffle_hash"), Seq("cluster"), "left")
+      .join(reps, Seq("cluster"), "left")
       .withColumn("drop_reason",
         when($"content_reason" =!= "", $"content_reason")
           .when($"doc_id" =!= $"cluster_rep", "near_dup")

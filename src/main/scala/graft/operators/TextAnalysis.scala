@@ -247,8 +247,9 @@ object TextAnalysis {
     // Lazy when(rlike) guard: under ANSI mode a bare cast would throw on
     // the empty string regexp_extract yields for digit-less source names.
     // Those coalesce to sentinel 3 → the otherwise (0.1) branch, matching
-    // both the oracle (CASE NULL → ELSE) and the pre-ANSI behavior where
-    // a null pmod fell through to otherwise.
+    // the oracle (TRY_CAST(NULLIF(…)) → NULL % 4 → CASE ELSE; a bare
+    // CAST('' AS INT) would hard-error in DuckDB) and the pre-ANSI
+    // behavior where a null pmod fell through to otherwise.
     val srcN = coalesce(
       when($"source".rlike("\\d+$"),
         regexp_extract($"source", "(\\d+)$", 1).cast("int")),
@@ -268,7 +269,7 @@ object TextAnalysis {
     """WITH t AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
       |    substr(md5(concat_ws(':', source, doc_id)), 1, 8) AS h8,
-      |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 AS m
+      |    TRY_CAST(NULLIF(regexp_extract(source, '(\d+)$', 1), '') AS INT) % 4 AS m
       |  FROM documents
       |)
       |SELECT doc_id, source, h8 FROM t
@@ -508,12 +509,19 @@ object TextAnalysis {
         explode(tokens($"text")).as("token"))
     val uf = occ.groupBy($"token").agg(count(lit(1)).cast("long").as("cnt"))
     val tot = uf.agg(sum($"cnt").cast("double").as("tot"))
+    // cross-engine float rule: per-token nll quantizes to micro-nats (a
+    // BIGINT) BEFORE aggregation so the per-doc sums are exact and
+    // associative — a raw double avg() is partial-aggregation-order
+    // dependent and could round differently from the oracle at a 6th-
+    // decimal boundary.
     occ.join(uf, "token").crossJoin(broadcast(tot))
-      .withColumn("nll", -log($"cnt" / $"tot"))
+      .withColumn("nll6", round(-log($"cnt" / $"tot") * 1e6d, 0).cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(avg($"nll"), 6).as("mean_nll"),
-        round(max($"nll"), 6).as("max_nll"))
+        sum($"nll6").as("sum6"), max($"nll6").as("max6"))
+      .select($"doc_id", $"n_tokens",
+        round($"sum6".cast("double") / $"n_tokens" / 1e6d, 6).as("mean_nll"),
+        round($"max6".cast("double") / 1e6d, 6).as("max_nll"))
       .orderBy($"doc_id")
   }
 
@@ -570,19 +578,23 @@ object TextAnalysis {
       |  CAST(start_off % 512 AS BIGINT) AS win_off
       |FROM c ORDER BY doc_id""".stripMargin
 
-  /** q58 oracle — identical unigram arithmetic in DuckDB (natural log on
-    * both engines; per-token nll rounds only at the end). */
+  /** q58 oracle — identical unigram arithmetic in DuckDB: natural log,
+    * the same micro-nat quantization, exact BIGINT sums. */
   val q58Sql: String =
     """WITH occ AS (
       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS token
       |  FROM documents
       |), uf AS (
       |  SELECT token, count(*) AS cnt FROM occ GROUP BY token
-      |), tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM uf)
-      |SELECT CAST(occ.doc_id AS BIGINT) AS doc_id,
+      |), tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM uf),
+      |q AS (
+      |  SELECT occ.doc_id,
+      |    CAST(round(-ln(uf.cnt / tot.tot) * 1e6, 0) AS BIGINT) AS nll6
+      |  FROM occ JOIN uf USING (token) CROSS JOIN tot
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
-      |  round(avg(-ln(uf.cnt / tot.tot)), 6) AS mean_nll,
-      |  round(max(-ln(uf.cnt / tot.tot)), 6) AS max_nll
-      |FROM occ JOIN uf USING (token) CROSS JOIN tot
-      |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin
+      |  round(CAST(sum(nll6) AS DOUBLE) / count(*) / 1e6, 6) AS mean_nll,
+      |  round(CAST(max(nll6) AS DOUBLE) / 1e6, 6) AS max_nll
+      |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
