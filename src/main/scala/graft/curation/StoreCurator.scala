@@ -226,28 +226,12 @@ object StoreCurator {
         $"ar_meta".as("temp_ar"), $"ra_meta".as("temp_ra"))
     val storeSeq = storeSeqAll.select($"br_meta".as("store_br"), $"role",
       $"pos".as("st_pos"), $"ar_meta".as("st_ar"), $"ra_meta".as("st_ra"))
-    // candidate pairs are per-(BR, role) — bounded by author-list length
-    // squared per BR, never corpus-quadratic.
-    val cand = batchSeqRoles.join(storeSeq, Seq("store_br", "role"))
     val batchRaIds = batchIdLiterals.filter($"owner_meta".startsWith("ra/"))
       .select($"owner_meta".as("temp_ra"), $"literal").distinct()
     val storeRaIds = store.entityIds.filter($"owner_meta".startsWith("ra/"))
       .select($"owner_meta".as("st_ra"), $"literal").distinct()
-    val seqIdMatch = cand.join(batchRaIds, Seq("temp_ra"))
-      .join(storeRaIds, Seq("st_ra", "literal"))
-      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(1).as("mprio"))
-    // name match is EXACT (case included): curator.py:699 compares the
-    // store title to the cleaned batch name with ==.
-    val seqNameMatch = cand
-      .join(fresh.raNames.select($"ra_meta".as("temp_ra"), $"name".as("b_name")), Seq("temp_ra"))
-      .join(store.raNames.select($"ra_meta".as("st_ra"), $"name".as("s_name")), Seq("st_ra"))
-      .filter(nonBlank($"b_name") && $"b_name" === $"s_name")
-      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(2).as("mprio"))
-    val seqMatch = seqIdMatch.unionByName(seqNameMatch)
-      .groupBy($"temp_ar", $"temp_ra")
-      .agg(min(struct($"mprio", $"st_pos", $"st_ar", $"st_ra")).as("m"))
-      .select($"temp_ar", $"temp_ra",
-        $"m.st_ar".as("st_ar"), $"m.st_ra".as("st_ra"))
+    val seqMatch = alignArSequences(batchSeqRoles, storeSeq,
+      batchRaIds, storeRaIds, fresh.raNames, store.raNames)
       .localCheckpoint()
     val arAdopt = seqMatch.select($"temp_ar".as("from_meta"), $"st_ar".as("to_meta"))
       .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
@@ -695,4 +679,55 @@ object StoreCurator {
 
   private def firstNonEmpty(valueCol: Column, rowIdx: Column): Column =
     Curator.firstNonEmpty(valueCol, rowIdx)
+
+  /** D5 AR-sequence candidate matching (clean_ra, curator.py:634-742),
+    * equality-keyed.
+    *
+    * Round-8 shape joined `batchSeqRoles x storeSeq` on (store_br, role)
+    * FIRST and applied the id/name equality as a post-join filter — that
+    * materializes |batch agents| x |store sequence| rows per key before
+    * anything is discarded: measured 19.9 s for ONE 2869-author record on
+    * the high-author update leg (2869^2 ~ 8.2 M candidates on a single
+    * key), and HEP-style corpora carry thousands of such BRs. Here the
+    * match literal/name is attached to EACH side before the join, so the
+    * join key is (store_br, role, literal) for the id match and
+    * (store_br, role, name) for the exact-name match — a shuffle bucket
+    * then holds only rows that actually agree on the key, making the
+    * per-(BR, role) cost O(actual matches) instead of O(|A| x |S|).
+    * Tie-breaks are unchanged: id match outranks name match (mprio),
+    * then lowest store position.
+    *
+    * @param batchSeqRoles (store_br, role, temp_ar, temp_ra)
+    * @param storeSeq      (store_br, role, st_pos, st_ar, st_ra)
+    * @param batchRaIds    (temp_ra, literal) distinct
+    * @param storeRaIds    (st_ra, literal) distinct
+    * @param batchRaNames  (ra_meta, name) — fresh batch RA names
+    * @param storeRaNames  (ra_meta, name) — store RA names
+    * @return one row per matched (temp_ar, temp_ra) with the adopted
+    *         (st_ar, st_ra). */
+  private[graft] def alignArSequences(
+      batchSeqRoles: DataFrame, storeSeq: DataFrame,
+      batchRaIds: DataFrame, storeRaIds: DataFrame,
+      batchRaNames: DataFrame, storeRaNames: DataFrame): DataFrame = {
+    val spark = batchSeqRoles.sparkSession
+    import spark.implicits._
+    val seqIdMatch = batchSeqRoles.join(batchRaIds, Seq("temp_ra"))
+      .join(storeSeq.join(storeRaIds, Seq("st_ra")),
+        Seq("store_br", "role", "literal"))
+      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(1).as("mprio"))
+    // name match is EXACT (case included): curator.py:699 compares the
+    // store title to the cleaned batch name with ==.
+    val seqNameMatch = batchSeqRoles
+      .join(batchRaNames.select($"ra_meta".as("temp_ra"), $"name"), Seq("temp_ra"))
+      .filter(nonBlank($"name"))
+      .join(storeSeq.join(
+          storeRaNames.select($"ra_meta".as("st_ra"), $"name"), Seq("st_ra")),
+        Seq("store_br", "role", "name"))
+      .select($"temp_ar", $"temp_ra", $"st_ar", $"st_ra", $"st_pos", lit(2).as("mprio"))
+    seqIdMatch.unionByName(seqNameMatch)
+      .groupBy($"temp_ar", $"temp_ra")
+      .agg(min(struct($"mprio", $"st_pos", $"st_ar", $"st_ra")).as("m"))
+      .select($"temp_ar", $"temp_ra",
+        $"m.st_ar".as("st_ar"), $"m.st_ra".as("st_ra"))
+  }
 }

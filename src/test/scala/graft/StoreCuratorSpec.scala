@@ -226,4 +226,58 @@ class StoreCuratorSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("pub_date") == "",
       "empty donor column falls back to the last row's own value, not the wannabe's")
   }
+
+  // r9 D5 re-key guard: the alignment joins must be keyed by
+  // (store_br, role, literal|name), so a single high-author (BR, role)
+  // key emits O(matches) join rows, never |batch agents| x |store seq|.
+  private def allPlanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allPlanNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allPlanNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      p +: allPlanNodes(r.child)
+    case other => p +: other.children.flatMap(allPlanNodes)
+  }
+
+  test("D5 alignment joins emit O(matches) rows on a high-author key") {
+    import spark.implicits._
+    val n = 400
+    val batchSeqRoles = (0 until n).map(i =>
+      ("br/0601", "author", f"ar/0601$i%04d", f"ra/0601$i%04d"))
+      .toDF("store_br", "role", "temp_ar", "temp_ra")
+    val storeSeq = (0 until n).map(i =>
+      ("br/0601", "author", (i + 1).toLong, f"ar/0609$i%04d", f"ra/0609$i%04d"))
+      .toDF("store_br", "role", "st_pos", "st_ar", "st_ra")
+    val batchRaIds = (0 until n).map(i => (f"ra/0601$i%04d", s"orcid:$i"))
+      .toDF("temp_ra", "literal")
+    val storeRaIds = (0 until n).map(i => (f"ra/0609$i%04d", s"orcid:$i"))
+      .toDF("st_ra", "literal")
+    val batchRaNames = (0 until n).map(i => (f"ra/0601$i%04d", f"Author_$i%04d, Test"))
+      .toDF("ra_meta", "name")
+    val storeRaNames = (0 until n).map(i => (f"ra/0609$i%04d", f"Author_$i%04d, Test"))
+      .toDF("ra_meta", "name")
+    val m = StoreCurator.alignArSequences(batchSeqRoles, storeSeq,
+      batchRaIds, storeRaIds, batchRaNames, storeRaNames)
+    val rows = m.collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val suffix = r.getAs[String]("temp_ra").stripPrefix("ra/0601")
+      assert(r.getAs[String]("st_ra") == s"ra/0609$suffix")
+      assert(r.getAs[String]("st_ar") == s"ar/0609$suffix")
+    }
+    // the round-8 (store_br, role)-keyed shape would emit n^2 = 160k rows
+    // from its candidate join here; the equality-keyed joins emit at most
+    // the match count per join (id-side n, name-side n)
+    val joins = allPlanNodes(m.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected join nodes in the alignment plan")
+    joins.foreach { j =>
+      val out = j.metrics("numOutputRows").value
+      assert(out <= 10L * n,
+        s"join ${j.nodeName} emitted $out rows — O(matches) bound is ${10L * n}")
+    }
+  }
 }
