@@ -134,15 +134,25 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir"}"""
     println(line)
     // the driver's committed BENCH artifact truncates to the output tail;
-    // persist the full line so per-query numbers survive the round
+    // persist the full line so per-query numbers survive the round. The
+    // destination resolves via SPARK_GRAFT_BENCH_OUT so a run launched
+    // from another cwd can still land the artifact at the repo root, and
+    // a write failure is LOGGED, never silently dropped (the committed
+    // artifact is what cross-round perf comparisons read).
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      .toAbsolutePath
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_full.json"), line + "\n")
-      // repo-root copy rides the end-of-round commit (target/ is ignored)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] target/bench_full.json write failed: $e") }
+    try {
+      java.nio.file.Files.writeString(outPath, line + "\n")
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write to $outPath FAILED: $e") }
     spark.stop()
   }
 }

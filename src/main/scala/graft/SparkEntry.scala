@@ -90,6 +90,13 @@ object SparkEntry {
     "q55_lang_eval" -> (TA.q55LangEval _),
     "q56_ann_label_eval" -> ((s, d) => Similarity.q56AnnLabelEval(s, d)),
     "q57_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // q57's production twin (rows-only, q34_lsh/q45_lsh precedent):
+    // nlist ~ sqrt(n) keeps the within-cell quadratic term near-constant
+    // as the corpus grows — different cells than the fixed-nlist=8 oracle
+    // anchor by construction, so no hash oracle; soundness (every dropped
+    // vec has a genuine >=threshold smaller-id mate) and agreement vs the
+    // anchor are asserted in OperatorsSpec.
+    "q57_sqrtn_semantic_dedup" -> ((s, d) => Dedup.semanticDedupSqrtN(s, d)),
     "q58_unigram_logprob" -> (TA.q58UnigramLogprob _),
     "q59_sequence_packing" -> ((s, d) => TA.q59SequencePacking(s, d)),
   )

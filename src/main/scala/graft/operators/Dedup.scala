@@ -766,10 +766,19 @@ object Dedup {
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))
       .localCheckpoint()
-    val cents: Array[Array[Double]] = e.filter($"vec_id" < nlist).orderBy($"vec_id")
+    // seed = first nlist rows in vec_id ORDER (not `vec_id < nlist`): a
+    // corpus with sparse/offset ids still yields nlist real centroids, and
+    // a degenerate corpus fails loudly instead of assigning null cells
+    val cents: Array[Array[Double]] = e.orderBy($"vec_id").limit(nlist)
       .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    require(cents.nonEmpty, s"semanticDedup: no embeddings found under $dir")
+    // cross-engine float rule: both the cell argmax and the >= threshold
+    // prune compare cosines QUANTIZED to 6 decimals, so a boundary pair /
+    // centroid near-tie cannot flip between Spark (normalized dot) and the
+    // oracle (list_cosine_similarity on raw vectors)
     val corpus = e
-      .withColumn("cluster", Similarity.nearestCentroid($"nv", cents).cast("long"))
+      .withColumn("cluster",
+        Similarity.nearestCentroidRounded($"nv", cents).cast("long"))
       .localCheckpoint()
     val ids = corpus.select($"vec_id", $"cluster")
     val dropped = ids.as("a").hint("shuffle_hash")
@@ -777,7 +786,7 @@ object Dedup {
       .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("mate"))
       .join(corpus.select($"vec_id", $"nv"), "vec_id")
       .join(corpus.select($"vec_id".as("mate"), $"nv".as("mv")), "mate")
-      .filter(Similarity.dot($"nv", $"mv") >= threshold)
+      .filter(round(Similarity.dot($"nv", $"mv"), 6) >= threshold)
       .select($"vec_id").distinct()
     corpus.select($"vec_id", $"cluster")
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
@@ -787,15 +796,18 @@ object Dedup {
   }
 
   /** q57 oracle — the same seed quantizer + within-cell prune replayed in
-    * DuckDB (assignment CTE shared with q43_exact's oracle). */
+    * DuckDB (assignment CTE shared with q43_exact's oracle shape). Both
+    * the argmax and the threshold compare round to 6 decimals, matching
+    * [[semanticDedup]]'s quantized comparisons; the seed list is the first
+    * 8 rows in vec_id ORDER, matching the sparse-id-safe Spark seed. */
   val q57Sql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |seeds AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+      |seeds AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
       |assign AS (
       |  SELECT vec_id, c AS cluster FROM (
       |    SELECT e.vec_id, s.c,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.c) AS rn
       |    FROM e, seeds s) WHERE rn = 1),
       |dup AS (
       |  SELECT DISTINCT a.vec_id
@@ -803,10 +815,27 @@ object Dedup {
       |  JOIN e ea ON ea.vec_id = a.vec_id
       |  JOIN e eb ON eb.vec_id = b.vec_id
       |  WHERE b.vec_id < a.vec_id
-      |    AND list_cosine_similarity(ea.v, eb.v) >= 0.7)
+      |    AND round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.7)
       |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
       |  CAST(a.cluster AS BIGINT) AS cluster,
       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
       |ORDER BY vec_id""".stripMargin
+
+  /** q57 production twin — [[semanticDedup]] at IVF practice's
+    * `nlist ~ sqrt(n)` so the expected cell size stays near-constant as
+    * the corpus grows and the within-cell quadratic term never scales
+    * with the corpus: cell-key cardinality grows with n, per-cell work
+    * does not (a skewed cell is the IVF-imbalance problem, salted the
+    * same way as q43's). Same anchor-vs-production registry split as
+    * q34/q45 (SURVEY §7.4.7: the exact anchor proves semantics, the
+    * bucketed twin is the scale path — registered rows-only, gated by
+    * the soundness/agreement spec in OperatorsSpec). The corpus count
+    * here is one cheap parquet-metadata scan, not a collect. */
+  def semanticDedupSqrtN(s: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val n = embeddings(s, dir).count()
+    val nlist = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    semanticDedup(s, dir, threshold, nlist)
+  }
 }

@@ -193,6 +193,18 @@ object Similarity {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
+  /** [[nearestCentroid]] with each cosine quantized to 6 decimals before
+    * the argmax — the repo's cross-engine float rule for ORACLE-GATED
+    * assignments: the DuckDB oracle computes `list_cosine_similarity` on
+    * the raw vectors while Spark dots the pre-normalized ones, so a
+    * centroid near-tie could otherwise pick different cells per engine.
+    * Ties after quantization resolve to the lowest centroid index on both
+    * sides (array_position's first-max here, `ORDER BY cos DESC, c` there). */
+  def nearestCentroidRounded(v: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => round(dot(v, array(c.map(lit): _*)), 6)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
   /** ANN top-k via IVF (inverted-file) coarse quantization — the other
     * standard scale path next to [[lshTopK]].
     *

@@ -553,8 +553,11 @@ object TextAnalysis {
         md5($"text").as("ord"))
       .withColumn("end_off", sum($"n_tokens").over(w))
       .withColumn("start_off", $"end_off" - $"n_tokens")
+      // win_id must be INTEGER floor-division like the oracle's `//`: a
+      // double `/ ctx` only agrees while ctx is a power of two and
+      // offsets stay below 2^53 — `div` keeps the arithmetic in longs
       .select($"doc_id", $"shard", $"n_tokens",
-        ($"start_off" / ctx).cast("long").as("win_id"),
+        expr(s"start_off div ${ctx}L").as("win_id"),
         pmod($"start_off", lit(ctx)).cast("long").as("win_off"))
       .orderBy($"doc_id")
   }

@@ -87,9 +87,36 @@ class ExplainAuditSpec extends AnyFunSuite {
       s"single-task window shapes found:\n${offenders.mkString("\n")}")
   }
 
-  test("the two quadratic anchors still have registered production twins") {
+  test("the quadratic anchors still have registered production twins") {
     // the audit's exemption list must not outlive the production paths
     assert(SparkEntry.queries.contains("q34_lsh_embedding_pairs"))
     assert(SparkEntry.queries.contains("q45_lsh_embedding_clusters"))
+    assert(SparkEntry.queries.contains("q57_sqrtn_semantic_dedup"))
+  }
+
+  test("q53/q58 crossJoin exemption is structurally a 1-row broadcast") {
+    // the exemption list above is by NAME — back it with the structural
+    // fact it encodes: the NLJ's build side must be a GLOBAL aggregate
+    // (no grouping keys => exactly one row), so a refactor that widens
+    // the broadcast side cannot hide behind the name exemption
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    Seq("q53_corpus_stats", "q58_unigram_logprob").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val nljs = allNodes(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(nljs.nonEmpty, s"$name: expected the documented crossJoin")
+      nljs.foreach { j =>
+        val buildPlan = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        val oneRow = allNodes(buildPlan).exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }
+        assert(oneRow,
+          s"$name: crossJoin broadcast side is not a global (1-row) aggregate")
+      }
+    }
   }
 }

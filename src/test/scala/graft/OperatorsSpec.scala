@@ -363,4 +363,82 @@ class OperatorsSpec extends AnyFunSuite {
     val dropped = got.count(_._3 == 0L)
     assert(dropped > 0 && dropped == clusters.count { case (id, c) => id != c })
   }
+
+  test("q57 sqrt(n) twin: sound drops and agreement with the fixed-nlist anchor") {
+    // sf0.01 (500 vecs) so the twin's nlist = ceil(sqrt(500)) = 23 really
+    // differs from the anchor's fixed 8 — at sf0.001 both resolve to 8
+    // and the comparison would be vacuous. threshold=0.4: the synthetic
+    // embeddings carry no >=0.7 pairs (the registered 0.7 runs are
+    // all-kept), and 0.4 yields 59 true pairs / 53 droppable vectors —
+    // enough signal to exercise drops on both paths.
+    val dir01 = "/root/testdata/sf0.01"
+    val thr = 0.4
+    val twin = Dedup.semanticDedupSqrtN(spark, dir01, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val vecs = graft.Tables.embeddings(spark, dir01)
+      .selectExpr("cast(vec_id as long) vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(twin.size == vecs.length, "twin must emit one row per corpus vector")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byId = vecs.toMap
+    val dropped = twin.collect { case (id, 0L) => id }.toSet
+    assert(dropped.nonEmpty, "corpus should contain semantic dups at thr=0.4")
+    // soundness: a dropped vector REALLY has a >=threshold smaller-id mate
+    // (quantized compare, the operator's rule) — within-cell pruning can
+    // only ever see a subset of all mates, so a drop without one is a bug
+    dropped.foreach { id =>
+      val v = byId(id)
+      assert(vecs.exists { case (j, u) =>
+        j < id && math.round(cos(u, v) * 1e6) >= math.round(thr * 1e6) },
+        s"twin dropped $id without any >=$thr smaller-id mate")
+    }
+    // agreement: the twin's finer cells see fewer mates (recall-for-scale
+    // trade), but its DECISIONS must mostly coincide with the anchor's
+    // (measured: anchor 19, twin 10, overlap 8 at these parameters)
+    val anchorDropped = Dedup.semanticDedup(spark, dir01, threshold = thr).collect()
+      .filter(_.getLong(2) == 0L).map(_.getLong(0)).toSet
+    val precisionVsAnchor = (dropped & anchorDropped).size.toDouble / dropped.size
+    info(s"twin dropped ${dropped.size}, anchor dropped ${anchorDropped.size}, " +
+      s"overlap ${(dropped & anchorDropped).size}")
+    assert(precisionVsAnchor >= 0.7,
+      s"twin drops disagree with the anchor: precision $precisionVsAnchor")
+    assert(dropped.size >= (0.3 * anchorDropped.size).toInt,
+      s"twin recall collapsed: ${dropped.size} vs anchor ${anchorDropped.size}")
+  }
+
+  test("q59 packing semantics hold at shards in {8, 64} (parallelism contract)") {
+    // the operator contract says "set shards ~ cluster cores" — prove the
+    // per-shard packing semantics (md5 order, running offsets, window
+    // assignment) are identical at two shard counts, not a property of
+    // the default 8
+    Seq(8, 64).foreach { shards =>
+      val got = graft.operators.TextAnalysis
+        .q59SequencePacking(spark, dir, ctx = 512, shards = shards)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val docs = graft.Tables.documents(spark, dir)
+        .selectExpr("cast(doc_id as long) doc_id", "text").collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val nTok = text.split(" ").count(_.nonEmpty).toLong
+          val ord = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, id % shards, nTok, ord)
+        }
+      val expect = docs.groupBy(_._2).toSeq.flatMap { case (shard, ds) =>
+        var off = 0L
+        ds.sortBy(d => (d._4, d._1)).map { d =>
+          val start = off; off += d._3
+          d._1 -> ((shard, d._3, start / 512, start % 512))
+        }
+      }.toMap
+      assert(got == expect, s"shards=$shards packing mismatch")
+    }
+  }
 }
