@@ -619,14 +619,33 @@ object StoreCurator {
       .select($"br_meta", $"p.re_meta".as("re_meta"),
         $"p.start_page".as("start_page"), $"p.end_page".as("end_page"))
 
-    // vvi: remapped batch rows union the store subtrees of every
-    // materialized venue (retrieve_venue_from_local_graph loads the whole
-    // venue tree into self.vvi, curator.py:502-509)
+    // vvi: remapped batch rows union the store SPINES the batch actually
+    // reached. retrieve_venue_from_local_graph (finder.py) reads only the
+    // PREFETCHED local graph, and get_everything_about_res walks OUTBOUND
+    // edges from (row ids, venue metaids, row-specific (venue, vol, iss)
+    // seeds) — so a venue's children appear only when a row referenced
+    // their sequence values (covered here by vviAdopt -> vviBatch) or
+    // when the adopted br IS a store volume/issue, whose outbound partOf
+    // walk pulls its ANCESTORS but never its sibling/child entities
+    // (testcases 15.5/15.6: adopted volume materializes without its
+    // issues; 15.1/15.8: a row naming vol+iss materializes the full
+    // spine).
     val vviBatch = remapCols(fresh.vviIndex, Seq("venue_meta", "meta"))
     val matVenuesAll = vviBatch.select($"venue_meta".as("meta")).distinct()
       .join(storeMetas, Seq("meta"), "left_semi")
       .unionByName(matVenuesEq).distinct()
+    // outbound partOf closure of the adopted BRs (bounded: article ->
+    // issue -> volume -> venue is the deepest store chain) — an adopted
+    // article inside an issue pulls issue AND volume (testcase 13.1/14.1/
+    // 16.2), an adopted volume pulls only itself (15.5/15.6)
+    val parentHop = store.partOf
+      .select($"child_meta".as("meta"), $"parent_meta")
+    val adopted0 = brMap.select($"to_meta".as("meta")).distinct()
+    val adoptedReach = (1 to 3).scanLeft(adopted0) { (frontier, _) =>
+      frontier.join(parentHop, Seq("meta")).select($"parent_meta".as("meta"))
+    }.reduce(_ unionByName _).distinct()
     val subtreeRows = storeSubtree
+      .join(adoptedReach.select($"meta".as("vvi_meta")), Seq("vvi_meta"), "left_semi")
       .join(matVenuesAll.select($"meta".as("venue_meta")), Seq("venue_meta"), "left_semi")
       .select($"venue_meta", $"vol_seq", $"iss_seq", $"vvi_meta".as("meta"))
     val vviIndex2 = vviBatch.unionByName(subtreeRows).distinct()
