@@ -77,6 +77,11 @@ object SparkEntry {
     // LSH recall ~0.8 at cos>=0.45 by construction, so neither can hash-
     // match the exact oracle; recall floors asserted in OperatorsSpec.
     "q34_lsh_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLsh(s, d)),
+    // corpus-sized LSH operating point (nBits ~ log2 n, nTables ~ n^rho):
+    // identical to q34_lsh at gate SFs (n <= 2000 resolves to the (4, 8)
+    // default, spec-asserted), diverges exactly when fixed parameters
+    // would let bucket occupancy grow with the corpus — see SCALE.json
+    "q34_lsh_auto_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLshAuto(s, d)),
     "q45_lsh_embedding_clusters" -> ((s, d) => Dedup.embeddingClustersLsh(s, d)),
     "q46_hash_sample" -> (TA.q46HashSample _),
     "q47_vocab_topk" -> ((s, d) => TA.q47VocabTopK(s, d)),

@@ -612,6 +612,30 @@ object Dedup {
     * rising steeply for the truly-near pairs a dedup pass cares about
     * (cos 0.9 -> ~0.99). Recall vs the exact baseline is asserted in the
     * spec, mirroring [[Similarity.lshTopK]]. */
+  /** [[embeddingCosinePairsLsh]] at the corpus-sized operating point.
+    *
+    * Sign-LSH bucket occupancy is n/2^nBits per table: holding nBits
+    * FIXED while the corpus grows makes candidate mass (and the band
+    * join's shuffle) grow ~n^2/2^nBits — measured 45x time at 10x corpus
+    * (SCALE.json). Scaling is nBits ~ log2(n/n0): bucket width stays
+    * constant; holding RECALL while adding bits then needs
+    * nTables ~ (1/p1)^extraBits (p1 = per-bit collision probability at
+    * the target cosine, 1 - theta/pi ~ 0.65 at cos 0.45) — the classic
+    * n^rho table growth, rho = ln(1/p1)/ln(1/p2) ~ 0.62. Net candidate
+    * cost n^(1+rho): the sign-LSH law. When the corpus has cluster
+    * structure, the [[semanticDedupSqrtN]] quantizer-cell route is the
+    * cheaper pair generator (measured ~n^1.15 on clustered synthetics).
+    * At the gate SFs (n <= 2000) this resolves to the default (4, 8)
+    * point, so the recall spec gates both paths. */
+  def embeddingCosinePairsLshAuto(s: SparkSession, dir: String,
+      threshold: Double = 0.45, dim: Int = 64): DataFrame = {
+    val n = embeddings(s, dir).count()
+    val extraBits = math.max(0,
+      math.ceil(math.log(n / 2000.0) / math.log(2)).toInt)
+    val nTables = math.ceil(8 * math.pow(1.0 / 0.65, extraBits)).toInt
+    embeddingCosinePairsLsh(s, dir, threshold, dim, 4 + extraBits, nTables)
+  }
+
   def embeddingCosinePairsLsh(s: SparkSession, dir: String,
       threshold: Double = 0.45, dim: Int = 64,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {

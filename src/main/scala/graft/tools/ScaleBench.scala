@@ -63,7 +63,12 @@ object ScaleBench {
   def genEmbeddings(spark: SparkSession, n: Int, dim: Int = 64,
       seed: Long = 11L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val k = 16
+    // topic count scales with the corpus (constant expected cluster
+    // size): with k FIXED, the number of genuinely-similar pairs grows
+    // ~n^2/k and ANY pair-enumerating operator's OUTPUT is quadratic —
+    // the first artifact run measured exactly that (11.9 M true pairs at
+    // 10x, a 42x time ratio that was answer mass, not operator shape)
+    val k = math.max(16, n / 125)
     val centers = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
     val rows = (0 until n).map { i =>
       val c = centers(rnd.nextInt(k))
@@ -79,9 +84,13 @@ object ScaleBench {
   def genPart(spark: SparkSession, n: Int, seed: Long = 13L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val types = Vector("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    // the record key space must scale with n (a real catalog's does): a
+    // fixed 60-name vocabulary makes exact-duplicate records — and hence
+    // the fuzzy-match ANSWER — grow quadratically with the corpus
+    val lots = math.max(50, n / 40)
     val rows = (0 until n).map { i =>
       Row(i.toLong,
-        s"${Adjectives(rnd.nextInt(Adjectives.length))} ${Nouns(rnd.nextInt(Nouns.length))}",
+        s"${Adjectives(rnd.nextInt(Adjectives.length))} ${Nouns(rnd.nextInt(Nouns.length))} lot${rnd.nextInt(lots)}",
         s"Brand#${1 + rnd.nextInt(25)}", types(rnd.nextInt(types.length)),
         1L + rnd.nextInt(50))
     }
@@ -130,6 +139,7 @@ object ScaleBench {
       "q52_dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
       "q50_incremental_dedup" -> ((s, d) => Dedup.incrementalDedupPairs(s, d)),
       "q34_lsh_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLsh(s, d)),
+      "q34_lsh_auto_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLshAuto(s, d)),
       "q45_lsh_embedding_clusters" -> ((s, d) => Dedup.embeddingClustersLsh(s, d)),
       "q57_sqrtn_semantic_dedup" -> ((s, d) => Dedup.semanticDedupSqrtN(s, d)),
       "q22_lsh_match_score" -> ((s, d) => TextQueries.q22LshMatchScore(s, d)),

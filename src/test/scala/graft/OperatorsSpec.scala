@@ -175,6 +175,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-sized LSH pairs equal the fixed twin at gate corpus sizes") {
+    // n <= 2000 must resolve to the (nBits=4, nTables=8) default point,
+    // so the fixed twin's recall spec covers the auto path too
+    val fixed = Dedup.embeddingCosinePairsLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.embeddingCosinePairsLshAuto(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+  }
+
   test("LSH embedding near-dup pairs: subset of exact with decent recall") {
     val exact = Dedup.embeddingCosinePairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
