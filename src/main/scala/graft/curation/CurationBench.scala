@@ -79,18 +79,30 @@ object CurationBench {
     * same name/ORCID shape). This is the D5 stress case: AR-sequence
     * alignment candidates are per-(BR, role) |authors|², i.e. one
     * 2869²≈8.2M-row candidate bucket on a single key. */
-  def highAuthorRecord(spark: SparkSession, numAuthors: Int = 2869): DataFrame = {
+  def highAuthorRecord(spark: SparkSession, numAuthors: Int = 2869): DataFrame =
+    highAuthorBatch(spark, nRecords = 1, numAuthors = numAuthors)
+
+  /** `nRecords` distinct high-author BRs in ONE batch (each its own DOI
+    * and disjoint author set). One record measures fixed DAG overhead
+    * plus one skewed key; a batch of them is where the r8 candidate
+    * shape actually hurt — |A|x|S| PER BR — and what the r9 equality
+    * re-key is for. */
+  def highAuthorBatch(spark: SparkSession, nRecords: Int,
+      numAuthors: Int = 2869): DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
-    val auth = (0 until numAuthors).map { i =>
-      f"Author_${i + 1}%04d, Test [orcid:0000-000${i / 10000}%1d-${i % 10000}%04d-${1000 + rnd.nextInt(9000)}%04dX]"
-    }.mkString("; ")
-    Seq(("doi:10.1140/epjc/s10052-016-4041-9 pmid:28280425",
-      "Probing Lepton Flavour Violation Via Neutrinoless Tau Decays With The ATLAS Detector",
-      auth, "2016-04-26", "The European Physical Journal C [issn:1434-6044]",
-      "76", "5", "", "journal article",
-      "Springer Science And Business Media LLC [crossref:297]", ""))
-      .toDF(Validation.InputColumns: _*)
+    val rows = (0 until nRecords).map { r =>
+      val auth = (0 until numAuthors).map { i =>
+        val g = r * numAuthors + i
+        f"Author_${g + 1}%05d, Test [orcid:0000-000${g / 10000}%1d-${g % 10000}%04d-${1000 + rnd.nextInt(9000)}%04dX]"
+      }.mkString("; ")
+      (f"doi:10.1140/epjc/s10052-016-4041-$r%d pmid:${28280425 + r}%d",
+        f"Probing Lepton Flavour Violation Via Neutrinoless Tau Decays $r%d",
+        auth, "2016-04-26", "The European Physical Journal C [issn:1434-6044]",
+        "76", "5", "", "journal article",
+        "Springer Science And Business Media LLC [crossref:297]", "")
+    }
+    rows.toDF(Validation.InputColumns: _*)
   }
 
   private def materialize(b: Curator.CuratedBatch): Long = {
@@ -169,10 +181,13 @@ object CurationBench {
     // store — the update leg drives the per-(BR, role) quadratic
     // AR-alignment bucket (D5 skew).
     var tHighFresh = 0.0; var tHighUpdate = 0.0; var nHighArs = 0L
-    if (scenario == "high_author" || scenario == "both") {
+    val highRecords =
+      if (scenario.startsWith("high_author_x")) scenario.stripPrefix("high_author_x").toInt
+      else 1
+    if (scenario.startsWith("high_author") || scenario == "both") {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val rec = highAuthorRecord(spark)
+      val rec = highAuthorBatch(spark, highRecords)
       val t2 = System.nanoTime()
       val hf = Curator.curateFresh(rec).checkpointed
       materialize(hf)
@@ -199,7 +214,8 @@ object CurationBench {
         s""""update_sec":$tUpdate""",
         s""""update_rec_per_sec":${if (tUpdate > 0) n / tUpdate else 0}""",
         s""""preexisting_adopted":$nPre""") else Seq.empty) ++
-      (if (scenario == "high_author" || scenario == "both") Seq(
+      (if (scenario.startsWith("high_author") || scenario == "both") Seq(
+        s""""high_author_records":$highRecords""",
         s""""high_author_fresh_sec":$tHighFresh""",
         s""""high_author_update_sec":$tHighUpdate""",
         s""""high_author_ars":$nHighArs""") else Seq.empty)
