@@ -83,6 +83,7 @@ object SparkEntry {
     // would let bucket occupancy grow with the corpus — see SCALE.json
     "q34_lsh_auto_embedding_pairs" -> ((s, d) => Dedup.embeddingCosinePairsLshAuto(s, d)),
     "q45_lsh_embedding_clusters" -> ((s, d) => Dedup.embeddingClustersLsh(s, d)),
+    "q45_lsh_auto_embedding_clusters" -> ((s, d) => Dedup.embeddingClustersLshAuto(s, d)),
     "q46_hash_sample" -> (TA.q46HashSample _),
     "q47_vocab_topk" -> ((s, d) => TA.q47VocabTopK(s, d)),
     "q48_decontamination" -> ((s, d) => Dedup.decontaminationHits(s, d)),

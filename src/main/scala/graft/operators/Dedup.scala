@@ -364,6 +364,13 @@ object Dedup {
       threshold: Double = 0.45): DataFrame =
     clustersFromEmbeddingPairs(embeddingCosinePairsLsh(s, dir, threshold))
 
+  /** [[embeddingClustersLsh]] fed by the corpus-sized LSH operating point
+    * ([[embeddingCosinePairsLshAuto]]) — identical at gate corpus sizes,
+    * holds bucket occupancy constant as the corpus grows. */
+  def embeddingClustersLshAuto(s: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame =
+    clustersFromEmbeddingPairs(embeddingCosinePairsLshAuto(s, dir, threshold))
+
   private def clustersFromEmbeddingPairs(pairsIn: DataFrame): DataFrame = {
     val s = pairsIn.sparkSession
     import s.implicits._

@@ -252,7 +252,7 @@ object Similarity {
     * top-`nprobe` probe list, exact top-k inside the probed union. */
   val q43ExactSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |seeds AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 8),
+      |seeds AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
       |assign AS (
       |  SELECT vec_id, c AS cluster FROM (
       |    SELECT e.vec_id, s.c,
@@ -295,9 +295,12 @@ object Similarity {
     val e = embeddings(s, dir)
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
       .localCheckpoint()
-    // seed centroids: nlist x dim — index metadata by construction
-    val cents: Array[Array[Double]] = e.filter($"vec_id" < nlist).orderBy($"vec_id")
+    // seed centroids: nlist x dim — index metadata by construction. First
+    // nlist rows in vec_id ORDER (not `vec_id < nlist`), so sparse or
+    // offset ids still yield nlist real centroids (q57 seed rule).
+    val cents: Array[Array[Double]] = e.orderBy($"vec_id").limit(nlist)
       .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    require(cents.nonEmpty, s"ivfTopKExact: no embeddings found under $dir")
     val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
     // probe list sorted by (cos desc, centroid index asc) — the oracle's
     // tie-break, and the same first-max rule nearestCentroid applies
