@@ -103,6 +103,10 @@ object SparkEntry {
     // vec has a genuine >=threshold smaller-id mate) and agreement vs the
     // anchor are asserted in OperatorsSpec.
     "q57_sqrtn_semantic_dedup" -> ((s, d) => Dedup.semanticDedupSqrtN(s, d)),
+    // second oracle point at threshold 0.4: the driver testdata carries no
+    // >=0.7 cosine pairs, so the 0.7 anchor's hash gate never exercises
+    // the PRUNE path — this row makes the oracle see actual drops
+    "q57_semantic_dedup_t04" -> ((s, d) => Dedup.semanticDedup(s, d, threshold = 0.4)),
     "q58_unigram_logprob" -> (TA.q58UnigramLogprob _),
     "q59_sequence_packing" -> ((s, d) => TA.q59SequencePacking(s, d)),
   )
@@ -160,6 +164,7 @@ object SparkEntry {
     "q55_lang_eval" -> TA.q55Sql,
     "q56_ann_label_eval" -> Similarity.q56Sql,
     "q57_semantic_dedup" -> Dedup.q57Sql,
+    "q57_semantic_dedup_t04" -> Dedup.q57SqlAt(0.4),
     "q58_unigram_logprob" -> TA.q58Sql,
     "q59_sequence_packing" -> TA.q59Sql,
   )

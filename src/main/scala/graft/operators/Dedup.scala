@@ -831,8 +831,8 @@ object Dedup {
     * the argmax and the threshold compare round to 6 decimals, matching
     * [[semanticDedup]]'s quantized comparisons; the seed list is the first
     * 8 rows in vec_id ORDER, matching the sparse-id-safe Spark seed. */
-  val q57Sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  def q57SqlAt(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |seeds AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
       |assign AS (
       |  SELECT vec_id, c AS cluster FROM (
@@ -846,12 +846,14 @@ object Dedup {
       |  JOIN e ea ON ea.vec_id = a.vec_id
       |  JOIN e eb ON eb.vec_id = b.vec_id
       |  WHERE b.vec_id < a.vec_id
-      |    AND round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.7)
+      |    AND round(list_cosine_similarity(ea.v, eb.v), 6) >= $threshold)
       |SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
       |  CAST(a.cluster AS BIGINT) AS cluster,
       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
       |ORDER BY vec_id""".stripMargin
+
+  val q57Sql: String = q57SqlAt(0.7)
 
   /** q57 production twin — [[semanticDedup]] at IVF practice's
     * `nlist ~ sqrt(n)` so the expected cell size stays near-constant as

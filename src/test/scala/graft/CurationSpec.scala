@@ -89,4 +89,31 @@ class CurationSpec extends AnyFunSuite {
     assert(omids.forall(_.length == 1))
     assert(omids.flatten.distinct.length == out.length)
   }
+
+  test("overlapping surnames mint six distinct agents, orcid attaches to its own author") {
+    // curator_test.py test_clean_ra_overlapping_surnames: one author's
+    // surname is a substring of another's ("M," inside "Malek,") — name
+    // resolution is EXACT equality, so all six agents stay distinct and
+    // the orcid belongs only to the author that carried it
+    import spark.implicits._
+    val input = Seq((
+      "doi:10.1615/intjmedmushrooms.v18.i9.60",
+      "Giant Oyster Mushroom Pleurotus giganteus (Agaricomycetes) Enhances Adipocyte Differentiation",
+      "Paravamsivam, Puvaneswari; Heng, Chua Kek; " +
+        "Malek, Sri Nurestri Abdul [orcid:0000-0001-6278-8559]; " +
+        "Sabaratnam, Vikineswary; M, Ravishankar Ram; Kuppusamy, Umah Rani",
+      "2016", "International Journal of Medicinal Mushrooms [issn:1521-9437]",
+      "18", "9", "821-831", "journal article", "Begell House [crossref:613]", ""))
+      .toDF(curation.Validation.InputColumns: _*)
+    val b = Curator.curateFresh(input)
+    val authors = b.roles.filter($"role" === "author").orderBy($"pos").collect()
+    assert(authors.length == 6)
+    assert(authors.map(_.getAs[String]("ra_meta")).distinct.length == 6)
+    val orcidRows = b.entityIds.filter($"scheme" === "orcid").collect()
+    assert(orcidRows.length == 1)
+    val ownerRa = orcidRows.head.getAs[String]("owner_meta")
+    val ownerName = b.raNames.filter($"ra_meta" === ownerRa).collect()
+      .map(_.getAs[String]("name"))
+    assert(ownerName.toSeq == Seq("Malek, Sri Nurestri Abdul"))
+  }
 }
