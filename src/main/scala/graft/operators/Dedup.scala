@@ -115,12 +115,13 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  /** q34 oracle — brute-force cosine near-dup pairs. */
+  /** q34 oracle — brute-force cosine near-dup pairs (quantized compare,
+    * matching the Spark side's 6-decimal rounding before the filter). */
   val q34Sql: String =
     """SELECT CAST(a.vec_id AS BIGINT) AS v1, CAST(b.vec_id AS BIGINT) AS v2,
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
       |ORDER BY v1, v2""".stripMargin
 
   /** Word n-gram shingle set (distinct, order-irrelevant) as a Column over
@@ -601,10 +602,14 @@ object Dedup {
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))
       .localCheckpoint()
+    // cross-engine float rule (q57 precedent): quantize the cosine to 6
+    // decimals BEFORE the threshold compare so a boundary pair cannot
+    // flip between Spark (normalized dot) and DuckDB (raw-vector
+    // list_cosine_similarity)
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", Similarity.dot($"a.nv", $"b.nv"))
+      .withColumn("cos", round(Similarity.dot($"a.nv", $"b.nv"), 6))
       .filter($"cos" >= threshold)
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), round($"cos", 6).as("cos"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"cos")
       .orderBy($"v1", $"v2")
   }
 
@@ -665,9 +670,11 @@ object Dedup {
       .dropDuplicates("v1", "v2")
       .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")), "v1")
       .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")), "v2")
-      .withColumn("cos", Similarity.dot($"nv1", $"nv2"))
+      // quantized compare, same rule as the exact anchor — keeps the
+      // subset relation exact at threshold boundaries
+      .withColumn("cos", round(Similarity.dot($"nv1", $"nv2"), 6))
       .filter($"cos" >= threshold)
-      .select($"v1", $"v2", round($"cos", 6).as("cos"))
+      .select($"v1", $"v2", $"cos")
       .orderBy($"v1", $"v2")
   }
 

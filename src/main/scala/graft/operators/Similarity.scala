@@ -38,7 +38,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"nv", $"qv"))
+      .withColumn("cos", round(dot($"nv", $"qv"), 6))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .groupBy($"query_id", $"query_label")
@@ -56,7 +56,7 @@ object Similarity {
       |  FROM embeddings WHERE vec_id < 10
       |), s AS (
       |  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label,
-      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
       |), r AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
@@ -72,7 +72,7 @@ object Similarity {
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
       |), s AS (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
       |), r AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s
@@ -109,15 +109,18 @@ object Similarity {
       .localCheckpoint()
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    // cross-engine float rule: the rank key is the cosine QUANTIZED to 6
+    // decimals so a neighbor near-tie cannot order differently between
+    // Spark (normalized dot) and DuckDB (raw-vector cosine)
     val scored = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"nv", $"qv"))
+      .withColumn("cos", round(dot($"nv", $"qv"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"),
-        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+        $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
   }
 
@@ -235,14 +238,14 @@ object Similarity {
       .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"nv", $"qv"))
+      .withColumn("cos", round(dot($"nv", $"qv"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"),
-        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+        $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
   }
 
@@ -257,13 +260,13 @@ object Similarity {
       |  SELECT vec_id, c AS cluster FROM (
       |    SELECT e.vec_id, s.c,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.c) AS rn
       |    FROM e, seeds s) WHERE rn = 1),
       |probes AS (
       |  SELECT vec_id AS query_id, c AS cluster FROM (
       |    SELECT e.vec_id, s.c,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.c) AS rn
+      |        ORDER BY round(list_cosine_similarity(e.v, s.cv), 6) DESC, s.c) AS rn
       |    FROM e, seeds s WHERE e.vec_id < 10) WHERE rn <= 3),
       |cand AS (
       |  SELECT p.query_id, a.vec_id AS neighbor_id
@@ -271,7 +274,7 @@ object Similarity {
       |  WHERE a.vec_id <> p.query_id),
       |scored AS (
       |  SELECT c.query_id, c.neighbor_id,
-      |    list_cosine_similarity(ev.v, qv.v) AS cos
+      |    round(list_cosine_similarity(ev.v, qv.v), 6) AS cos
       |  FROM cand c JOIN e ev ON ev.vec_id = c.neighbor_id
       |    JOIN e qv ON qv.vec_id = c.query_id),
       |r AS (SELECT *, row_number() OVER (
@@ -301,25 +304,27 @@ object Similarity {
     val cents: Array[Array[Double]] = e.orderBy($"vec_id").limit(nlist)
       .select($"nv").as[Seq[Double]].collect().map(_.toArray)
     require(cents.nonEmpty, s"ivfTopKExact: no embeddings found under $dir")
-    val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
+    val corpus = e.withColumn("cluster", nearestCentroidRounded($"nv", cents))
     // probe list sorted by (cos desc, centroid index asc) — the oracle's
-    // tie-break, and the same first-max rule nearestCentroid applies
+    // tie-break, and the same first-max rule the ROUNDED argmax applies
+    // (assignment and probe ordering both quantize to 6 decimals so the
+    // oracle replays them bit-identically)
     val probed = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
       .withColumn("cdots", array(cents.indices.map(c =>
-        struct((-dot($"qv", array(cents(c).map(lit): _*))).as("d"), lit(c).as("c"))): _*))
+        struct((-round(dot($"qv", array(cents(c).map(lit): _*)), 6)).as("d"), lit(c).as("c"))): _*))
       .withColumn("probe", slice(array_sort($"cdots"), 1, nprobe))
       .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", dot($"nv", $"qv"))
+      .withColumn("cos", round(dot($"nv", $"qv"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"),
-        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+        $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
   }
 
@@ -349,14 +354,14 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"qv", $"vec_id", $"nv")
       .dropDuplicates("query_id", "vec_id")
-    val scored = cand.withColumn("cos", dot($"nv", $"qv"))
+    val scored = cand.withColumn("cos", round(dot($"nv", $"qv"), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"),
-        $"vec_id".as("neighbor_id"), round($"cos", 6).as("cos"))
+        $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"query_id", $"rank")
   }
 }
