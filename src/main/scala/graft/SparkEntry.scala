@@ -109,6 +109,11 @@ object SparkEntry {
     "q57_semantic_dedup_t04" -> ((s, d) => Dedup.semanticDedup(s, d, threshold = 0.4)),
     "q58_unigram_logprob" -> (TA.q58UnigramLogprob _),
     "q59_sequence_packing" -> ((s, d) => TA.q59SequencePacking(s, d)),
+    // production parallelism point (rows-only): shards ~ cluster cores —
+    // the oracle anchor pins shards=8 because the DuckDB SQL hardcodes
+    // doc_id % 8; OperatorsSpec proves per-shard packing semantics are
+    // identical at shards in {8, 64}
+    "q59_sequence_packing_p32" -> ((s, d) => TA.q59SequencePacking(s, d, shards = 32)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
