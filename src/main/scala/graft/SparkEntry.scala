@@ -40,6 +40,9 @@ object SparkEntry {
     "q20_first_nonempty" -> (TQ.q20FirstNonEmpty _),
     "q21_match_score" -> (TQ.q21MatchScore _),
     "q22_lsh_match_score" -> (TQ.q22LshMatchScore _),
+    // corpus-sized operating point (Dedup.lshAutoParams) — same exact
+    // oracle: the 4e-8 miss budget holds at every derived (bands, rows)
+    "q22_lsh_match_score_auto" -> (TQ.q22LshMatchScoreAuto _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     // the ORACLE anchor runs uncapped so its documented behavior can
     // never diverge from its own oracle; the production dfCap variant is
@@ -141,6 +144,7 @@ object SparkEntry {
     "q20_first_nonempty" -> TQ.q20Sql,
     "q21_match_score" -> TQ.q21Sql,
     "q22_lsh_match_score" -> TQ.q22Sql,
+    "q22_lsh_match_score_auto" -> TQ.q22Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,

@@ -115,6 +115,17 @@ object CurationBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 1000
     val scenario = if (args.length > 1) args(1) else "both"
+    // fail fast on a malformed scenario BEFORE Spark startup — in
+    // particular "high_author_foo" would otherwise crash mid-bench on
+    // stripPrefix(...).toInt
+    val HighAuthorX = """high_author_x(\d+)""".r
+    scenario match {
+      case "fresh" | "update" | "both" | "csvexport" | "high_author" | HighAuthorX(_) => ()
+      case other =>
+        System.err.println(
+          s"usage: CurationBench [n] [fresh|update|both|csvexport|high_author|high_author_x<N>] (got '$other')")
+        sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -176,6 +187,32 @@ object CurationBench {
     tUpdate = (System.nanoTime() - t1) / 1e9
     }
 
+    // R5 at bench scale: curate n records fresh, emit the store triples,
+    // export them back to CSV rows (generate_csv.py's job, 731 LoC) and
+    // assert ROW PARITY — every curated work row must round-trip (join on
+    // the br omid, no driver-side sets). Timed region = the export only;
+    // curation+emission are setup.
+    var tExport = 0.0; var nExportRows = 0L; var nExportTriples = 0L
+    if (scenario == "csvexport") {
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val fresh = Curator.curateFresh(
+        syntheticRecords(spark, n, partial = false)).checkpointed
+      materialize(fresh)
+      val triples = TriplesEmitter.emit(fresh).localCheckpoint()
+      nExportTriples = triples.count()
+      spark.sharedState.cacheManager.clearCache()
+      val t4 = System.nanoTime()
+      val exported = graft.rdf.CsvExporter.export(triples).localCheckpoint()
+      nExportRows = exported.count()
+      tExport = (System.nanoTime() - t4) / 1e9
+      val exportedOmids = exported.select(
+        regexp_extract(col("id"), "omid:(br/\\d+)", 1).as("br_meta"))
+      val matched = fresh.rows.select(col("br_meta"))
+        .join(exportedOmids, "br_meta").count()
+      require(matched == n,
+        s"CSVEXPORT parity failed: $matched of $n curated rows round-tripped")
+    }
+
     // high-author skew scenario (preload_high_author_data.py): fresh-load
     // the 2869-author record, then re-process it against the resulting
     // store — the update leg drives the per-(BR, role) quadratic
@@ -214,6 +251,12 @@ object CurationBench {
         s""""update_sec":$tUpdate""",
         s""""update_rec_per_sec":${if (tUpdate > 0) n / tUpdate else 0}""",
         s""""preexisting_adopted":$nPre""") else Seq.empty) ++
+      (if (scenario == "csvexport") Seq(
+        s""""csvexport_sec":$tExport""",
+        s""""csvexport_rows":$nExportRows""",
+        s""""csvexport_triples":$nExportTriples""",
+        s""""csvexport_rows_per_sec":${if (tExport > 0) nExportRows / tExport else 0}""",
+        s""""csvexport_parity":"pass"""") else Seq.empty) ++
       (if (scenario.startsWith("high_author") || scenario == "both") Seq(
         s""""high_author_records":$highRecords""",
         s""""high_author_fresh_sec":$tHighFresh""",

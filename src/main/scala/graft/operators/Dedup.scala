@@ -224,7 +224,6 @@ object Dedup {
   private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame,
       threshold: Double, nDocs: Long): DataFrame = {
     import cand.sparkSession.implicits._
-    val hsets = sets.select($"doc_id", size($"hv").as("n"), $"hv")
     // join-strategy dispatch on the caller-supplied count: small set side
     // -> broadcast, so the multi-million-row candidate side is never
     // shuffled at all; large -> shuffle-hash, not sort-merge, because
@@ -233,19 +232,28 @@ object Dedup {
     // O(docs), so the broadcast arm is only taken by genuinely small
     // inputs.
     val bcast = nDocs <= VerifyBroadcastMaxDocs
-    def side(k: String) = {
-      val s = hsets.select($"doc_id".as(k), $"n".as(s"n$k"), $"hv".as(s"hv$k"))
+    def side(df: DataFrame, k: String, renames: (String, String)*) = {
+      val s = renames.foldLeft(df.withColumnRenamed("doc_id", k)) {
+        case (d, (from, to)) => d.withColumnRenamed(from, to)
+      }
       if (bcast) broadcast(s) else s.hint("shuffle_hash")
     }
-    cand
-      .join(side("d1"), "d1")
-      .join(side("d2"), "d2")
-      .withColumnRenamed("nd1", "n1").withColumnRenamed("hvd1", "hv1")
-      .withColumnRenamed("nd2", "n2").withColumnRenamed("hvd2", "hv2")
-      // exact size-ratio prune: J >= t forces min(n1,n2) >= t*max(n1,n2)
-      // (i <= min and union >= max), so hopeless pairs skip the merge-
-      // intersect kernel entirely — a column compare vs an O(n1+n2) scan
+    // STAGED FETCH: sizes first, arrays second. The exact size-ratio
+    // prune (J >= t forces min(n1,n2) >= t*max(n1,n2), since i <= min
+    // and union >= max) runs over (doc_id, int) frames BEFORE any hash
+    // array is fetched, so hopeless pairs never carry the 8 B/shingle
+    // arrays through a shuffle — fetching arrays first meant every
+    // candidate dragged hv1 through the d2-key shuffle, the engine's
+    // only measured spill (5.7 GB) at 10x corpus.
+    val sizes = sets.select($"doc_id", size($"hv").as("n"))
+    val pruned = cand
+      .join(side(sizes, "d1", "n" -> "n1"), "d1")
+      .join(side(sizes, "d2", "n" -> "n2"), "d2")
       .filter(least($"n1", $"n2") >= lit(threshold) * greatest($"n1", $"n2"))
+    val arrays = sets.select($"doc_id", $"hv")
+    pruned
+      .join(side(arrays, "d1", "hv" -> "hv1"), "d1")
+      .join(side(arrays, "d2", "hv" -> "hv2"), "d2")
       .withColumn("i",
         graft.plans.VectorExpressions.sortedLongIntersectSize($"hv1", $"hv2").cast("double"))
       .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))
@@ -528,6 +536,30 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Corpus-sized MinHash-LSH (bands, rows) operating point for a
+    * J >= `threshold` funnel — the q34_lsh_auto treatment applied to
+    * set-similarity banding. Holding (bands, rows) FIXED while the corpus
+    * grows lets background candidate mass grow ~n^2 * bands * Jbg^rows
+    * (measured: q22's fixed 128x3 point spilled 5.7 GB at 10x corpus).
+    * Scaling is rows: each extra row cuts a background J=0.1 pair's
+    * per-band collision 10x, so rows = baseRows + ceil(log10(n/n0))
+    * keeps expected background candidates per doc ~flat; bands then
+    * re-solves the per-QUALIFYING-pair miss budget
+    * (1 - threshold^rows)^bands <= missBudget, so the funnel stays
+    * oracle-exact at every operating point (the 4e-8 budget that lets
+    * q22/q32 hash-match their exact DuckDB oracles). At the gate corpora
+    * (n <= n0) this resolves to the fixed anchor point — identity
+    * asserted in OperatorsSpec. */
+  def lshAutoParams(n: Long, threshold: Double = 0.5, n0: Long = 2000,
+      baseRows: Int = 3, missBudget: Double = 4e-8): (Int, Int) = {
+    val extra = if (n <= n0) 0
+      else math.ceil(math.log10(n.toDouble / n0)).toInt
+    val rows = baseRows + extra
+    val pBand = math.pow(threshold, rows)
+    val bands = math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt
+    (bands, rows)
+  }
+
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
     val banded = bandedSignatures(sets, bands, rows)
@@ -537,10 +569,12 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash of the token multiset. Single pass per document
-    * (FNV-1a 64 token hash, +/-1 per bit, sign fold) — a UDF by design:
-    * 64 nested aggregates as Columns would blow up the expression tree;
-    * the per-row cost is linear and fully distributed. */
+  /** 64-bit SimHash of the token multiset — Scala REFERENCE implementation
+    * (FNV-1a 64 token hash, +/-1 per bit, sign fold), kept as the
+    * spec-side twin of the production kernel. The query path uses the
+    * codegen'd [[graft.plans.VectorExpressions.SimHash64]] expression
+    * (same arithmetic over [[graft.plans.SimHashKernel]]); OperatorsSpec
+    * asserts expression == this function token-for-token. */
   private[graft] def simhash64(tokens: Seq[String]): Long = {
     val counts = new Array[Int](64)
     for (t <- tokens) {
@@ -556,8 +590,6 @@ object Dedup {
     sig
   }
 
-  private val simhashUdf = udf((toks: Seq[String]) =>
-    if (toks == null) 0L else simhash64(toks))
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxDist.
     * Retrieval uses the pigeonhole principle: the 64-bit signature is cut
@@ -575,7 +607,8 @@ object Dedup {
       .select($"doc_id".cast("long").as("doc_id"),
         filter(split($"text", " "), t => length(t) > lit(0)).as("toks"))
       .filter(size($"toks") > 0)
-      .select($"doc_id", simhashUdf($"toks").as("sig"))
+      .select($"doc_id",
+        graft.plans.VectorExpressions.simhash64($"toks").as("sig"))
     val blockCols = (0 until nBlocks).map { b =>
       shiftrightunsigned($"sig", b * width).bitwiseAND(lit((1L << width) - 1))
     }
@@ -605,7 +638,13 @@ object Dedup {
     // cross-engine float rule (q57 precedent): quantize the cosine to 6
     // decimals BEFORE the threshold compare so a boundary pair cannot
     // flip between Spark (normalized dot) and DuckDB (raw-vector
-    // list_cosine_similarity)
+    // list_cosine_similarity). Residual exposure, accepted: rounding
+    // narrows but does not CLOSE the window — if the two engines' raw
+    // cosines straddle a 0.5e-6 rounding boundary the rounded values
+    // still differ by 1e-6 and a boundary pair can flip. Making the rule
+    // exact per engine would need an integer key round(cos*1e6) computed
+    // identically on both sides; at 6 decimals the straddle band is
+    // ~1e-10 wide for these 8-dim vectors and has never fired at gate SFs.
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", round(Similarity.dot($"a.nv", $"b.nv"), 6))
       .filter($"cos" >= threshold)
@@ -792,13 +831,17 @@ object Dedup {
     * oracle can replay) — at gate SFs cells are a few hundred vectors;
     * a production run MUST pass nlist ~ sqrt(n) (IVF practice) so cells
     * stay near-constant and the cell-key cardinality scales with the
-    * corpus, and a skewed cell is the IVF-imbalance problem, salted the
-    * same way. Same anchor-vs-production split as q34/q45. The pair
-    * join shuffles (vec_id, cell) ids with vectors fetched per surviving
-    * comparison — same ids-first discipline as [[embeddingCosinePairsLsh]].
+    * corpus; a SKEWED cell (the IVF-imbalance problem) is defused by
+    * [[blockedWithinKeyPairs]] — the within-cell join is grid-blocked so
+    * no task ever handles more than `cellCap`^2 pairs, with zero
+    * replication for cells under the cap. Same anchor-vs-production
+    * split as q34/q45. The pair join shuffles (vec_id, cell) ids with
+    * vectors fetched per surviving comparison — same ids-first
+    * discipline as [[embeddingCosinePairsLsh]].
     */
   def semanticDedup(s: SparkSession, dir: String,
-      threshold: Double = 0.7, nlist: Int = 8): DataFrame = {
+      threshold: Double = 0.7, nlist: Int = 8,
+      cellCap: Int = 4096): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id".cast("long").as("vec_id"),
@@ -819,9 +862,8 @@ object Dedup {
         Similarity.nearestCentroidRounded($"nv", cents).cast("long"))
       .localCheckpoint()
     val ids = corpus.select($"vec_id", $"cluster")
-    val dropped = ids.as("a").hint("shuffle_hash")
-      .join(ids.as("b"), $"a.cluster" === $"b.cluster" && $"b.vec_id" < $"a.vec_id")
-      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("mate"))
+    val dropped = blockedWithinKeyPairs(ids, cellCap)
+      .select($"vec_id", $"mate")
       .join(corpus.select($"vec_id", $"nv"), "vec_id")
       .join(corpus.select($"vec_id".as("mate"), $"nv".as("mv")), "mate")
       .filter(round(Similarity.dot($"nv", $"mv"), 6) >= threshold)
@@ -833,14 +875,54 @@ object Dedup {
       .orderBy($"vec_id")
   }
 
+  /** All unordered within-cell pairs `(vec_id, mate)` with
+    * `mate < vec_id`, each emitted EXACTLY once, with per-task pair work
+    * bounded by `cellCap`^2 — the IVF-imbalance salt [[semanticDedup]]'s
+    * within-cell join rides on. A plain self-join on the cell key puts a
+    * skewed cell's full m^2 blowup in ONE task (the quadratic term the
+    * sqrt(n) twin exists to kill, re-created by one hot cell); here each
+    * cell of size m splits into g = ceil(m/cellCap) stable hash blocks
+    * and the join key becomes the block-pair (cluster, p, q), p <= q:
+    * a row in block b is exploded to the g keys {(min(b,o), max(b,o))},
+    * so a cross-block pair co-occurs under exactly one key (the one with
+    * both blocks as coordinates) and a same-block pair is restricted to
+    * its diagonal key (b, b). Non-skewed cells (m <= cellCap) have g = 1
+    * — one key, zero replication, the original plan. Cell sizes come
+    * from a groupBy over cell ids only (nlist rows, broadcast back). */
+  private[graft] def blockedWithinKeyPairs(ids: DataFrame, cellCap: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
+    val sizes = ids.groupBy($"cluster").agg(count(lit(1)).as("cell_m"))
+    val withBlk = ids.join(broadcast(sizes), "cluster")
+      .withColumn("g", ceil($"cell_m" / lit(cellCap.toDouble)).cast("int"))
+      .withColumn("blk", pmod(xxhash64($"vec_id"), $"g").cast("int"))
+    val exploded = withBlk
+      .select($"vec_id", $"cluster", $"blk",
+        explode(sequence(lit(0), $"g" - 1)).as("o"))
+      .select($"vec_id", $"cluster", $"blk",
+        least($"blk", $"o").as("p"), greatest($"blk", $"o").as("q"))
+    exploded.as("a").hint("shuffle_hash")
+      .join(exploded.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.p" === $"b.p" && $"a.q" === $"b.q" &&
+          $"b.vec_id" < $"a.vec_id" &&
+          ($"a.blk" =!= $"b.blk" ||
+            ($"a.p" === $"a.blk" && $"a.q" === $"a.blk")))
+      .select($"a.cluster".as("cluster"),
+        $"a.vec_id".as("vec_id"), $"b.vec_id".as("mate"))
+  }
+
   /** q57 oracle — the same seed quantizer + within-cell prune replayed in
     * DuckDB (assignment CTE shared with q43_exact's oracle shape). Both
     * the argmax and the threshold compare round to 6 decimals, matching
     * [[semanticDedup]]'s quantized comparisons; the seed list is the first
-    * 8 rows in vec_id ORDER, matching the sparse-id-safe Spark seed. */
+    * 8 rows in vec_id ORDER, matching the sparse-id-safe Spark seed. The
+    * cluster label is the seed's RANK (0-based position in vec_id order),
+    * matching Spark's centroid-array index — labeling by seed vec_id would
+    * only coincide when the first 8 ids happen to be dense from 0. */
   def q57SqlAt(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |seeds AS (SELECT vec_id AS c, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
       |assign AS (
       |  SELECT vec_id, c AS cluster FROM (
       |    SELECT e.vec_id, s.c,
@@ -866,8 +948,9 @@ object Dedup {
     * `nlist ~ sqrt(n)` so the expected cell size stays near-constant as
     * the corpus grows and the within-cell quadratic term never scales
     * with the corpus: cell-key cardinality grows with n, per-cell work
-    * does not (a skewed cell is the IVF-imbalance problem, salted the
-    * same way as q43's). Same anchor-vs-production registry split as
+    * does not (a skewed cell is the IVF-imbalance problem, grid-block
+    * salted by [[blockedWithinKeyPairs]]). Same anchor-vs-production
+    * registry split as
     * q34/q45 (SURVEY §7.4.7: the exact anchor proves semantics, the
     * bucketed twin is the scale path — registered rows-only, gated by
     * the soundness/agreement spec in OperatorsSpec). The corpus count

@@ -348,7 +348,21 @@ object TextQueries {
     * with p > 0.99 at these parameters), not banding overhead, so the
     * remaining tuning lever is the r/b operating point, bounded by the
     * 4e-8 per-pair miss budget that keeps the oracle exact. */
-  def q22LshMatchScore(s: SparkSession, dir: String): DataFrame = {
+  def q22LshMatchScore(s: SparkSession, dir: String): DataFrame =
+    q22Funnel(s, dir, auto = false)
+
+  /** q22 at the CORPUS-SIZED operating point ([[Dedup.lshAutoParams]]):
+    * rows grows ~log10(n/2000) to hold background candidate mass per doc
+    * flat, bands re-solves the 4e-8 per-qualifying-pair miss budget — so
+    * this stays oracle-exact at every n (same q22Sql oracle) while the
+    * fixed 128x3 anchor's candidate stage grows ~n^2 * Jbg^3 (its verify
+    * join was the engine's only measured spill at 10x corpus). At gate
+    * corpora (n <= 2000) the parameters resolve to the anchor point, so
+    * anchor == auto there — asserted in OperatorsSpec. */
+  def q22LshMatchScoreAuto(s: SparkSession, dir: String): DataFrame =
+    q22Funnel(s, dir, auto = true)
+
+  private def q22Funnel(s: SparkSession, dir: String, auto: Boolean): DataFrame = {
     import s.implicits._
     val m = biblioMeta(s, dir).cache()
     val record = concat_ws(" ", $"title", $"family", $"given", $"issn",
@@ -364,7 +378,9 @@ object TextQueries {
       .filter(size($"hv") > 0)
       .cache()
     val nRecords = sets.count()
-    val cand = Dedup.lshCandidatePairs(sets, bands = 128, rows = 3)
+    val (bands, rows) =
+      if (auto) Dedup.lshAutoParams(nRecords, threshold = 0.5) else (128, 3)
+    val cand = Dedup.lshCandidatePairs(sets, bands, rows)
     val pairs = Dedup.jaccardVerify(cand, sets, 0.5, nRecords)
     def side(n: String) = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
     pairs

@@ -119,6 +119,28 @@ object VectorExpressions {
   def shingleHashSet(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(tokens), n))
 
+  /** 64-bit SimHash of a token array — [[SimHashKernel]] as a codegen'd
+    * expression. Retires the last hot-path UDF (the per-token vote loop is
+    * the same shape [[MinHashSig]] hand-codegens): no row-converter
+    * boundary, no Seq boxing, stays inside the whole-stage span. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any =
+      SimHashKernel.sig(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.SimHashKernel.sig($a);")
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
   /** |A intersect B| for SORTED array<long> columns — the exact-Jaccard
     * verify kernel (jac = i / (|A| + |B| - i)): one zero-allocation merge
     * pass over primitive longs per row-pair, vs `array_intersect` +

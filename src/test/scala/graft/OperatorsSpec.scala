@@ -84,6 +84,69 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("blockedWithinKeyPairs: exact-once pair coverage under skew, bounded per-key work") {
+    import spark.implicits._
+    // one hot cell (120 rows) + one small cell (5) + a singleton, cap 16
+    val ids = ((1L to 120L).map(i => (i, 0L)) ++
+      (201L to 205L).map(i => (i, 1L)) ++ Seq((300L, 2L)))
+      .toDF("vec_id", "cluster")
+    val cap = 16
+    val got = Dedup.blockedWithinKeyPairs(ids, cap)
+      .select("vec_id", "mate").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // EXACTLY once each: no pair lost by the block decomposition, none
+    // duplicated (a dup would double-count a drop vote downstream)
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val want = (for {
+      cell <- Seq((1L to 120L), (201L to 205L))
+      a <- cell; b <- cell if b < a
+    } yield (a, b)).toSet
+    assert(got.toSet == want)
+    // per-block-pair key work is bounded ~cap^2 (g = ceil(120/16) = 8)
+    val perKey = Dedup.blockedWithinKeyPairs(ids, cap)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey(0L) == 120L * 119 / 2)
+    // cap >= corpus means g = 1 everywhere: plan degenerates to the
+    // plain self-join (sanity that the fast path is intact)
+    val unsalted = Dedup.blockedWithinKeyPairs(ids, 1000000)
+      .select("vec_id", "mate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unsalted == want)
+  }
+
+  test("semanticDedup output is invariant to the cell-salt cap") {
+    // sf0.001 has 200 embeddings over 8 cells (~25/cell); cellCap = 8
+    // forces g in {2..4} blocks per cell — the salted plan must produce
+    // byte-identical decisions to the unsalted default
+    val base = Dedup.semanticDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val salted = Dedup.semanticDedup(spark, dir, cellCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(base.nonEmpty)
+    assert(salted.toSeq == base.toSeq)
+  }
+
+  test("SimHash64 expression equals the Scala reference kernel per document") {
+    // the codegen'd expression (production path) must be byte-identical
+    // to Dedup.simhash64 — incl. non-ASCII tokens (UTF-16 charAt xor)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .union(Seq((900001L, "café naïve 中文 tokens"),
+        (900002L, "plain ascii words")).toDF("doc_id", "text"))
+    val got = docs
+      .select($"doc_id",
+        filter(split($"text", " "), t => length(t) > lit(0)).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", graft.plans.VectorExpressions.simhash64($"toks").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty).map { case (id, toks) => id -> Dedup.simhash64(toks) }.toMap
+    assert(got == want)
+  }
+
   test("simhash64 is deterministic and order-sensitive to content not order") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("gamma", "beta", "alpha"))
@@ -183,6 +246,41 @@ class OperatorsSpec extends AnyFunSuite {
     val auto = Dedup.embeddingCosinePairsLshAuto(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto == fixed)
+  }
+
+  test("lshAutoParams: anchor identity at gate n, miss budget holds at every derived point") {
+    // gate corpora resolve to the fixed q22 anchor point
+    assert(Dedup.lshAutoParams(200) == ((128, 3)))
+    assert(Dedup.lshAutoParams(2000) == ((128, 3)))
+    // each decade of corpus growth adds one row; bands re-solve the
+    // 4e-8 per-qualifying-pair miss budget at the new steepness
+    var prevRows = 0
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L, 20000000L)) {
+      val (b, r) = Dedup.lshAutoParams(n)
+      assert(r >= prevRows, s"rows must be monotone in n (n=$n)")
+      prevRows = r
+      val miss = math.pow(1.0 - math.pow(0.5, r), b)
+      assert(miss <= 4.1e-8, s"miss budget violated at n=$n: (b=$b, r=$r) -> $miss")
+      // background J=0.1 candidate mass per pair shrinks with n:
+      // b * 0.1^r falls at least 3x per decade past the gate
+      if (n > 2000L) {
+        val (pb, pr) = Dedup.lshAutoParams(n / 10)
+        assert(b * math.pow(0.1, r) <= pb * math.pow(0.1, pr) / 3.0,
+          s"background collision mass not shrinking at n=$n")
+      }
+    }
+    assert(Dedup.lshAutoParams(20000) == ((264, 4)))
+  }
+
+  test("q22 auto operating point equals the fixed anchor at the gate corpus") {
+    // at n <= 2000 lshAutoParams resolves to (128, 3), so the auto funnel
+    // must be row-identical to the anchor (and both hash-match q22Sql)
+    val anchor = graft.operators.TextQueries.q22LshMatchScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val auto = graft.operators.TextQueries.q22LshMatchScoreAuto(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(anchor.nonEmpty, "fixture should contain qualifying fuzzy-match pairs")
+    assert(auto == anchor)
   }
 
   test("LSH embedding near-dup pairs: subset of exact with decent recall") {
@@ -420,12 +518,12 @@ class OperatorsSpec extends AnyFunSuite {
       s"twin recall collapsed: ${dropped.size} vs anchor ${anchorDropped.size}")
   }
 
-  test("q59 packing semantics hold at shards in {8, 64} (parallelism contract)") {
+  test("q59 packing semantics hold at shards in {8, 32, 64} (parallelism contract)") {
     // the operator contract says "set shards ~ cluster cores" — prove the
     // per-shard packing semantics (md5 order, running offsets, window
-    // assignment) are identical at two shard counts, not a property of
+    // assignment) are shard-count-invariant (incl. the registered p32 point), not
     // the default 8
-    Seq(8, 64).foreach { shards =>
+    Seq(8, 32, 64).foreach { shards =>
       val got = graft.operators.TextAnalysis
         .q59SequencePacking(spark, dir, ctx = 512, shards = shards)
         .collect()
