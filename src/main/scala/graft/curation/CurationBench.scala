@@ -131,6 +131,14 @@ object CurationBench {
       .master(s"local[$cpus]")
       .appName("graft-curation-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE can only COALESCE partitions, never add them — with
+      // initialPartitionNum left at shuffle.partitions, every exchange is
+      // capped at `cpus` partitions and a large aggregate/join build has
+      // nowhere to go (measured: 6.7M-row shuffle-hash build maps OOM,
+      // multi-GB distinct spills). Start exchanges wide and let AQE
+      // shrink the small ones to its advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (16 * cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -221,8 +221,12 @@ object Dedup {
     * MB); above it the verify joins stay shuffle-hash. */
   private val VerifyBroadcastMaxDocs = 250000L
 
+  /** @param sorted emit pairs ordered by (d1, d2) — callers that register
+    *   the pair set directly need the deterministic order; funnel callers
+    *   (q22) that keep joining/re-sorting downstream pass false and skip
+    *   a full mid-pipeline sort exchange of the pair stream. */
   private[operators] def jaccardVerify(cand: DataFrame, sets: DataFrame,
-      threshold: Double, nDocs: Long): DataFrame = {
+      threshold: Double, nDocs: Long, sorted: Boolean = true): DataFrame = {
     import cand.sparkSession.implicits._
     // join-strategy dispatch on the caller-supplied count: small set side
     // -> broadcast, so the multi-million-row candidate side is never
@@ -251,7 +255,7 @@ object Dedup {
       .join(side(sizes, "d2", "n" -> "n2"), "d2")
       .filter(least($"n1", $"n2") >= lit(threshold) * greatest($"n1", $"n2"))
     val arrays = sets.select($"doc_id", $"hv")
-    pruned
+    val verified = pruned
       .join(side(arrays, "d1", "hv" -> "hv1"), "d1")
       .join(side(arrays, "d2", "hv" -> "hv2"), "d2")
       .withColumn("i",
@@ -259,7 +263,7 @@ object Dedup {
       .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))
       .filter($"jac" >= threshold)
       .select($"d1", $"d2", round($"jac", 6).as("jac"))
-      .orderBy($"d1", $"d2")
+    if (sorted) verified.orderBy($"d1", $"d2") else verified
   }
 
   // MinHash parameters: H = bands * rows affine permutations over a 32-bit
@@ -560,10 +564,25 @@ object Dedup {
     (bands, rows)
   }
 
+  /** Target rows per shuffle partition in the band self-join. A
+    * shuffle-hash join CANNOT spill its build side — the per-partition
+    * hash map must fit in executor memory — so the partition count is
+    * sized from the banded-frame row count instead of inheriting
+    * spark.sql.shuffle.partitions (at 537 bands x 200k docs = 107M
+    * banded rows over 16 partitions, the 6.7M-row build maps OOM'd). */
+  private val BandJoinRowsPerPartition = 1500000L
+
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
     val banded = bandedSignatures(sets, bands, rows)
-    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+    // banded is localCheckpointed — the count is a cached-scan, not a
+    // recompute. Repartitioning BY THE JOIN KEYS means the join reuses
+    // this exchange (distribution requirement already satisfied).
+    val nBanded = banded.count()
+    val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
+    val keyed = banded.repartition(parts, $"band", $"bh")
+    keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()

@@ -381,8 +381,15 @@ object TextQueries {
     val (bands, rows) =
       if (auto) Dedup.lshAutoParams(nRecords, threshold = 0.5) else (128, 3)
     val cand = Dedup.lshCandidatePairs(sets, bands, rows)
-    val pairs = Dedup.jaccardVerify(cand, sets, 0.5, nRecords)
+    val pairs = Dedup.jaccardVerify(cand, sets, 0.5, nRecords, sorted = false)
+    // shuffle-hash, not sort-merge: SMJ would SORT the multi-million-pair
+    // candidate side (with the first join's wide meta columns attached)
+    // before each fetch — measured as a ~1.5 GB disk spill at 10x corpus;
+    // hash-building the O(records) meta side per partition avoids any
+    // sort of the pair stream (same ids-first fetch discipline as
+    // Dedup.jaccardVerify).
     def side(n: String) = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
+      .hint("shuffle_hash")
     pairs
       .join(side("a"), $"d1" === $"p_partkey_a")
       .join(side("b"), $"d2" === $"p_partkey_b")

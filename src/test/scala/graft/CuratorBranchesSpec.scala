@@ -182,6 +182,43 @@ class CuratorBranchesSpec extends AnyFunSuite {
     assert(brIdMeta == raIdMeta, "one literal = one id entity, kind-indexed twice")
   }
 
+  // --- TestCurator test_clean_ra_with_empty_square_brackets (c_t.py:390) -
+  test("E8 via curation: empty square brackets in an agent cell curate cleanly") {
+    val batch = Curator.curateFresh(inputDf(Seq(row(
+      "id" -> "doi:10.1000/emptybrackets", "title" -> "Bracket Work",
+      "author" -> "Deckard, Rick []", "pub_date" -> "2019",
+      "type" -> "journal article"))))
+    val r = batch.rows.collect()(0)
+    val author = r.getAs[String]("author")
+    assert(author.startsWith("Deckard, Rick ["),
+      s"name must survive, stray brackets dropped: $author")
+    assert(author.contains("omid:ra/"), s"agent must still mint an RA: $author")
+    assert(!author.contains("[]"), s"empty bracket pair must not survive: $author")
+  }
+
+  // --- F2 pre-pass literals (curator.py:130-137) -------------------------
+  test("F2 pre-pass: id + volume without venue blanks vol/issue; missing type defaults") {
+    import org.apache.spark.sql.functions.col
+    val df = inputDf(Seq(row("id" -> "doi:10.1/pp", "title" -> "T",
+      "author" -> "A, B", "pub_date" -> "2020", "volume" -> "5",
+      "issue" -> "2")))
+    val (v, i, t) = Validation.prePass(col("id"), col("venue"), col("volume"),
+      col("issue"), col("type"))
+    val out = df.select(v.as("v"), i.as("i"), t.as("t")).collect()(0)
+    assert(out.getString(0) == "" && out.getString(1) == "")
+    assert(out.getString(2) == "journal article")
+  }
+
+  test("F1 end-to-end: an invalid row curates to zero output rows") {
+    // unknown type + fields (the first ValidRow branch) must be DROPPED by
+    // the pipeline, not just flagged
+    val batch = Curator.curateFresh(inputDf(Seq(row(
+      "title" -> "Test Title", "author" -> "Test Author",
+      "pub_date" -> "2024-01-01", "venue" -> "Test Venue",
+      "type" -> "unknown_type_xyz"))))
+    assert(batch.rows.count() == 0)
+  }
+
   // --- TestCuratorEqualizerVenueMerge (curator_test.py:2491-2521) --------
   test("J5 equalizer: with no common venue ids, the store venue prevails") {
     val batch1 = Curator.curateFresh(inputDf(Seq(row(
