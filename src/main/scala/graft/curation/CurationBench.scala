@@ -206,6 +206,11 @@ object CurationBench {
       val fresh = Curator.curateFresh(
         syntheticRecords(spark, n, partial = false)).checkpointed
       materialize(fresh)
+      // curated rows can be FEWER than n: rows sharing an external id
+      // (synthetic pmid collisions at this n) merge into one entity and
+      // collapse to one row (D1 + F6) — parity is against the curated
+      // row count, not the input count
+      val nCurated = fresh.rows.count()
       val triples = TriplesEmitter.emit(fresh).localCheckpoint()
       nExportTriples = triples.count()
       spark.sharedState.cacheManager.clearCache()
@@ -217,8 +222,8 @@ object CurationBench {
         regexp_extract(col("id"), "omid:(br/\\d+)", 1).as("br_meta"))
       val matched = fresh.rows.select(col("br_meta"))
         .join(exportedOmids, "br_meta").count()
-      require(matched == n,
-        s"CSVEXPORT parity failed: $matched of $n curated rows round-tripped")
+      require(matched == nCurated,
+        s"CSVEXPORT parity failed: $matched of $nCurated curated rows round-tripped")
     }
 
     // high-author skew scenario (preload_high_author_data.py): fresh-load
