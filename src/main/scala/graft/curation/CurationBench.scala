@@ -131,14 +131,10 @@ object CurationBench {
       .master(s"local[$cpus]")
       .appName("graft-curation-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE can only COALESCE partitions, never add them — with
-      // initialPartitionNum left at shuffle.partitions, every exchange is
-      // capped at `cpus` partitions and a large aggregate/join build has
-      // nowhere to go (measured: 6.7M-row shuffle-hash build maps OOM,
-      // multi-GB distinct spills). Start exchanges wide and let AQE
-      // shrink the small ones to its advisory size.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (16 * cpus.toInt).toString)
+      // NOTE: wide AQE exchanges (initialPartitionNum >> cpus) live in
+      // ScaleBench, where 10x-100x frames need them; at this harness's
+      // data scale they cost ~1.5x in per-query scheduling overhead
+      // (measured 57s -> 85s over the sf0.1 suite) for zero benefit.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
