@@ -578,9 +578,13 @@ object Curator {
 
     // entities: row BRs, fresh venues (E19 type inference — the full
     // get_venue_type branch set, evaluated per row and resolved to the
-    // FIRST creating row's verdict like the reference, where only the row
-    // that instantiates the venue graph sets its class), fresh
-    // volumes/issues.
+    // LAST row with a non-empty verdict: the reference re-runs
+    // create_{venue_type}() on the shared venue graph for EVERY row
+    // (creator.py:322-325) and oc_ocdm replaces the fabio class, so a
+    // later row's verdict overwrites an earlier one while an empty
+    // verdict leaves the previous class alone — pinned by the testcase_01
+    // RDF golden, where a `report` row then a `journal article` row must
+    // leave the venue a fabio:Journal), fresh volumes/issues.
     val rowEntities = compAgg
       .join(compToOmid.withColumnRenamed("ent", "br_comp"), Seq("br_comp"))
       .select($"br_meta".as("meta"), lit("br").as("kind"),
@@ -592,7 +596,9 @@ object Curator {
     val venueRowTypes = rows.filter($"venue_ent".isNotNull && $"venue_ent" >= VenueOffset)
       .select($"venue_ent", $"row_idx",
         graft.functions.CleaningColumns.venueTypeCol($"type2", $"venue_p._2").as("vtype"))
-      .groupBy($"venue_ent").agg(min_by($"vtype", $"row_idx").as("type_label"))
+      .groupBy($"venue_ent").agg(
+        coalesce(max_by($"vtype", when(length($"vtype") > 0, $"row_idx")), lit(""))
+          .as("type_label"))
     val venueEntities = venueMeta
       .filter($"venue_ent" >= VenueOffset)
       .join(venueRowTypes, Seq("venue_ent"), "left")

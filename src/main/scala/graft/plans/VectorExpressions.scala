@@ -58,38 +58,27 @@ object VectorExpressions {
   /** Full MinHash signature in ONE pass over the base hashes: for each of
     * the `a.length` affine permutations (a_i*h + b_i) mod p, the minimum
     * over all hashes. Replaces bands*rows separate `aggregate` calls that
-    * each re-iterate the hash array. */
+    * each re-iterate the hash array. Codegen'd via [[MinHashKernel]] (the
+    * permutation tables ride as referenced objects) so the signature pass
+    * stays inside the whole-stage span — it WAS the one CodegenFallback
+    * on the minhash hot path (q32/q22 compute bands*rows permutations per
+    * document; at the corpus-sized q22 point that is thousands). */
   case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], prime: Long)
-      extends Expression with ExpectsInputTypes
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-    override def children: Seq[Expression] = Seq(child)
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullable: Boolean = child.nullable
 
-    override def eval(input: InternalRow): Any = {
-      val v = child.eval(input)
-      if (v == null) return null
-      val hashes = v.asInstanceOf[ArrayData]
-      val k = as.length
-      val sig = Array.fill(k)(Long.MaxValue)
-      val n = hashes.numElements()
-      var j = 0
-      while (j < n) {
-        val h = hashes.getLong(j)
-        var i = 0
-        while (i < k) {
-          val p = (as(i) * h + bs(i)) % prime
-          if (p < sig(i)) sig(i) = p
-          i += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(sig)
+    override def nullSafeEval(v: Any): Any =
+      MinHashKernel.sig(v.asInstanceOf[ArrayData], as, bs, prime)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.MinHashKernel.sig($a, $asRef, $bsRef, ${prime}L);")
     }
 
-    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-      copy(child = c.head)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   /** Sorted deduped 64-bit shingle-hash set straight from a token array —

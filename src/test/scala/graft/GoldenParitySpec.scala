@@ -220,6 +220,63 @@ class GoldenParitySpec extends AnyFunSuite {
     runTestcase("12", manualData.slice(52, 53))
   }
 
+  // ---- R1 triples-level parity (creator_test.py:51-99: Creator over the
+  // curated testcase data must be graph-isomorphic to testcase_NN.ttl).
+  // The engine equivalent: TriplesEmitter over the curated batch (whose
+  // CSV-level parity the battery above proves) compared as (s,p,o,dt)
+  // SETS against the parsed expected graph. ----------------------------
+  private def runRdfTestcase(name: String, slice: Seq[Map[String, String]]): Unit = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val batch = Curator.curateFresh(inputDf(slice), normalizeTitles = true)
+    def canon(df: DataFrame): Set[(String, String, String, String)] =
+      df.select(org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.col("p"),
+          org.apache.spark.sql.functions.col("o"),
+          coalesce(org.apache.spark.sql.functions.col("o_datatype"), lit("")).as("dt"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSet
+    val got = canon(graft.rdf.TriplesEmitter.emit(batch))
+    val want = canon(graft.rdf.Serialization.readTurtle(spark,
+      s"$RefTest/testcases/testcase_$name.ttl"))
+    val missing = want -- got
+    val extra = got -- want
+    assert(missing.isEmpty && extra.isEmpty,
+      s"\n[$name] RDF mismatch\n missing (${missing.size}): ${missing.take(8).mkString("\n   ")}" +
+        s"\n extra (${extra.size}): ${extra.take(8).mkString("\n   ")}")
+  }
+
+  test("testcase 01 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("01", rowsAt(0, 5))
+  }
+  test("testcase 02 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("02", rowsAt(1, 3))
+  }
+  test("testcase 03 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("03", rowsAt(2, 4))
+  }
+  test("testcase 04 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("04", rowsAt(6, 7))
+  }
+  test("testcase 05 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("05", rowsAt(8))
+  }
+  test("testcase 06 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("06", manualData.slice(9, 33))
+  }
+  test("testcase 07 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("07", manualData.slice(34, 40))
+  }
+  test("testcase 08 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("08", manualData.slice(40, 43))
+  }
+  test("testcase 09 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("09", manualData.slice(43, 45))
+  }
+  test("testcase 10 RDF: emitted triples match the expected graph") {
+    runRdfTestcase("10", manualData.slice(45, 49))
+  }
+
   test("turtle seed loads with the expected shape") {
     val t = graft.rdf.Serialization.readTurtle(spark,
       s"$RefTest/testcases/ts/testcase_ts-13.ttl")
