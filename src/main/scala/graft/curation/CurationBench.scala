@@ -120,10 +120,10 @@ object CurationBench {
     // stripPrefix(...).toInt
     val HighAuthorX = """high_author_x(\d+)""".r
     scenario match {
-      case "fresh" | "update" | "both" | "csvexport" | "high_author" | HighAuthorX(_) => ()
+      case "fresh" | "update" | "both" | "csvexport" | "checkers" | "high_author" | HighAuthorX(_) => ()
       case other =>
         System.err.println(
-          s"usage: CurationBench [n] [fresh|update|both|csvexport|high_author|high_author_x<N>] (got '$other')")
+          s"usage: CurationBench [n] [fresh|update|both|csvexport|checkers|high_author|high_author_x<N>] (got '$other')")
         sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -222,6 +222,36 @@ object CurationBench {
         s"CSVEXPORT parity failed: $matched of $nCurated curated rows round-tripped")
     }
 
+    // R6 at bench scale: curate n records fresh, emit triples + prov, run
+    // the FULL Checkers suite (check_results.py + check_rdf_files.py,
+    // ~2900 reference LoC) over the world and report violations + wall
+    // time. The checks had only ever run on fixtures; this is the receipt
+    // that they hold — and scale — on a bench-sized store. Timed region =
+    // the checks only; curation/emission are setup.
+    var tCheck = 0.0; var nViolations = -1L
+    var nCheckTriples = 0L; var nCheckProv = 0L
+    if (scenario == "checkers") {
+      val fresh = Curator.curateFresh(
+        syntheticRecords(spark, n, partial = false)).checkpointed
+      materialize(fresh)
+      val triples = TriplesEmitter.emit(fresh).localCheckpoint()
+      nCheckTriples = triples.count()
+      val prov = Provenance.freshSnapshots(fresh, "2026-01-01T00:00:00Z")
+        .localCheckpoint()
+      nCheckProv = prov.count()
+      spark.sharedState.cacheManager.clearCache()
+      val t5 = System.nanoTime()
+      val report = graft.rdf.Checkers.checkAll(fresh.rows, triples, prov)
+        .localCheckpoint()
+      nViolations = report.count()
+      tCheck = (System.nanoTime() - t5) / 1e9
+      if (nViolations > 0) {
+        // diagnostics on stderr; the JSON line stays machine-readable
+        report.groupBy("check").count().collect()
+          .foreach(r => System.err.println(s"[checkers] ${r.getString(0)}: ${r.getLong(1)}"))
+      }
+    }
+
     // high-author skew scenario (preload_high_author_data.py): fresh-load
     // the 2869-author record, then re-process it against the resulting
     // store — the update leg drives the per-(BR, role) quadratic
@@ -260,6 +290,11 @@ object CurationBench {
         s""""update_sec":$tUpdate""",
         s""""update_rec_per_sec":${if (tUpdate > 0) n / tUpdate else 0}""",
         s""""preexisting_adopted":$nPre""") else Seq.empty) ++
+      (if (scenario == "checkers") Seq(
+        s""""checkers_sec":$tCheck""",
+        s""""checkers_violations":$nViolations""",
+        s""""checkers_triples":$nCheckTriples""",
+        s""""checkers_prov_snapshots":$nCheckProv""") else Seq.empty) ++
       (if (scenario == "csvexport") Seq(
         s""""csvexport_sec":$tExport""",
         s""""csvexport_rows":$nExportRows""",

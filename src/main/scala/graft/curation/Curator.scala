@@ -630,8 +630,15 @@ object Curator {
     val raOwnerIds = resolved.select($"ra_comp", explode($"ids").as("literal"))
       .join(raNumbered, Seq("ra_comp"))
       .select($"ra_meta".as("owner_meta"), $"literal")
+    // F7 — temp: ids deduplicate (they rode through br_ids/agent ids and
+    // the CC above, and they consume id counters like the reference's
+    // __update_id_count) but are never persisted: the RDF-emission feed
+    // drops them here, mirroring creator.py:629-631's id_creator skip.
+    // They stay in the curated CSV id cells and id indices (enrich()
+    // writes entity_store.get_ids verbatim, curator.py:990).
     val entityIds = brOwnerIds.unionByName(venueOwnerIds).unionByName(raOwnerIds)
       .distinct()
+      .filter(!$"literal".startsWith("temp:"))
       .join(idMetaByLiteral, Seq("literal"))
       .select($"owner_meta", $"id_meta",
         substring_index($"literal", ":", 1).as("scheme"),

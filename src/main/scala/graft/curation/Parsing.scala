@@ -13,14 +13,22 @@ object Parsing {
     * hyphen-normalize, validate via E9, order-preserving dedup. `omid:`
     * tokens are separated out (returned first element); in a fresh store
     * they cannot resolve, so callers treat rows with unknown omids per
-    * D2(2). */
+    * D2(2).
+    *
+    * `temp:` identifiers are KEPT here (F7): the reference's
+    * `normalize_id` (cleaner.py:373-415) passes unknown schemas through,
+    * so temp ids participate in deduplication exactly like external ids —
+    * two rows sharing `temp:789` curate to ONE entity
+    * (meta_process_test.py test_temporary_identifiers_deduplication) —
+    * and only the RDF emission layer skips them (creator.py:629-631;
+    * mirrored at Curator's `entityIds` feed). */
   def cleanIdList(tokens: Seq[String]): (Option[String], Seq[String]) = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     var omid: Option[String] = None
     for (tok0 <- tokens; tok = Cleaning.normalizeHyphens(tok0.trim) if tok.nonEmpty) {
       if (tok.toLowerCase.startsWith("omid:")) {
         if (omid.isEmpty) omid = Some(tok.substring(5))
-      } else if (!tok.toLowerCase.startsWith("temp:")) { // F7
+      } else {
         Cleaning.normalizeId(tok).foreach(seen += _)
       }
     }

@@ -267,14 +267,28 @@ object Dedup {
   }
 
   // MinHash parameters: H = bands * rows affine permutations over a 32-bit
-  // prime field; base hash = xxhash64 folded into the field. a*h+b stays
-  // below 2^63 because a,h < 2^31-ish — no overflow.
+  // prime field; base hash = xxhash64 folded into the field. Overflow
+  // invariant (the margin is ~0.001%, so it is ENFORCED, not assumed):
+  // a <= 2^31-1 and h <= p-1 < 2^32 give a*h + b <= (2^31-1)(2^32-1) +
+  // (2^31-1) = (2^31-1)*2^32 ~ 9.22337199e18 < Long.MaxValue
+  // ~ 9.22337204e18. Note a < 2^32 would NOT suffice.
   private val MinhashPrime = 4294967291L // largest prime < 2^32
 
   private def affineParams(h: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(h)((math.abs(rnd.nextInt(Int.MaxValue - 1)).toLong + 1L,
+    val params = Seq.fill(h)((math.abs(rnd.nextInt(Int.MaxValue - 1)).toLong + 1L,
       math.abs(rnd.nextInt(Int.MaxValue)).toLong))
+    // guard the kernel's overflow domain at table-construction time (once
+    // per plan, not per row): a future generator edit that widens `a`
+    // past 2^31-1 would silently overflow a*h+b negative and corrupt
+    // every signature — see the invariant above and MinHashKernel's.
+    params.foreach { case (a, b) =>
+      require(a >= 1L && a <= Int.MaxValue.toLong,
+        s"minhash 'a' out of overflow-safe domain [1, 2^31-1]: $a")
+      require(b >= 0L && b <= Int.MaxValue.toLong,
+        s"minhash 'b' out of overflow-safe domain [0, 2^31-1]: $b")
+    }
+    params
   }
 
   /** MinHash signature from a PRE-HASHED shingle column (array<long> of
@@ -706,6 +720,30 @@ object Dedup {
     embeddingCosinePairsLsh(s, dir, threshold, dim, 4 + extraBits, nTables)
   }
 
+  /** Verify-prefilter signature width: 16 longs (~128 B/row). Sizing: the
+    * prune's discriminating power goes as sqrt(nSigBits) — at 1024 bits a
+    * background pair (cos ~ 0, E[ham] = 512, sigma = 16) sits ~4 sigma
+    * above the 0.45-threshold cutoff and is pruned with ~1 - 3e-5
+    * probability, while at 256 bits (sigma = 8, cutoff past the
+    * background MEAN) the same cutoff keeps ~84% of background. The
+    * 8*dim-byte vector fetch this avoids costs 4x the signature bytes at
+    * dim=64. */
+  private[graft] val SignSigBits = 1024
+
+  /** Hamming cutoff for the sign-signature prune at a cosine threshold:
+    * a pair at exactly cos = t has per-bit flip probability
+    * p = acos(t)/pi (the sign-LSH identity), so ham ~ Binomial(nSigBits,
+    * p); the cutoff sits 6 sigma above that mean — a qualifying pair is
+    * mis-pruned with probability ~1e-9 (one-sided normal), below the
+    * miss budget of the band structure in front of it — and every pair
+    * ABOVE the threshold has a lower mean still. Pairs past the cutoff
+    * are hopeless-by-measurement and never fetch their float vectors. */
+  private[graft] def hammingCutoff(nSigBits: Int, threshold: Double): Int = {
+    val p = math.acos(threshold) / math.Pi
+    math.min(nSigBits,
+      math.ceil(nSigBits * p + 6.0 * math.sqrt(nSigBits * p * (1 - p))).toInt)
+  }
+
   def embeddingCosinePairsLsh(s: SparkSession, dir: String,
       threshold: Double = 0.45, dim: Int = 64,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {
@@ -714,20 +752,48 @@ object Dedup {
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))
       .localCheckpoint()
-    // candidate generation shuffles (vec_id, bucket) ONLY — carrying the
-    // dim-float vectors through the band explode and self-join multiplied
-    // shuffle bytes by ~20x (measured 701 MB -> ids-only at sf0.1); the
-    // vectors are fetched back by two equi-joins on the DEDUPED candidate
-    // set, so each vector crosses the wire O(tables + candidates) times
-    // instead of O(tables * bucket-width).
-    val banded = e.select($"vec_id", explode(array((0 until nTables).map(t =>
-      Similarity.lshBucket($"nv", dim, nBits, t)): _*)).as("bucket"))
-    banded.as("a").hint("shuffle_hash")
-      .join(banded.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+    // STAGED VERIFY — the q22 sizes-before-arrays discipline applied to
+    // embeddings, pushed INTO the band join: each banded row carries its
+    // 16-long packed sign signature (~128 B — 4x smaller than the
+    // 8*dim-byte vector it stands for), the within-bucket pair
+    // enumeration prunes on XOR-popcount Hamming distance INSIDE the
+    // join stage, and only surviving pairs (ids, 16 B) reach the
+    // candidate-dedup exchange. The r10 unstaged shape instead dragged
+    // full float vectors per DEDUPED candidate through two fetch joins —
+    // 83 GB spill / disk-fill at the 100x point (SCALE.json r10 _note);
+    // here the hopeless n^(1+rho) candidate mass dies as compute (a
+    // 2-word XOR+popcount per enumerated pair), never as shuffle bytes,
+    // and the vector fetch is answer-mass-sized. Shuffle total:
+    // n*tables*(sig+bucket) for the band join + O(survivors) — at 200k
+    // vectors x 163 tables that is ~5 GB where the unstaged plan moved
+    // ~600 GB. Signature planes are seeded outside the bucket-table
+    // family so the prune statistic is independent of the collision that
+    // nominated the pair.
+    val planes = Similarity.signaturePlanes(dim, SignSigBits)
+    val banded = e
+      .withColumn("sg", graft.plans.VectorExpressions.signPack($"nv", planes, dim))
+      .select($"vec_id", $"sg", explode(array((0 until nTables).map(t =>
+        Similarity.lshBucket($"nv", dim, nBits, t)): _*)).as("bucket"))
+    // shuffle-hash build sides cannot spill — size the partition count
+    // from the banded row count (the q32 band-join rule, BandJoinRows-
+    // PerPartition; known as n*tables without materializing — e is
+    // checkpointed so the count is a cached scan) instead of inheriting
+    // spark.sql.shuffle.partitions. Repartitioning by the join key means
+    // both self-join sides reuse ONE exchange (ReuseExchange), so the
+    // signature projection runs once.
+    val nBanded = e.count() * nTables
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
+    val keyed = banded.repartition(parts, $"bucket")
+    val cut = hammingCutoff(SignSigBits, threshold)
+    val cand = keyed.as("a").hint("shuffle_hash")
+      .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .filter(graft.plans.VectorExpressions.hammingDistance($"a.sg", $"b.sg") <= cut)
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
       .dropDuplicates("v1", "v2")
-      .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")), "v1")
-      .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")), "v2")
+    cand
+      .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")).hint("shuffle_hash"), "v1")
+      .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")).hint("shuffle_hash"), "v2")
       // quantized compare, same rule as the exact anchor — keeps the
       // subset relation exact at threshold boundaries
       .withColumn("cos", round(Similarity.dot($"nv1", $"nv2"), 6))

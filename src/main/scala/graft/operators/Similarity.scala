@@ -131,6 +131,16 @@ object Similarity {
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Flattened row-major plane matrix (nBits x dim) for the packed
+    * verify-prefilter signature — seeded independently of every bucket
+    * table ([[hyperplanes]] uses 7 + table*1009; this seed is outside
+    * that family), so the prune statistic is unbiased by the collision
+    * event that made a pair a candidate. */
+  private[graft] def signaturePlanes(dim: Int, nBits: Int): Array[Double] = {
+    val rnd = new scala.util.Random(104729)
+    Array.fill(nBits * dim)(rnd.nextGaussian())
+  }
+
   /** Sign-signature bucket id of a vector column under table `t`'s
     * hyperplanes: bit i = (v . h_i) >= 0, OR'd with the table id so buckets
     * from different tables never collide. */

@@ -10,8 +10,13 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * `doGenCode` can invoke it from whole-stage-codegen'd Java with the
   * permutation tables attached as codegen reference objects — the same
   * kernel-object pattern as [[ShingleKernel]]/[[SimHashKernel]]/[[Lev]].
-  * a_i, h < 2^32 keeps a_i*h + b_i below 2^63 — no overflow before the
-  * mod. */
+  *
+  * Overflow invariant: a_i <= 2^31-1, 0 <= b_i <= 2^31-1, and
+  * 0 <= h < 2^32 give a_i*h + b_i <= (2^31-1)*2^32 < Long.MaxValue with
+  * only ~0.001% margin — a_i < 2^32 would NOT be safe. The caller
+  * (Dedup.affineParams) enforces the parameter domain at
+  * table-construction time; callers feeding hashes must keep them in the
+  * prime field (h < p < 2^32, i.e. non-negative). */
 object MinHashKernel {
   def sig(hashes: ArrayData, as: Array[Long], bs: Array[Long], prime: Long): ArrayData = {
     val k = as.length

@@ -190,6 +190,77 @@ object VectorExpressions {
     ColumnBridge.column(SortedLongIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Packed random-hyperplane sign signature of an array<double> vector —
+    * [[SignPackKernel]] as a codegen'd expression (plane matrix rides as a
+    * codegen reference object, like [[MinHashSig]]'s permutation tables).
+    * Output: array<long> of (nBits+63)/64 words. The verify-stage
+    * prefilter key for the sign-LSH paths. */
+  case class SignPack(child: Expression, planes: Array[Double], dim: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(dim >= 1 && planes.length % dim == 0,
+      s"planes length ${planes.length} must be a positive multiple of dim $dim")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any =
+      SignPackKernel.pack(v.asInstanceOf[ArrayData], planes, dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("signPlanes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.SignPackKernel.pack($a, $planesRef, $dim);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def signPack(v: Column, planes: Array[Double], dim: Int): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v), planes, dim))
+
+  /** Hamming distance between two packed-bit array<long> columns — one
+    * XOR+popcount pass over primitive longs (extra words on the longer
+    * side are ignored, mirroring [[DotProduct]]'s min-length rule). The
+    * prune predicate of the sign-LSH staged verify: at ~2 words/row this
+    * runs over the candidate stream BEFORE any float vector is fetched. */
+  case class HammingDistance(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var i = 0
+      var c = 0
+      while (i < n) { c += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $c += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def hammingDistance(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Levenshtein distance via the bit-parallel Myers kernel ([[Lev]]) —
     * same semantics as the built-in `levenshtein` (including the
     * `-1`-beyond-threshold contract of the 3-arg form) but O(text) word

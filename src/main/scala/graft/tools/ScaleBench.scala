@@ -118,10 +118,17 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
     // cpus is interpolated unquoted into the JSON artifact below — fail
-    // fast on non-numeric values (e.g. "*") rather than emit broken JSON
+    // fast on non-numeric values (e.g. "*"), zero (local[0] would only
+    // fail later at session build), and strings too long to parse as Int
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    require(cpus.forall(_.isDigit) && cpus.nonEmpty,
-      s"SPARK_GRAFT_CPUS must be a positive integer for ScaleBench (got '$cpus')")
+    require(cpus.nonEmpty && cpus.length <= 4 && cpus.forall(_.isDigit) && cpus.toInt > 0,
+      s"SPARK_GRAFT_CPUS must be a positive integer (<= 9999) for ScaleBench (got '$cpus')")
+    // driver mem is interpolated into the JSON _note string — same rule:
+    // a quote/backslash in the env value would emit malformed SCALE.json
+    val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    require(driverMem.nonEmpty && driverMem.length <= 8 &&
+        driverMem.matches("[0-9]+[gmkGMK]?"),
+      s"SPARK_DRIVER_MEM must match [0-9]+[gmk]? for ScaleBench (got '$driverMem')")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-bench")
@@ -158,14 +165,18 @@ object ScaleBench {
       ("q52_dedup_corpus", (s: SparkSession, d: String) => Dedup.dedupCorpus(s, d), 100),
       ("q50_incremental_dedup", (s: SparkSession, d: String) => Dedup.incrementalDedupPairs(s, d), 100),
       ("q34_lsh_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLsh(s, d), 10),
-      // sign-LSH candidate mass follows the n^(1+rho) law (rho ~ 0.62)
-      // however the parameters scale — measured: the x100 point (200k
-      // vectors, 11 bits, 163 tables) spilled 83 GB and filled this
-      // node's disk. On a clustered corpus the cheaper pair generator at
-      // that scale is the quantizer-cell route (q57_sqrtn below: zero
-      // spill, 0.89x-linear at x100), which is why BOTH are registered.
-      ("q34_lsh_auto_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLshAuto(s, d), 10),
+      // r10 shape: the unstaged verify dragged full float vectors per
+      // deduped candidate (n^(1+rho) mass, rho ~ 0.62) — the x100 point
+      // (200k vectors, 11 bits, 163 tables) spilled 83 GB and filled the
+      // disk. r11 stages the verify INSIDE the band join (128 B packed
+      // sign signature per banded row, XOR-popcount Hamming prune before
+      // the dedup exchange; Dedup.scala embeddingCosinePairsLsh), so the
+      // hopeless mass dies as compute — the auto points now run the full
+      // ladder. The quantizer-cell route (q57_sqrtn) remains the cheaper
+      // generator on clustered corpora; both are registered.
+      ("q34_lsh_auto_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLshAuto(s, d), 100),
       ("q45_lsh_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLsh(s, d), 10),
+      ("q45_lsh_auto_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLshAuto(s, d), 100),
       ("q57_sqrtn_semantic_dedup", (s: SparkSession, d: String) => Dedup.semanticDedupSqrtN(s, d), 100),
       ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScore(s, d), 10),
       // q22_auto follows the standard minhash-LSH cost law (rows ~ log10 n,
@@ -225,18 +236,18 @@ object ScaleBench {
     }.mkString(",")
     out ++= "},"
     out ++= "\"_note\":\"local[" + cpus + "], " +
-      sys.env.getOrElse("SPARK_DRIVER_MEM", "8g") + " driver, AQE wide exchanges " +
+      driverMem + " driver, AQE wide exchanges " +
       "(initialPartitionNum=16*cpus). Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
       "mass ~n^2/2^bits is the measured blowup they anchor); q22_auto stops at " +
       "10x because its minhash-LSH cost law (rows~log10 n, bands~17*n^0.30) " +
       "puts the n=2M banded frame (~1100 bands, ~35 GB) beyond one node's " +
-      "envelope while remaining trivially partitionable on a cluster; " +
-      "q34_lsh_auto stops at 10x for the same reason (n^(1+rho) candidate " +
-      "mass, rho~0.62: the x100 point spilled 83 GB and filled the disk) — " +
-      "the corpus-scale production pair generator for clustered embeddings " +
-      "is q57_sqrtn, which runs x100 with zero spill at ~0.9x-linear time. " +
-      "q22's " +
+      "envelope while remaining trivially partitionable on a cluster. " +
+      "q34_lsh_auto/q45_lsh_auto run the full ladder since r11: the verify " +
+      "is staged inside the band join (128 B packed sign signature per " +
+      "banded row, Hamming prune before the dedup exchange), where r10's " +
+      "unstaged vector fetch spilled 83 GB at x100. q57_sqrtn remains the " +
+      "cheaper pair generator on clustered corpora. q22's " +
       "residual spill is the candidate-dedup exchange: duplicate band " +
       "emissions proportional to the fixture's deliberately quadratic answer " +
       "mass (4.6M qualifying pairs at 10x), a graceful hash-agg spill, 3.9x " +

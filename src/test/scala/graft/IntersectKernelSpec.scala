@@ -64,4 +64,86 @@ class IntersectKernelSpec extends AnyFunSuite {
       .select(size($"hv")).as[Int].collect().head
     assert(short == 0)
   }
+
+  test("SignPack expression equals driver-side sign packing (incl. partial top word)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val nBits = 100 // NOT a multiple of 64 — exercises the partial top word
+    val planes = Array.fill(nBits * dim)(rnd.nextGaussian())
+    def ref(v: Seq[Double]): Seq[Long] = {
+      val out = new Array[Long]((nBits + 63) >>> 6)
+      var b = 0
+      while (b < nBits) {
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += planes(b * dim + i) * v(i); i += 1 }
+        if (s >= 0) out(b >>> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      out.toSeq
+    }
+    val vecs = Seq.tabulate(200)(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    val got = vecs.toDF("id", "v")
+      .withColumn("sg", graft.plans.VectorExpressions.signPack($"v", planes, dim))
+      .select($"id", $"sg").as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, v) => assert(got(id) == ref(v), s"vec $id") }
+    // shorter-than-dim vectors use only their leading elements (no OOB)
+    val shortV = Seq((0L, Seq.fill(dim / 2)(rnd.nextGaussian())))
+    val gotShort = shortV.toDF("id", "v")
+      .withColumn("sg", graft.plans.VectorExpressions.signPack($"v", planes, dim))
+      .select($"sg").as[Seq[Long]].collect().head
+    assert(gotShort == ref(shortV.head._2.padTo(dim, 0.0)))
+  }
+
+  test("HammingDistance equals driver-side XOR popcount and the bit_count SQL form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    def randWords() = Seq.fill(4)(rnd.nextLong())
+    val rows = Seq.fill(300)((randWords(), randWords())) :+
+      (Seq.empty[Long], Seq(1L)) :+ (Seq(-1L, 0L), Seq(-1L, 0L))
+    val got = rows.toDF("a", "b")
+      .withColumn("got", graft.plans.VectorExpressions.hammingDistance($"a", $"b"))
+      .select($"got").as[Int].collect().toSeq
+    val expected = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    }
+    assert(got == expected)
+    val sqlForm = rows.toDF("a", "b")
+      .withColumn("e", aggregate(zip_with($"a", $"b", (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, x) => acc + x))
+      .withColumn("got", graft.plans.VectorExpressions.hammingDistance($"a", $"b"))
+    assert(sqlForm.filter($"e" =!= $"got").count() == 0)
+  }
+
+  /** The enforced MinHash overflow domain (a <= 2^31-1, 0 <= b <= 2^31-1,
+    * h < 2^32): signatures stay non-negative at the extreme corners AND
+    * under the production generator's bounds — the ~0.001% Long headroom
+    * means a silently-widened `a` would flip a*h+b negative, which this
+    * spec would catch. */
+  test("MinHashKernel signatures never go negative across the parameter domain") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val prime = 4294967291L
+    // extreme corner: a = b = 2^31-1, h = p-1 — the max of a*h+b
+    val corner = graft.plans.MinHashKernel.sig(
+      UnsafeArrayData.fromPrimitiveArray(Array(prime - 1, 0L, 123456789L)),
+      Array(Int.MaxValue.toLong, 1L), Array(Int.MaxValue.toLong, 0L), prime)
+    (0 until corner.numElements()).foreach { i =>
+      assert(corner.getLong(i) >= 0, s"negative signature element at corner ($i)")
+    }
+    assert(Int.MaxValue.toLong * (prime - 1) + Int.MaxValue.toLong > 0,
+      "corner product must not wrap (it is within 0.001% of Long.MaxValue)")
+    // production tables (via the public signature builder) over random
+    // field-valued hashes: all bands*rows elements of every signature >= 0
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(math.floorMod(rnd.nextLong(), prime))))
+    val sigs = docs.toDF("id", "hv")
+      .withColumn("sig", graft.operators.Dedup.minhashSignature($"hv", bands = 32, rows = 4))
+      .select(array_min($"sig")).as[Long].collect()
+    assert(sigs.forall(_ >= 0L), "production minhash signature went negative")
+  }
 }

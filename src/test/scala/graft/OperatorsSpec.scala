@@ -283,6 +283,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == anchor)
   }
 
+  test("sign-signature Hamming prefilter never prunes a qualifying pair") {
+    // the staged verify (signatures before vectors) may only drop pairs
+    // that the exact cosine check would drop anyway: every exact pair at
+    // the threshold must sit at or under the Hamming cutoff (the cutoff
+    // is mean + 6 sigma for a pair AT the threshold, so a miss here is a
+    // ~1e-9 event per pair — a failure means the cutoff math regressed)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val exact = Dedup.embeddingCosinePairs(spark, dir).select($"v1", $"v2")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+    val planes = Similarity.signaturePlanes(64, Dedup.SignSigBits)
+    val sigs = e.select($"vec_id",
+      graft.plans.VectorExpressions.signPack($"nv", planes, 64).as("sg"))
+    val cut = Dedup.hammingCutoff(Dedup.SignSigBits, 0.45)
+    val hams = exact
+      .join(sigs.select($"vec_id".as("v1"), $"sg".as("sg1")), "v1")
+      .join(sigs.select($"vec_id".as("v2"), $"sg".as("sg2")), "v2")
+      .select(graft.plans.VectorExpressions.hammingDistance($"sg1", $"sg2").as("ham"))
+      .as[Int].collect()
+    assert(hams.nonEmpty, "fixture should contain qualifying pairs")
+    assert(hams.forall(_ <= cut),
+      s"qualifying pair past the Hamming cutoff $cut: max=${hams.max}")
+    // and the cutoff itself is where the comment says it is
+    assert(cut < Dedup.SignSigBits, "cutoff must actually prune something")
+    val p = math.acos(0.45) / math.Pi
+    assert(cut >= (Dedup.SignSigBits * p).toInt, "cutoff below the threshold mean")
+  }
+
   test("LSH embedding near-dup pairs: subset of exact with decent recall") {
     val exact = Dedup.embeddingCosinePairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
