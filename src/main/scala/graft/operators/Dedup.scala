@@ -586,6 +586,22 @@ object Dedup {
     * banded rows over 16 partitions, the 6.7M-row build maps OOM'd). */
   private val BandJoinRowsPerPartition = 1500000L
 
+  /** Dedup a band-join pair stream ENTIRELY after its exchange. A plain
+    * `.distinct()` here plans a partial HashAggregate inside the join
+    * stage — but a pair's duplicate emissions come from DIFFERENT
+    * (band, bucket) groups, i.e. different partitions of the join, so
+    * that pre-exchange hash map collapses ~nothing while holding every
+    * pair of its partition in memory ALONGSIDE the shuffle-hash join's
+    * build map (measured: the q22_auto candidate dedup was the funnel's
+    * last spill, 61 MB at the 10x corpus). The explicit repartition by
+    * the pair keys satisfies the aggregate's distribution, so both agg
+    * passes run post-exchange over co-located pairs — the map now holds
+    * the partition's DISTINCT pairs only, the join stage carries no agg
+    * state, and shuffle bytes are unchanged (the partial collapsed ~0). */
+  private def dedupPairs(pairs: DataFrame, parts: Int,
+      k1: String, k2: String): DataFrame =
+    pairs.repartition(parts, col(k1), col(k2)).distinct()
+
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
     val banded = bandedSignatures(sets, bands, rows)
@@ -596,10 +612,11 @@ object Dedup {
     val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
       math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
     val keyed = banded.repartition(parts, $"band", $"bh")
-    keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-      .distinct()
+    dedupPairs(
+      keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
+      parts, "d1", "d2")
   }
 
   /** 64-bit SimHash of the token multiset — Scala REFERENCE implementation
@@ -772,8 +789,8 @@ object Dedup {
     val planes = Similarity.signaturePlanes(dim, SignSigBits)
     val banded = e
       .withColumn("sg", graft.plans.VectorExpressions.signPack($"nv", planes, dim))
-      .select($"vec_id", $"sg", explode(array((0 until nTables).map(t =>
-        Similarity.lshBucket($"nv", dim, nBits, t)): _*)).as("bucket"))
+      .select($"vec_id", $"sg",
+        explode(Similarity.lshBucketsArray($"nv", dim, nBits, nTables)).as("bucket"))
     // shuffle-hash build sides cannot spill — size the partition count
     // from the banded row count (the q32 band-join rule, BandJoinRows-
     // PerPartition; known as n*tables without materializing — e is
@@ -786,11 +803,16 @@ object Dedup {
       math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
     val keyed = banded.repartition(parts, $"bucket")
     val cut = hammingCutoff(SignSigBits, threshold)
-    val cand = keyed.as("a").hint("shuffle_hash")
-      .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .filter(graft.plans.VectorExpressions.hammingDistance($"a.sg", $"b.sg") <= cut)
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
-      .dropDuplicates("v1", "v2")
+    // dedup post-exchange (dedupPairs): a pair's duplicate emissions come
+    // from different bucket TABLES — different partitions — so a partial
+    // agg inside the join stage would only add memory pressure next to
+    // the shuffle-hash build maps.
+    val cand = dedupPairs(
+      keyed.as("a").hint("shuffle_hash")
+        .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .filter(graft.plans.VectorExpressions.hammingDistance($"a.sg", $"b.sg") <= cut)
+        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2")),
+      parts, "v1", "v2")
     cand
       .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")).hint("shuffle_hash"), "v1")
       .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")).hint("shuffle_hash"), "v2")

@@ -143,13 +143,37 @@ object Similarity {
 
   /** Sign-signature bucket id of a vector column under table `t`'s
     * hyperplanes: bit i = (v . h_i) >= 0, OR'd with the table id so buckets
-    * from different tables never collide. */
+    * from different tables never collide. Column-composed REFERENCE form —
+    * the hot paths use [[lshBucketsArray]] (one codegen kernel call for
+    * all tables); OperatorsSpec pins the two equal per table. */
   def lshBucket(v: Column, dim: Int, nBits: Int, table: Int): Column = {
     val planes = hyperplanes(dim, nBits, table)
     planes.zipWithIndex.map { case (h, i) =>
       val hcol = array(h.map(lit): _*)
       when(dot(v, hcol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _) + lit(table.toLong << 32)
+  }
+
+  /** All `nTables` bucket ids as one array<long> column — the multi-table
+    * production form of [[lshBucket]]. One [[graft.plans.LshBucketsKernel]]
+    * call per row with the flattened plane tensor as a single codegen
+    * reference object, where `array(lshBucket(0), ..., lshBucket(L-1))`
+    * inlines L*nBits literal plane arrays and blows janino's 64 KB method
+    * limit at the auto operating points (L ~ n^rho; the sketch projection
+    * then runs INTERPRETED over 500+ boxed references). */
+  def lshBucketsArray(v: Column, dim: Int, nBits: Int, nTables: Int): Column = {
+    val flat = new Array[Double](nTables * nBits * dim)
+    var t = 0
+    while (t < nTables) {
+      val hs = hyperplanes(dim, nBits, t)
+      var b = 0
+      while (b < nBits) {
+        System.arraycopy(hs(b), 0, flat, (t * nBits + b) * dim, dim)
+        b += 1
+      }
+      t += 1
+    }
+    graft.plans.VectorExpressions.lshBuckets(v, flat, dim, nBits)
   }
 
   /** Deterministic spherical k-means for IVF coarse quantization.
@@ -357,7 +381,7 @@ object Similarity {
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
       .localCheckpoint()
       .withColumn("bucket",
-        explode(array((0 until nTables).map(t => lshBucket($"nv", dim, nBits, t)): _*)))
+        explode(lshBucketsArray($"nv", dim, nBits, nTables)))
     val queries = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"), $"bucket")
     val cand = e.join(broadcast(queries), Seq("bucket"))

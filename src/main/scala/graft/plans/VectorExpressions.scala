@@ -217,6 +217,38 @@ object VectorExpressions {
   def signPack(v: Column, planes: Array[Double], dim: Int): Column =
     ColumnBridge.column(SignPack(ColumnBridge.expression(v), planes, dim))
 
+  /** All multi-table sign-LSH bucket ids of an array<double> vector —
+    * [[LshBucketsKernel]] as a codegen'd expression (the flattened
+    * nTables x nBits x dim plane tensor rides as ONE codegen reference
+    * object). Output: array<long> of nTables keys, `(t << 32) | signbits`.
+    * Replaces `array(lshBucket(t=0), ..., lshBucket(t=L-1))`, whose
+    * inlined literal planes blow janino's 64 KB method limit at the
+    * auto operating points (L ~ n^rho) and drop the whole sketch
+    * projection to interpreted eval. */
+  case class LshBuckets(child: Expression, planes: Array[Double],
+      dim: Int, nBits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(dim >= 1 && nBits >= 1 && nBits <= 32 &&
+      planes.length % (nBits * dim) == 0 && planes.nonEmpty,
+      s"planes length ${planes.length} must be a positive multiple of nBits*dim = ${nBits * dim}")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any =
+      LshBucketsKernel.buckets(v.asInstanceOf[ArrayData], planes, dim, nBits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.LshBucketsKernel.buckets($a, $planesRef, $dim, $nBits);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def lshBuckets(v: Column, planes: Array[Double], dim: Int, nBits: Int): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(v), planes, dim, nBits))
+
   /** Hamming distance between two packed-bit array<long> columns — one
     * XOR+popcount pass over primitive longs (extra words on the longer
     * side are ignored, mirroring [[DotProduct]]'s min-length rule). The

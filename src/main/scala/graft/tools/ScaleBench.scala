@@ -185,7 +185,26 @@ object ScaleBench {
       // disk/time envelope though trivially partitionable on a cluster —
       // its law is measured at {1x, 10x} (see the artifact note)
       ("q22_lsh_match_score_auto", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreAuto(s, d), 10),
-      ("pipeline", (s: SparkSession, d: String) => DocumentPipeline.curate(s, d), 100))
+      ("pipeline", (s: SparkSession, d: String) => DocumentPipeline.curate(s, d), 100),
+      // the bibliographic curation pipeline itself (SURVEY §2.4/§2.6/§2.7
+      // chain): n = 10000*f synthetic records fresh-curated, triples
+      // emitted, prov snapshots built — the full CurationBench fresh leg
+      // minus its warmup. x100 = n=1M, an order past the largest
+      // previously measured point (CURATION_BENCH_100K, n=100k); the
+      // listener gives the rung the same spill/shuffle receipts as the
+      // text chain. Returned frame = the emitted triples (checkpointed,
+      // so the harness count() does not re-run emission).
+      ("curation_fresh", (s: SparkSession, d: String) => {
+        import graft.curation.Curator
+        import graft.rdf.{Provenance, TriplesEmitter}
+        val fresh = Curator.curateFresh(s.read.parquet(s"$d/records.parquet"))
+          .checkpointed
+        fresh.rows.count() + fresh.indexIdBr.count() + fresh.indexIdRa.count() +
+          fresh.arIndex.count() + fresh.reIndex.count() + fresh.vviIndex.count()
+        val triples = TriplesEmitter.emit(fresh).localCheckpoint()
+        Provenance.freshSnapshots(fresh, "2026-01-01T00:00:00Z").count()
+        triples
+      }, 100))
 
     def clearStorage(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -202,6 +221,13 @@ object ScaleBench {
         .parquet(s"$dir/embeddings.parquet")
       genPart(spark, 20000 * f, parts = math.max(8, math.min(64, 8 * f)))
         .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      // bibliographic records for the curation rung — driver-side
+      // generation (seed-fixed, mirrors the reference harness), written
+      // out so generation cost stays outside the timed region and the
+      // curation job starts from a parquet scan like every other op
+      graft.curation.CurationBench.syntheticRecords(spark, 10000 * f, partial = false)
+        .repartition(math.max(8, math.min(64, 8 * f)))
+        .write.mode("overwrite").parquet(s"$dir/records.parquet")
       val rows = chain.filter(_._3 >= f).map { case (name, fn, _) =>
         clearStorage()
         listener.reset()
@@ -252,7 +278,10 @@ object ScaleBench {
       "emissions proportional to the fixture's deliberately quadratic answer " +
       "mass (4.6M qualifying pairs at 10x), a graceful hash-agg spill, 3.9x " +
       "smaller at the auto operating point than at the fixed anchor; the " +
-      "size-pruned verify and score stages themselves no longer spill.\""
+      "size-pruned verify and score stages themselves no longer spill. " +
+      "curation_fresh (r11) is the bibliographic pipeline at n=10000*f " +
+      "records (fresh curation + triples emission + prov snapshots, no " +
+      "warmup pass): x100 = n=1M, an order past CURATION_BENCH_100K.\""
     out ++= "}"
     println(out.toString)
     val outPath = java.nio.file.Paths.get(

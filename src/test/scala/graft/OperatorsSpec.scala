@@ -313,6 +313,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cut >= (Dedup.SignSigBits * p).toInt, "cutoff below the threshold mean")
   }
 
+  test("LshBuckets kernel == per-table lshBucket composition, bucket for bucket") {
+    // the production bucket projection is ONE LshBucketsKernel call (the
+    // composed array(lshBucket(0..L)) form inlines L*nBits literal plane
+    // arrays and blows janino's 64 KB method limit at auto operating
+    // points, dropping the sketch projection to interpreted eval). The
+    // kernel must reproduce the composed form's keys exactly — same
+    // planes, same ascending dot accumulation, (t<<32)|bits key
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .limit(200)
+    for ((nBits, nTables) <- Seq((4, 8), (10, 24))) {
+      val mismatches = e.select(
+          Similarity.lshBucketsArray($"nv", 64, nBits, nTables).as("k"),
+          array((0 until nTables).map(t =>
+            Similarity.lshBucket($"nv", 64, nBits, t)): _*).as("c"))
+        .filter(not($"k" <=> $"c")).count()
+      assert(mismatches == 0,
+        s"kernel diverges from composed buckets at nBits=$nBits nTables=$nTables")
+    }
+  }
+
   test("LSH embedding near-dup pairs: subset of exact with decent recall") {
     val exact = Dedup.embeddingCosinePairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
