@@ -789,30 +789,43 @@ object Dedup {
     val planes = Similarity.signaturePlanes(dim, SignSigBits)
     val banded = e
       .withColumn("sg", graft.plans.VectorExpressions.signPack($"nv", planes, dim))
-      .select($"vec_id", $"sg",
+      // pk: all nTables bucket sign bits packed (~nTables*nBits/8 bytes)
+      // — the EXACTLY-ONCE emission map. A very-near pair collides in
+      // most of the nTables tables, so without it the pair stream
+      // carries up to nTables duplicate emissions per true pair into the
+      // dedup exchange — at the 100x auto point (163 tables, ~13M answer
+      // pairs) that is ~33 GB of shuffle for ~200 MB of distinct pairs,
+      // the r11 disk-fill after the Hamming staging removed the r10 one.
+      // With pk, the join keeps a pair only at its FIRST colliding
+      // table, pairs are unique by construction, and the dedup
+      // exchange + distinct disappear outright.
+      .withColumn("pk", Similarity.lshBucketsPacked($"nv", dim, nBits, nTables))
+      .select($"vec_id", $"sg", $"pk",
         explode(Similarity.lshBucketsArray($"nv", dim, nBits, nTables)).as("bucket"))
     // shuffle-hash build sides cannot spill — size the partition count
-    // from the banded row count (the q32 band-join rule, BandJoinRows-
-    // PerPartition; known as n*tables without materializing — e is
-    // checkpointed so the count is a cached scan) instead of inheriting
-    // spark.sql.shuffle.partitions. Repartitioning by the join key means
-    // both self-join sides reuse ONE exchange (ReuseExchange), so the
-    // signature projection runs once.
+    // from the banded BYTES (rows known as n*tables without
+    // materializing — e is checkpointed so the count is a cached scan;
+    // ~176 B of id+sg+bucket plus the packed collision map per row)
+    // instead of inheriting spark.sql.shuffle.partitions, targeting
+    // ~256 MB build maps. Repartitioning by the join key means both
+    // self-join sides reuse ONE exchange (ReuseExchange), so the sketch
+    // projections run once.
+    val rowBytes = 176L + 8L * ((nTables.toLong * nBits + 63) / 64)
     val nBanded = e.count() * nTables
     val parts = math.max(s.sparkContext.defaultParallelism,
-      math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
+      math.min(4096, (nBanded * rowBytes / (256L << 20)).toInt + 1))
     val keyed = banded.repartition(parts, $"bucket")
     val cut = hammingCutoff(SignSigBits, threshold)
-    // dedup post-exchange (dedupPairs): a pair's duplicate emissions come
-    // from different bucket TABLES — different partitions — so a partial
-    // agg inside the join stage would only add memory pressure next to
-    // the shuffle-hash build maps.
-    val cand = dedupPairs(
-      keyed.as("a").hint("shuffle_hash")
-        .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .filter(graft.plans.VectorExpressions.hammingDistance($"a.sg", $"b.sg") <= cut)
-        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2")),
-      parts, "v1", "v2")
+    val cand = keyed.as("a").hint("shuffle_hash")
+      .join(keyed.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      // order matters: the 2-word XOR+popcount Hamming prune kills the
+      // n^(1+rho) background mass first; the first-collide scan (early-
+      // exit slice compare) then dedups the survivors' emissions
+      .filter(graft.plans.VectorExpressions.hammingDistance($"a.sg", $"b.sg") <= cut)
+      .filter(graft.plans.VectorExpressions.firstCollidingTable(
+        $"a.pk", $"b.pk", nBits, nTables) ===
+        shiftright($"a.bucket", 32).cast("int"))
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"))
     cand
       .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")).hint("shuffle_hash"), "v1")
       .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")).hint("shuffle_hash"), "v2")

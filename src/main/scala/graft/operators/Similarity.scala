@@ -161,7 +161,21 @@ object Similarity {
     * inlines L*nBits literal plane arrays and blows janino's 64 KB method
     * limit at the auto operating points (L ~ n^rho; the sketch projection
     * then runs INTERPRETED over 500+ boxed references). */
-  def lshBucketsArray(v: Column, dim: Int, nBits: Int, nTables: Int): Column = {
+  def lshBucketsArray(v: Column, dim: Int, nBits: Int, nTables: Int): Column =
+    graft.plans.VectorExpressions.lshBuckets(v, flatPlanes(dim, nBits, nTables), dim, nBits)
+
+  /** The same nTables x nBits sign bits as [[lshBucketsArray]], bit-packed
+    * into ceil(nTables*nBits/64) longs — the per-row collision map for
+    * exactly-once pair emission (see
+    * [[graft.plans.VectorExpressions.FirstCollidingTable]]). Bit
+    * `t*nBits + b` here == bit b of bucket key t (spec-pinned). */
+  def lshBucketsPacked(v: Column, dim: Int, nBits: Int, nTables: Int): Column =
+    graft.plans.VectorExpressions.lshBucketPack(v, flatPlanes(dim, nBits, nTables), dim, nBits)
+
+  /** Row-major nTables x nBits x dim plane tensor shared by
+    * [[lshBucketsArray]] / [[lshBucketsPacked]] — ONE codegen reference
+    * object per projection. */
+  private def flatPlanes(dim: Int, nBits: Int, nTables: Int): Array[Double] = {
     val flat = new Array[Double](nTables * nBits * dim)
     var t = 0
     while (t < nTables) {
@@ -173,7 +187,7 @@ object Similarity {
       }
       t += 1
     }
-    graft.plans.VectorExpressions.lshBuckets(v, flat, dim, nBits)
+    flat
   }
 
   /** Deterministic spherical k-means for IVF coarse quantization.

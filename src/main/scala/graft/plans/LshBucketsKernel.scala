@@ -48,4 +48,60 @@ object LshBucketsKernel {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** The same nTables x nBits sign bits as [[buckets]], bit-packed
+    * table-major into ceil(nTables*nBits/64) longs: bit `t*nBits + b` is
+    * table t's bit b. 6x leaner than the bucket-keys array (nBits bits vs
+    * a 64-bit key per table) — the exactly-once-emission form each banded
+    * row carries so the pair join can test "is THIS table the first where
+    * the two rows collide?" ([[firstCollidingTable]]) without a second
+    * lookup. Bit b of bucket key t == bit `t*nBits+b` here (same planes,
+    * same dot accumulation; spec-pinned). */
+  def packedBuckets(v: ArrayData, planes: Array[Double], dim: Int, nBits: Int): ArrayData = {
+    val nTables = planes.length / (nBits * dim)
+    val d = math.min(dim, v.numElements())
+    val out = new Array[Long]((nTables * nBits + 63) >>> 6)
+    var t = 0
+    while (t < nTables) {
+      var b = 0
+      while (b < nBits) {
+        val off = (t * nBits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += planes(off + i) * v.getDouble(i); i += 1 }
+        if (s >= 0) { val p = t * nBits + b; out(p >>> 6) |= (1L << (p & 63)) }
+        b += 1
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Smallest table index whose nBits-bit slices of two [[packedBuckets]]
+    * arrays are equal (i.e. the first table where the two vectors share a
+    * bucket), or -1 if none. The exactly-once-emission predicate: a
+    * within-bucket pair at table t is emitted iff t == firstColliding —
+    * a near pair colliding in MANY of the nTables tables (the common case
+    * for the very-near pairs dedup cares about) reaches the pair exchange
+    * once instead of once per shared bucket. Early-exits at the first
+    * match, so the scan averages far fewer than nTables slice compares. */
+  def firstCollidingTable(a: ArrayData, b: ArrayData, nBits: Int, nTables: Int): Int = {
+    val mask = if (nBits >= 64) -1L else (1L << nBits) - 1L
+    var t = 0
+    while (t < nTables) {
+      val pos = t * nBits
+      val w = pos >>> 6
+      val off = pos & 63
+      // off + nBits > 64 implies off > 0, so the << (64 - off) is well-defined
+      var sa = a.getLong(w) >>> off
+      var sb = b.getLong(w) >>> off
+      if (off + nBits > 64) {
+        sa |= a.getLong(w + 1) << (64 - off)
+        sb |= b.getLong(w + 1) << (64 - off)
+      }
+      if ((sa & mask) == (sb & mask)) return t
+      t += 1
+    }
+    -1
+  }
 }

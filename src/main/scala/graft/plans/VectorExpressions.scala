@@ -249,6 +249,67 @@ object VectorExpressions {
   def lshBuckets(v: Column, planes: Array[Double], dim: Int, nBits: Int): Column =
     ColumnBridge.column(LshBuckets(ColumnBridge.expression(v), planes, dim, nBits))
 
+  /** [[LshBuckets]]'s sign bits packed table-major into
+    * ceil(nTables*nBits/64) longs ([[LshBucketsKernel.packedBuckets]]) —
+    * the per-row collision map the exactly-once pair emission carries
+    * through the band join (~nBits/64 the bytes of the bucket-keys
+    * array). */
+  case class LshBucketPack(child: Expression, planes: Array[Double],
+      dim: Int, nBits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(dim >= 1 && nBits >= 1 && nBits <= 32 &&
+      planes.length % (nBits * dim) == 0 && planes.nonEmpty,
+      s"planes length ${planes.length} must be a positive multiple of nBits*dim = ${nBits * dim}")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any =
+      LshBucketsKernel.packedBuckets(v.asInstanceOf[ArrayData], planes, dim, nBits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.LshBucketsKernel.packedBuckets($a, $planesRef, $dim, $nBits);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def lshBucketPack(v: Column, planes: Array[Double], dim: Int, nBits: Int): Column =
+    ColumnBridge.column(LshBucketPack(ColumnBridge.expression(v), planes, dim, nBits))
+
+  /** Smallest table whose nBits-slices of two [[LshBucketPack]] arrays are
+    * equal, -1 if none ([[LshBucketsKernel.firstCollidingTable]]). The
+    * band join's exactly-once-emission predicate:
+    * `firstCollidingTable(a.pk, b.pk) === a.bucket >> 32` keeps ONE of a
+    * colliding pair's up-to-nTables shared-bucket join hits, so duplicate
+    * emissions never reach a pair-dedup exchange (the q57 grid-block
+    * discipline applied to multi-table LSH). */
+  case class FirstCollidingTable(left: Expression, right: Expression,
+      nBits: Int, nTables: Int)
+      extends BinaryExpression with ExpectsInputTypes {
+    require(nBits >= 1 && nBits <= 32 && nTables >= 1,
+      s"need 1 <= nBits <= 32 (got $nBits) and nTables >= 1 (got $nTables)")
+    override def inputTypes =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      LshBucketsKernel.firstCollidingTable(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nBits, nTables)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.LshBucketsKernel.firstCollidingTable($a, $b, $nBits, $nTables);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  def firstCollidingTable(a: Column, b: Column, nBits: Int, nTables: Int): Column =
+    ColumnBridge.column(FirstCollidingTable(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), nBits, nTables))
+
   /** Hamming distance between two packed-bit array<long> columns — one
     * XOR+popcount pass over primitive longs (extra words on the longer
     * side are ignored, mirroring [[DotProduct]]'s min-length rule). The

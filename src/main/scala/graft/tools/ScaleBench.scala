@@ -209,6 +209,14 @@ object ScaleBench {
     def clearStorage(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // shuffle files live until the driver GCs their ShuffleDependency
+      // and the ContextCleaner reaps them — across a 3-rung x14-op run
+      // the dead files accumulate to tens of GB and starve the x100 ops
+      // of disk (the r11 first-run disk-fill after the staged verify
+      // removed the r10 one). Force the collection between ops and give
+      // the async cleaner a beat.
+      System.gc()
+      Thread.sleep(2000)
     }
 
     val out = new StringBuilder

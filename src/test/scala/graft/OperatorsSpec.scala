@@ -337,6 +337,77 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packedBuckets bit t*nBits+b == bit b of bucket key t, for every table") {
+    // the exactly-once emission map must encode EXACTLY the bucket keys'
+    // sign bits (same planes, same dots) or first-collide would disagree
+    // with the join's bucket equality and pairs would vanish or duplicate
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(Similarity.normalized($"embedding").as("nv")).limit(100)
+    for ((nBits, nTables) <- Seq((4, 8), (11, 37), (31, 5))) {
+      val rows = e.select(
+          Similarity.lshBucketsArray($"nv", 64, nBits, nTables).as("keys"),
+          Similarity.lshBucketsPacked($"nv", 64, nBits, nTables).as("pk"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val keys = r.getSeq[Long](0)
+        val pk = r.getSeq[Long](1)
+        for (t <- 0 until nTables; b <- 0 until nBits) {
+          val fromKey = (keys(t) >>> b) & 1L
+          val pos = t * nBits + b
+          val fromPk = (pk(pos >>> 6) >>> (pos & 63)) & 1L
+          assert(fromKey == fromPk,
+            s"bit mismatch at table $t bit $b (nBits=$nBits nTables=$nTables)")
+        }
+      }
+    }
+  }
+
+  test("firstCollidingTable == linear-scan reference on random packed maps") {
+    val rnd = new scala.util.Random(4242)
+    def refFirst(a: Array[Long], b: Array[Long], nBits: Int, nTables: Int): Int = {
+      def slice(arr: Array[Long], t: Int): Long = {
+        var out = 0L
+        for (i <- 0 until nBits) {
+          val pos = t * nBits + i
+          out |= (((arr(pos >>> 6) >>> (pos & 63)) & 1L) << i)
+        }
+        out
+      }
+      (0 until nTables).find(t => slice(a, t) == slice(b, t)).getOrElse(-1)
+    }
+    for (_ <- 1 to 200) {
+      val nBits = 1 + rnd.nextInt(32)
+      val nTables = 1 + rnd.nextInt(40)
+      val words = (nTables * nBits + 63) >>> 6
+      val a = Array.fill(words)(rnd.nextLong())
+      // bias toward collisions: b = a with a few flipped bits
+      val b = a.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        b(rnd.nextInt(words)) ^= (1L << rnd.nextInt(64))
+      val ad = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(a)
+      val bd = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(b)
+      val got = graft.plans.LshBucketsKernel.firstCollidingTable(ad, bd, nBits, nTables)
+      val want = refFirst(a, b, nBits, nTables)
+      assert(got == want, s"nBits=$nBits nTables=$nTables: got $got want $want")
+    }
+  }
+
+  test("sign-LSH pair emission is exactly-once: no duplicates without a distinct") {
+    // the production path dropped its pair-dedup exchange — uniqueness is
+    // now structural (first-colliding-table filter), so a regression here
+    // would silently re-inflate the 100x shuffle AND duplicate rows
+    val pairs = Dedup.embeddingCosinePairsLsh(spark, dir, nBits = 4, nTables = 12)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.length == pairs.toSet.size,
+      s"${pairs.length - pairs.toSet.size} duplicate pair emissions")
+  }
+
   test("LSH embedding near-dup pairs: subset of exact with decent recall") {
     val exact = Dedup.embeddingCosinePairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
