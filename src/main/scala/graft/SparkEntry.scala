@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, RelationalQueries => RQ, Similarity, TextAnalysis => TA, TextQueries => TQ}
+import graft.operators.{Dedup, IvfIndex, RelationalQueries => RQ, Similarity, TextAnalysis => TA, TextQueries => TQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,11 @@ object SparkEntry {
     // join, within-cell top-k) with a deterministic SQL-expressible seed
     // quantizer, so the driver hash-gates it like every other operator.
     "q43_ann_ivf_exact" -> ((s, d) => Similarity.ivfTopKExact(s, d)),
+    // persisted-index twin: build the partitionBy(cluster) IVF-Flat
+    // layout once, probe with dynamic partition pruning — SAME
+    // deterministic quantizer, so the SAME q43 exact oracle hash-gates
+    // the whole build+store+probe chain.
+    "q43_ann_ivf_indexed" -> ((s, d) => IvfIndex.q43Indexed(s, d)),
     "q44_token_budget_mix" -> (TA.q44TokenBudgetMix(_, _)),
     "q45_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d)),
     // production embedding-dedup paths (rows-only, q43 precedent): sign-
@@ -159,6 +164,7 @@ object SparkEntry {
     "q41_binary_meta" -> TA.q41Sql,
     "q42_neardup_clusters" -> Dedup.q42Sql,
     "q43_ann_ivf_exact" -> Similarity.q43ExactSql,
+    "q43_ann_ivf_indexed" -> Similarity.q43ExactSql,
     "q44_token_budget_mix" -> TA.q44Sql,
     "q45_embedding_clusters" -> Dedup.q45Sql,
     "q46_hash_sample" -> TA.q46Sql,

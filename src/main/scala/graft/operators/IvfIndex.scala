@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.embeddings
+
+/** Persisted IVF-Flat ANN index — the build-once / probe-many production
+  * form of [[Similarity.ivfTopK]] (which documents this layout in prose;
+  * this is the layout, materialized).
+  *
+  * The classic FAISS IVF-Flat structure re-expressed Spark-native:
+  *
+  *  - '''build''' — ONE full-corpus pass assigns every vector to its
+  *    nearest coarse centroid and writes the corpus
+  *    `partitionBy("cluster")`: each inverted list IS a partition
+  *    directory, and the tiny (nlist x dim) centroid table rides next to
+  *    it. At 100 TB this is the only full-corpus shuffle the index ever
+  *    costs; it amortizes over every later query batch.
+  *  - '''probe''' — a query batch computes its `nprobe` nearest centroids
+  *    driver-side-free (centroid table is collected — nlist rows, index
+  *    metadata by construction), then equi-joins the partitioned corpus on
+  *    `cluster` with the probe list broadcast. Catalyst's dynamic
+  *    partition pruning turns the broadcast side into a partition filter,
+  *    so the scan reads ONLY the probed inverted lists — the
+  *    O(N*nprobe/nlist) cost model of IVF, enforced by the storage layout
+  *    instead of a runtime filter.
+  *
+  * With `deterministicSeeds` the quantizer is the q43_exact rule (seeds =
+  * first nlist vectors by vec_id, rounded argmax, index tie-break), so the
+  * whole build+probe chain replays in the DuckDB oracle
+  * ([[Similarity.q43ExactSql]]) and is hash-gated — a persisted-index ANN
+  * with an exact cross-engine oracle. Production builds flip to k-means
+  * centroids ([[Similarity.trainCentroids]]) with the same layout. */
+object IvfIndex {
+
+  /** Build the index under `indexDir` (`corpus/` partitioned by cluster,
+    * `centroids/` as (c, cv) rows). Overwrites — rebuilds are idempotent. */
+  def build(s: SparkSession, sfDir: String, indexDir: String, nlist: Int = 8,
+      deterministicSeeds: Boolean = true, iters: Int = 3): Unit = {
+    import s.implicits._
+    val e = embeddings(s, sfDir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .localCheckpoint()
+    val cents: Array[Array[Double]] =
+      if (deterministicSeeds)
+        e.orderBy($"vec_id").limit(nlist)
+          .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+      else Similarity.trainCentroids(e, nlist, iters)
+    require(cents.nonEmpty, s"IvfIndex.build: no embeddings under $sfDir")
+    s.createDataset(cents.toIndexedSeq.zipWithIndex
+        .map { case (cv, c) => (c, cv.toIndexedSeq) })
+      .toDF("c", "cv")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    e.withColumn("cluster", Similarity.nearestCentroidRounded($"nv", cents))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$indexDir/corpus")
+  }
+
+  /** Probe the index with `queries` (`query_id`, `qv` normalized): exact
+    * top-k within the `nprobe` nearest cells per query. Same output
+    * contract as [[Similarity.ivfTopKExact]]. */
+  def probe(s: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val cents: Array[Array[Double]] = s.read.parquet(s"$indexDir/centroids")
+      .orderBy($"c").select($"cv").as[Seq[Double]].collect().map(_.toArray)
+    val corpus = s.read.parquet(s"$indexDir/corpus")
+    // probe list sorted by (cos desc, centroid index asc) — the rounded
+    // argmax/oracle tie-break rule, same as ivfTopKExact
+    val probed = queries
+      .withColumn("cdots", array(cents.indices.map(c =>
+        struct((-round(Similarity.dot($"qv", array(cents(c).map(lit): _*)), 6)).as("d"),
+          lit(c).as("c"))): _*))
+      .withColumn("probe", slice(array_sort($"cdots"), 1, nprobe))
+      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+    val scored = corpus.join(broadcast(probed), Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(Similarity.dot($"nv", $"qv"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The registered q43_ann_ivf_indexed entry: deterministic-seed build
+    * into a per-corpus temp dir, then probe with the first 10 vectors —
+    * output identical to [[Similarity.ivfTopKExact]], gated by the SAME
+    * DuckDB oracle ([[Similarity.q43ExactSql]]). */
+  def q43Indexed(s: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
+      nlist: Int = 8, nprobe: Int = 3): DataFrame = {
+    import s.implicits._
+    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    build(s, sfDir, indexDir, nlist)
+    val queries = embeddings(s, sfDir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    probe(s, indexDir, queries, k, nprobe)
+  }
+}

@@ -397,6 +397,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfIndex: persisted build+probe == in-memory exact twin; probe scan is partition-pruned") {
+    // the FAISS IVF-Flat layout as a partitioned table: identical output
+    // to ivfTopKExact (same quantizer), and the probe's corpus scan must
+    // carry a dynamic partition-pruning filter on `cluster` — reading all
+    // inverted lists would defeat the index at corpus scale
+    val indexed = graft.operators.IvfIndex.q43Indexed(spark, dir)
+    val pruned = indexed.queryExecution.executedPlan.toString()
+    val exact = Similarity.ivfTopKExact(spark, dir).collect().map(_.toString).toSeq
+    val got = indexed.collect().map(_.toString).toSeq
+    assert(got == exact, s"indexed probe diverges from exact twin\n got: ${got.take(3)}\nwant: ${exact.take(3)}")
+    assert(pruned.contains("dynamicpruning"),
+      s"probe scan is not partition-pruned:\n${pruned.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")}")
+  }
+
   test("sign-LSH pair emission is exactly-once: no duplicates without a distinct") {
     // the production path dropped its pair-dedup exchange — uniqueness is
     // now structural (first-colliding-table filter), so a regression here
