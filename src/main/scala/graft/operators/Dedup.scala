@@ -738,27 +738,43 @@ object Dedup {
   }
 
   /** Verify-prefilter signature width: 16 longs (~128 B/row). Sizing: the
-    * prune's discriminating power goes as sqrt(nSigBits) — at 1024 bits a
-    * background pair (cos ~ 0, E[ham] = 512, sigma = 16) sits ~4 sigma
-    * above the 0.45-threshold cutoff and is pruned with ~1 - 3e-5
-    * probability, while at 256 bits (sigma = 8, cutoff past the
-    * background MEAN) the same cutoff keeps ~84% of background. The
-    * 8*dim-byte vector fetch this avoids costs 4x the signature bytes at
-    * dim=64. */
+    * prune's discriminating power goes as sqrt(nSigBits) — at 1024 bits
+    * the cosine estimate's standard error at the 0.45 boundary is ~0.04,
+    * so the +2-sigma cutoff separates the answer band from the
+    * near-threshold band within ~0.1 of cosine (a background pair at
+    * cos ~ 0 sits ~7.5 sigma out and is gone entirely), while at 256
+    * bits the boundary blurs to ~0.08 of cosine and the sub-threshold
+    * band leaks through ~4x harder. The 8*dim-byte vector fetch this
+    * avoids costs 4x the signature bytes at dim=64. */
   private[graft] val SignSigBits = 1024
 
   /** Hamming cutoff for the sign-signature prune at a cosine threshold:
     * a pair at exactly cos = t has per-bit flip probability
     * p = acos(t)/pi (the sign-LSH identity), so ham ~ Binomial(nSigBits,
-    * p); the cutoff sits 6 sigma above that mean — a qualifying pair is
-    * mis-pruned with probability ~1e-9 (one-sided normal), below the
-    * miss budget of the band structure in front of it — and every pair
-    * ABOVE the threshold has a lower mean still. Pairs past the cutoff
-    * are hopeless-by-measurement and never fetch their float vectors. */
+    * p); the cutoff sits 2 sigma above that mean.
+    *
+    * Why 2 and not 6: the prune's job is to make the verify FETCH
+    * answer-mass-shaped. On a clustered corpus the pair-cosine
+    * distribution has a fat band just under the threshold, and a 6-sigma
+    * cutoff (mean at cos 0.45 + 6 sigma = 452/1024) admits every pair
+    * down to cos ~0.18 — at the 100x auto point that was ~120 M
+    * sub-threshold candidates, each dragging a 520 B vector through the
+    * second fetch exchange: ~72 GB of shuffle for a 13 M-pair answer
+    * (the third r11 disk-fill, after the staged-verify and
+    * exactly-once fixes removed the first two). At +2 sigma a pair AT
+    * the boundary survives with 97.7%, cos 0.5 with 99.95%, cos 0.55+
+    * with ~1 - 1e-6 — a <=2.3%-at-the-boundary recall cost (on top of
+    * the ~20% table-miss rate the recall spec already budgets for),
+    * while the sub-threshold band is cut by sigma-steps: cos 0.40 keeps
+    * ~70%, 0.35 ~35%, 0.30 ~10%, 0.25 ~1.6% — the fetch volume drops
+    * ~5x to within ~2x of answer mass. Pairs past the cutoff are
+    * hopeless-by-measurement and never fetch their float vectors;
+    * survivors still face the EXACT rounded-cosine filter, so the
+    * subset-of-exact property is untouched. */
   private[graft] def hammingCutoff(nSigBits: Int, threshold: Double): Int = {
     val p = math.acos(threshold) / math.Pi
     math.min(nSigBits,
-      math.ceil(nSigBits * p + 6.0 * math.sqrt(nSigBits * p * (1 - p))).toInt)
+      math.ceil(nSigBits * p + 2.0 * math.sqrt(nSigBits * p * (1 - p))).toInt)
   }
 
   def embeddingCosinePairsLsh(s: SparkSession, dir: String,
@@ -787,7 +803,29 @@ object Dedup {
     // family so the prune statistic is independent of the collision that
     // nominated the pair.
     val planes = Similarity.signaturePlanes(dim, SignSigBits)
+    // shuffle-hash build sides cannot spill — size the partition count
+    // from the banded BYTES (rows known as n*tables without
+    // materializing — e is checkpointed so the count is a cached scan;
+    // ~176 B of id+sg+bucket plus the packed collision map per row)
+    // instead of inheriting spark.sql.shuffle.partitions, targeting
+    // ~256 MB build maps. Repartitioning by the join key means both
+    // self-join sides reuse ONE exchange (ReuseExchange), so the sketch
+    // projections run once.
+    val rowBytes = 176L + 8L * ((nTables.toLong * nBits + 63) / 64)
+    val nBanded = e.count() * nTables
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096, (nBanded * rowBytes / (256L << 20)).toInt + 1))
     val banded = e
+      // the banded exchange's MAP side must be ~parts tasks too: e comes
+      // out of localCheckpoint with a handful of scan partitions and the
+      // explode amplifies each xnTables, so left alone each map task
+      // shuffle-writes GBs — UnsafeShuffleWriter spills and then MERGES
+      // (a 2x transient disk copy per task), and 16 such tasks in flight
+      // peaked past the x100 node's free disk (the second r11 disk-fill).
+      // With map outputs ~256 MB the merge transient is bounded and
+      // staggered. This extra exchange moves only e (ids+vectors,
+      // ~1/60 of the banded bytes).
+      .repartition(parts)
       .withColumn("sg", graft.plans.VectorExpressions.signPack($"nv", planes, dim))
       // pk: all nTables bucket sign bits packed (~nTables*nBits/8 bytes)
       // — the EXACTLY-ONCE emission map. A very-near pair collides in
@@ -802,18 +840,6 @@ object Dedup {
       .withColumn("pk", Similarity.lshBucketsPacked($"nv", dim, nBits, nTables))
       .select($"vec_id", $"sg", $"pk",
         explode(Similarity.lshBucketsArray($"nv", dim, nBits, nTables)).as("bucket"))
-    // shuffle-hash build sides cannot spill — size the partition count
-    // from the banded BYTES (rows known as n*tables without
-    // materializing — e is checkpointed so the count is a cached scan;
-    // ~176 B of id+sg+bucket plus the packed collision map per row)
-    // instead of inheriting spark.sql.shuffle.partitions, targeting
-    // ~256 MB build maps. Repartitioning by the join key means both
-    // self-join sides reuse ONE exchange (ReuseExchange), so the sketch
-    // projections run once.
-    val rowBytes = 176L + 8L * ((nTables.toLong * nBits + 63) / 64)
-    val nBanded = e.count() * nTables
-    val parts = math.max(s.sparkContext.defaultParallelism,
-      math.min(4096, (nBanded * rowBytes / (256L << 20)).toInt + 1))
     val keyed = banded.repartition(parts, $"bucket")
     val cut = hammingCutoff(SignSigBits, threshold)
     val cand = keyed.as("a").hint("shuffle_hash")

@@ -283,15 +283,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(auto == anchor)
   }
 
-  test("sign-signature Hamming prefilter never prunes a qualifying pair") {
-    // the staged verify (signatures before vectors) may only drop pairs
-    // that the exact cosine check would drop anyway: every exact pair at
-    // the threshold must sit at or under the Hamming cutoff (the cutoff
-    // is mean + 6 sigma for a pair AT the threshold, so a miss here is a
-    // ~1e-9 event per pair — a failure means the cutoff math regressed)
+  test("sign-signature Hamming prefilter: bounded boundary miss, no loss above it") {
+    // the staged verify (signatures before vectors) trades a SMALL,
+    // boundary-concentrated recall cost for an answer-mass-shaped fetch
+    // (hammingCutoff doc): at +2 sigma a qualifying pair AT cos=0.45 is
+    // mis-pruned with ~2.3%, and the miss probability collapses
+    // sigma-fast above — so the spec pins (a) overall qualifying-pair
+    // retention >= 95%, (b) NO losses among pairs at cos >= 0.55 (>= 4.5
+    // sigma inside the cutoff, miss ~3e-6), (c) the cutoff sits between
+    // the threshold mean and the background mean (it must prune)
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val exact = Dedup.embeddingCosinePairs(spark, dir).select($"v1", $"v2")
+    val exact = Dedup.embeddingCosinePairs(spark, dir).select($"v1", $"v2", $"cos")
     val e = graft.Tables.embeddings(spark, dir)
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))
@@ -299,16 +302,21 @@ class OperatorsSpec extends AnyFunSuite {
     val sigs = e.select($"vec_id",
       graft.plans.VectorExpressions.signPack($"nv", planes, 64).as("sg"))
     val cut = Dedup.hammingCutoff(Dedup.SignSigBits, 0.45)
-    val hams = exact
+    val rows = exact
       .join(sigs.select($"vec_id".as("v1"), $"sg".as("sg1")), "v1")
       .join(sigs.select($"vec_id".as("v2"), $"sg".as("sg2")), "v2")
-      .select(graft.plans.VectorExpressions.hammingDistance($"sg1", $"sg2").as("ham"))
-      .as[Int].collect()
-    assert(hams.nonEmpty, "fixture should contain qualifying pairs")
-    assert(hams.forall(_ <= cut),
-      s"qualifying pair past the Hamming cutoff $cut: max=${hams.max}")
+      .select(graft.plans.VectorExpressions.hammingDistance($"sg1", $"sg2").as("ham"),
+        $"cos")
+      .as[(Int, Double)].collect()
+    assert(rows.nonEmpty, "fixture should contain qualifying pairs")
+    val kept = rows.count(_._1 <= cut)
+    assert(kept.toDouble / rows.length >= 0.95,
+      s"prefilter keeps only $kept/${rows.length} qualifying pairs")
+    val missedHigh = rows.filter(r => r._2 >= 0.55 && r._1 > cut)
+    assert(missedHigh.isEmpty,
+      s"${missedHigh.length} pairs at cos >= 0.55 past the cutoff $cut (max ham ${missedHigh.map(_._1).maxOption})")
     // and the cutoff itself is where the comment says it is
-    assert(cut < Dedup.SignSigBits, "cutoff must actually prune something")
+    assert(cut < Dedup.SignSigBits / 2, "cutoff must sit below the background mean")
     val p = math.acos(0.45) / math.Pi
     assert(cut >= (Dedup.SignSigBits * p).toInt, "cutoff below the threshold mean")
   }
