@@ -277,16 +277,17 @@ object ScaleBench {
       "10x because its minhash-LSH cost law (rows~log10 n, bands~17*n^0.30) " +
       "puts the n=2M banded frame (~1100 bands, ~35 GB) beyond one node's " +
       "envelope while remaining trivially partitionable on a cluster. " +
-      "q34_lsh_auto/q45_lsh_auto run the full ladder since r11: the verify " +
-      "is staged inside the band join (128 B packed sign signature per " +
-      "banded row, Hamming prune before the dedup exchange), where r10's " +
-      "unstaged vector fetch spilled 83 GB at x100. q57_sqrtn remains the " +
-      "cheaper pair generator on clustered corpora. q22's " +
-      "residual spill is the candidate-dedup exchange: duplicate band " +
-      "emissions proportional to the fixture's deliberately quadratic answer " +
-      "mass (4.6M qualifying pairs at 10x), a graceful hash-agg spill, 3.9x " +
-      "smaller at the auto operating point than at the fixed anchor; the " +
-      "size-pruned verify and score stages themselves no longer spill. " +
+      "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
+      "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
+      "sign signature INSIDE the band join (r10 fetched full vectors per " +
+      "candidate: 83 GB spill at x100); (2) exactly-once pair emission via " +
+      "packed per-row collision maps + first-colliding-table filter (near " +
+      "pairs collide in most of the 163 tables, so the dedup exchange " +
+      "carried ~33 GB of duplicates); (3) a +2-sigma (not +6) Hamming " +
+      "cutoff, so the near-threshold band below the cosine threshold is " +
+      "cut sigma-fast and the vector fetch is answer-mass-shaped (~120M " +
+      "sub-threshold candidates x 520 B vectors = ~72 GB otherwise). " +
+      "q57_sqrtn remains the cheaper pair generator on clustered corpora. " +
       "curation_fresh (r11) is the bibliographic pipeline at n=10000*f " +
       "records (fresh curation + triples emission + prov snapshots, no " +
       "warmup pass): x100 = n=1M, an order past CURATION_BENCH_100K.\""
