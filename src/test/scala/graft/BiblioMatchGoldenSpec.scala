@@ -90,4 +90,40 @@ class BiblioMatchGoldenSpec extends AnyFunSuite {
     assert(score == 7.8925858951175405, s"got $score")
     assert(score < graft.functions.BiblioMatch.MatchingThreshold)
   }
+
+  test("CrossrefMeta edge cases follow fetch_crossref_metadata's rules") {
+    // absent arrays/fields -> "", family-less author, first-hyphen-only
+    // page split, first-ISSN pick, given trimmed but case kept
+    val dir = java.nio.file.Files.createTempDirectory("crmeta").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      w.write(body); w.close()
+    }
+    write("edge1.json",
+      """{"status":"ok","message":{"DOI":"10.1/x","title":[],"author":[],
+        |"container-title":[],"ISSN":[]}}""".stripMargin)
+    write("edge2.json",
+      """{"status":"ok","message":{"DOI":"10.1/y","title":["  MiXeD Case  "],
+        |"author":[{"given":" Ada "}],"issued":{"date-parts":[[1999,1]]},
+        |"page":"e100-5-2","container-title":["J"],
+        |"ISSN":["1234-5678","9999-0000"],"volume":"7"}}""".stripMargin)
+    val rows = CrossrefMeta.fromApiJson(spark, dir.getAbsolutePath)
+      .collect().map(r => r.getAs[String]("doi") -> r).toMap
+    val e1 = rows("10.1/x")
+    for (c <- Seq("title", "family", "given", "year", "venue", "issn",
+        "volume", "issue", "start_page", "end_page"))
+      assert(e1.getAs[String](c) == "", s"edge1.$c should be empty, got '${e1.getAs[String](c)}'")
+    val e2 = rows("10.1/y")
+    assert(e2.getAs[String]("title") == "mixed case")
+    assert(e2.getAs[String]("family") == "")
+    assert(e2.getAs[String]("given") == "Ada")
+    assert(e2.getAs[String]("year") == "1999")
+    assert(e2.getAs[String]("venue") == "j")
+    assert(e2.getAs[String]("issn") == "1234-5678")
+    assert(e2.getAs[String]("volume") == "7")
+    assert(e2.getAs[String]("issue") == "")
+    // page.split("-", 1): first hyphen only
+    assert(e2.getAs[String]("start_page") == "e100")
+    assert(e2.getAs[String]("end_page") == "5-2")
+  }
 }
