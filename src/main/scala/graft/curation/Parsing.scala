@@ -38,7 +38,7 @@ object Parsing {
   /** E11 — the reference collapses spaces around the colon on BOTH sides
     * (`RE_COLON_AND_SPACES = \s*:\s*`, master_of_regex.py:16) before
     * splitting, so "vIAF : 123" tokenizes as one id. */
-  private[curation] def splitIdTokens(s: String): Seq[String] =
+  private[graft] def splitIdTokens(s: String): Seq[String] =
     s.replaceAll("\\s*:\\s*", ":").split("\\s+").toSeq.filter(_.nonEmpty)
 
   /** E11 + E12 over a raw id cell. */

@@ -60,6 +60,71 @@ object Tools {
       .union(input.filter(length(trim(col("id"))) === 0).select(input.columns.map(col): _*))
   }
 
+  /** S6 seed surface — the reference's `Curator.collect_identifiers`
+    * (`core/curator.py:162-248`): the (metavals, identifiers, VVIs)
+    * mentioned anywhere in an input batch, which seed its subgraph
+    * prefetch (`finder.get_everything_about_res`). In this engine the
+    * prefetch dissolves into join pruning (SURVEY §2.1 S6), but the seed
+    * sets remain useful as the store-side pre-filter of an incremental
+    * run: joining the store against `identifiers`/`vvis` prunes the
+    * curated-world scan to the rows a batch can touch.
+    *
+    * Per-row semantics mirror `extract_identifiers_and_metavals`
+    * exactly: the id cell contributes external ids + its omid metaval;
+    * author/editor/publisher/volume/issue cells contribute their
+    * FIRST-bracket ids (E10 `split_name_and_ids` on the whole cell, like
+    * the reference) to `identifiers`; the venue cell's bracket ids are
+    * kept SEPARATE, surfacing only inside the VVI key
+    * `(raw volume, raw issue, venue omid, sorted venue ids)`, emitted
+    * when the row has a venue id/omid and a volume or issue. One
+    * Parsing-family UDF per row, then explode + distinct — the
+    * reference's ProcessPoolExecutor chunking becomes partitions. */
+  def collectIdentifiers(input: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import input.sparkSession.implicits._
+    import graft.curation.Parsing
+    val extract = udf((id: String, author: String, editor: String,
+        publisher: String, venue: String, volume: String, issue: String) => {
+      val metavals = scala.collection.mutable.LinkedHashSet.empty[String]
+      val ids = scala.collection.mutable.LinkedHashSet.empty[String]
+      if (id != null && id.trim.nonEmpty) {
+        val (omid, idl) = Parsing.cleanIdList(Parsing.splitIdTokens(id))
+        omid.foreach(m => metavals += s"omid:$m")
+        ids ++= idl
+      }
+      var venueMeta = ""
+      var venueIds = Seq.empty[String]
+      for ((field, isVenue) <- Seq(author -> false, editor -> false,
+          publisher -> false, venue -> true, volume -> false, issue -> false)) {
+        if (field != null && field.trim.nonEmpty) {
+          val idsStr = graft.functions.Cleaning.splitNameAndIds(field)._2
+          if (idsStr.nonEmpty) {
+            val (omid, idl) = Parsing.cleanIdList(Parsing.splitIdTokens(idsStr))
+            val metaval = omid.map(m => s"omid:$m").getOrElse("")
+            if (metaval.nonEmpty) metavals += metaval
+            if (isVenue) { venueMeta = metaval; venueIds = idl }
+            else ids ++= idl
+          }
+        }
+      }
+      val vvi =
+        if ((venueMeta.nonEmpty || venueIds.nonEmpty) &&
+            ((volume != null && volume.nonEmpty) || (issue != null && issue.nonEmpty)))
+          Seq((Option(volume).getOrElse(""), Option(issue).getOrElse(""),
+            venueMeta, venueIds.sorted))
+        else Seq.empty
+      (metavals.toSeq, ids.toSeq, vvi)
+    })
+    val ex = input.withColumn("_x", extract($"id", $"author", $"editor",
+        $"publisher", $"venue", $"volume", $"issue"))
+      .select($"_x").localCheckpoint()
+    (ex.select(explode($"_x._1").as("metaval")).distinct(),
+      ex.select(explode($"_x._2").as("id")).distinct(),
+      ex.select(explode($"_x._3").as("v"))
+        .select($"v._1".as("volume"), $"v._2".as("issue"),
+          $"v._3".as("venue_metaid"), $"v._4".as("venue_ids"))
+        .distinct())
+  }
+
   /** G7 — duplicate-id scan (`run/find/duplicated_ids.py`): identifier
     * literals attached to more than one entity. Input: entityIds frame
     * (owner_meta, scheme, value). */

@@ -303,4 +303,40 @@ class ToolsSpec extends AnyFunSuite {
     assert(merged.count() == 3)
     assert(merged.filter($"id" === "3").head.getAs[String]("title") == "gamma")
   }
+
+  test("collectIdentifiers == collect_identifiers_test expectations on its fixture") {
+    // the reference's own fixture + assertions
+    // (test/collect_identifiers_test.py: real multi-venue CSV): DOIs,
+    // the ORCID, the publisher crossrefs land in `identifiers`; venue
+    // issns do NOT (they live only inside VVI keys); the exact 9-row
+    // VVI set with raw volume/issue strings and sorted venue-id tuples
+    import spark.implicits._
+    val input = graft.curation.Curator.readInput(spark,
+      "/root/reference/test/test_data_collect_identifiers.csv")
+    val (metavals, identifiers, vvis) = Tools.collectIdentifiers(input)
+    val ids = identifiers.as[String].collect().toSet
+    for (want <- Seq("doi:10.17759/chp.2024200411", "doi:10.1016/j.molliq.2024.126787",
+        "orcid:0000-0002-7915-1367", "crossref:7555", "crossref:78", "crossref:3434"))
+      assert(ids.contains(want), s"$want missing from identifiers: $ids")
+    val venueIssns = Seq("issn:1816-5435", "issn:2224-8935", "issn:2146-0590",
+      "issn:2213-3437", "issn:1930-0433", "issn:1364-6826", "issn:1350-6307",
+      "issn:0950-0618", "issn:1369-8001", "issn:0167-7322")
+    venueIssns.foreach(v => assert(!ids.contains(v),
+      s"venue id $v must stay out of the main identifier set"))
+    assert(metavals.count() == 0, "fixture has no omid metavals")
+    val gotVvis = vvis.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getSeq[String](3).toList)).toSet
+    val wantVvis = Set(
+      ("20", "4", "", List("issn:1816-5435", "issn:2224-8935")),
+      ("30", "2", "", List("issn:2146-0590")),
+      ("13", "1", "", List("issn:2213-3437")),
+      ("20", "3", "", List("issn:1930-0433")),
+      ("267", "", "", List("issn:1364-6826")),
+      ("169", "", "", List("issn:1350-6307")),
+      ("458", "", "", List("issn:0950-0618")),
+      ("188", "", "", List("issn:1369-8001")),
+      ("419", "", "", List("issn:0167-7322")))
+    assert(gotVvis == wantVvis,
+      s"\nmissing: ${wantVvis -- gotVvis}\nextra: ${gotVvis -- wantVvis}")
+  }
 }
