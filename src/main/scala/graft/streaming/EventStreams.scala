@@ -142,6 +142,82 @@ object EventStreams {
       }
   }
 
+  final case class EmbRow(vec_id: Long, ingest_ts: java.sql.Timestamp,
+    bucket: Long, sg: Seq[Long])
+  final case class EmbBucketState(docs: List[(Long, Seq[Long], Long)]) // (vec_id, sg, ingestMs)
+  final case class VerifiedPair(v1: Long, v2: Long, table: Int, ham: Int)
+
+  /** Streaming embedding near-dup gate — the sign-LSH twin of
+    * [[nearDupCandidates]], with the r11 staged-verify discipline carried
+    * into state: each arrival stores its 1024-bit packed sign signature
+    * (16 longs, ~128 B) next to its id, and a candidate pair is emitted
+    * ONLY if the XOR-popcount Hamming distance clears the
+    * [[graft.operators.Dedup.hammingCutoff]] at `threshold` — so the
+    * stream emits verified-by-measurement near-dups, not raw bucket
+    * collisions, and the downstream exact-cosine check (if any) is
+    * answer-mass-sized. State stays bounded exactly like the MinHash
+    * gate: per bucket, (id, signature, ingestMs) pruned to the horizon
+    * and expired whole by event-time timeout — O(rate x horizon x
+    * tables) memory, independent of history. A pair colliding in
+    * several tables is emitted per table (arrival order differs per
+    * bucket, so the batch path's first-colliding-table trick does not
+    * apply); `table`/`ham` columns let downstream dedupe or rank. */
+  def embeddingNearDupPairs(docs: DataFrame, dim: Int = 64,
+      nBits: Int = 4, nTables: Int = 8, threshold: Double = 0.45,
+      watermark: String = "1 hour",
+      horizonMs: Long = 60L * 60 * 1000): org.apache.spark.sql.Dataset[VerifiedPair] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val planes = Similarity.signaturePlanes(dim, Dedup.SignSigBits)
+    val cut = Dedup.hammingCutoff(Dedup.SignSigBits, threshold)
+    val banded = docs
+      .withColumn("nv", Similarity.normalized(col("embedding")))
+      .withColumn("sg", graft.plans.VectorExpressions.signPack(col("nv"), planes, dim))
+      .select(col("vec_id").cast("long").as("vec_id"), col("ingest_ts"),
+        explode(Similarity.lshBucketsArray(col("nv"), dim, nBits, nTables)).as("bucket"),
+        col("sg"))
+      .withWatermark("ingest_ts", watermark)
+      .as[EmbRow]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[EmbBucketState, VerifiedPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, rowsIt: Iterator[EmbRow], state: GroupState[EmbBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrivals = rowsIt.toSeq.sortBy(r => (r.ingest_ts.getTime, r.vec_id))
+            var docs = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+            val table = (bucket >>> 32).toInt
+            // same max-seeding rule as the MinHash gate (late arrivals
+            // must not move the timeout backward)
+            var maxMs = if (docs.isEmpty) 0L else docs.map(_._3).max
+            for (a <- arrivals; ms = a.ingest_ts.getTime) {
+              maxMs = math.max(maxMs, ms)
+              if (!docs.exists(_._1 == a.vec_id)) {
+                val asg = a.sg
+                for ((d, dsg, dm) <- docs if dm >= ms - horizonMs) {
+                  var ham = 0
+                  val n = math.min(asg.length, dsg.length)
+                  var i = 0
+                  while (i < n) {
+                    ham += java.lang.Long.bitCount(asg(i) ^ dsg(i)); i += 1
+                  }
+                  if (ham <= cut)
+                    out += VerifiedPair(math.min(d, a.vec_id),
+                      math.max(d, a.vec_id), table, ham)
+                }
+                docs = (a.vec_id, asg, ms) :: docs
+              }
+            }
+            docs = docs.filter(_._3 >= maxMs - horizonMs)
+            state.update(EmbBucketState(docs))
+            state.setTimeoutTimestamp(
+              math.max(maxMs + horizonMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, startMs: Long, endMs: Long, nEvents: Long, total: Double)

@@ -122,6 +122,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup gate: Hamming-verified pairs, horizon-bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val rnd = new scala.util.Random(99)
+    val v = Seq.fill(64)(rnd.nextGaussian())
+    val anti = v.map(-_) // cos = -1: every sign bit flips -> ham = 1024 >> cutoff
+    val horizon = 10L * 60 * 1000
+    val out = EventStreams.embeddingNearDupPairs(
+      in.toDF().toDF("vec_id", "embedding", "ingest_ts"),
+      watermark = "10 minutes", horizonMs = horizon)
+    val q = out.writeStream.format("memory").queryName("embdup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      in.addData((1L, v, ts(t0)), (2L, v, ts(t0 + 60 * 1000)),
+        (3L, anti, ts(t0 + 1000)))
+      q.processAllAvailable()
+      val first = spark.table("embdup_out").as[EventStreams.VerifiedPair].collect()
+      assert(first.map(p => (p.v1, p.v2)).distinct.toSeq == Seq((1L, 2L)),
+        s"only the identical pair may pass the Hamming verify: ${first.toSeq}")
+      // identical vectors share the bucket in EVERY table and measure ham=0
+      assert(first.length == 8, s"expected one emission per table, got ${first.length}")
+      assert(first.forall(_.ham == 0))
+      assert(first.map(_.table).sorted.toSeq == (0 until 8))
+      // past the horizon: expired state must not pair
+      in.addData((4L, v, ts(t0 + 100 * 60 * 1000)))
+      q.processAllAvailable()
+      in.addData((5L, anti, ts(t0 + 200 * 60 * 1000))) // advance watermark
+      q.processAllAvailable()
+      val later = spark.table("embdup_out").as[EventStreams.VerifiedPair].collect()
+        .filter(_.v2 == 4L)
+      assert(later.isEmpty, s"horizon-expired state must not pair: ${later.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes sessions on gap") {
     import spark.implicits._
     val t0 = 1700000000000L
