@@ -27,7 +27,10 @@ object Parsing {
     var omid: Option[String] = None
     for (tok0 <- tokens; tok = Cleaning.normalizeHyphens(tok0.trim) if tok.nonEmpty) {
       if (tok.toLowerCase.startsWith("omid:")) {
-        if (omid.isEmpty) omid = Some(tok.substring(5))
+        // LAST omid wins: the reference's clean_id_list overwrites
+        // `metaid` on every omid token (curator.py:769-770), so a
+        // pathological multi-omid cell resolves to its final token
+        omid = Some(tok.substring(5))
       } else {
         Cleaning.normalizeId(tok).foreach(seen += _)
       }

@@ -68,13 +68,12 @@ object IvfIndex {
       .orderBy($"c").select($"cv").as[Seq[Double]].collect().map(_.toArray)
     val corpus = s.read.parquet(s"$indexDir/corpus")
     // probe list sorted by (cos desc, centroid index asc) — the rounded
-    // argmax/oracle tie-break rule, same as ivfTopKExact
+    // argmax/oracle tie-break rule, same as ivfTopKExact; one
+    // CentroidKernel call, tensor as a codegen reference object
     val probed = queries
-      .withColumn("cdots", array(cents.indices.map(c =>
-        struct((-round(Similarity.dot($"qv", array(cents(c).map(lit): _*)), 6)).as("d"),
-          lit(c).as("c"))): _*))
-      .withColumn("probe", slice(array_sort($"cdots"), 1, nprobe))
-      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+      .select($"query_id", $"qv",
+        explode(Similarity.centroidProbes($"qv", cents, nprobe, rounded = true))
+          .as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", round(Similarity.dot($"nv", $"qv"), 6))
@@ -95,8 +94,22 @@ object IvfIndex {
   def q43Indexed(s: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3): DataFrame = {
     import s.implicits._
-    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+    // unique dir per invocation: a shared corpus-keyed path races between
+    // concurrent JVMs (one's overwrite deletes files under another's
+    // mid-flight scan) and aliases corpora on hashCode collisions. The
+    // dir must outlive this call (the returned frame scans it lazily),
+    // so cleanup is a JVM-exit hook, not a finally.
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(indexDir)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
     build(s, sfDir, indexDir, nlist)
     val queries = embeddings(s, sfDir)
       .select($"vec_id".cast("long").as("vec_id"),

@@ -239,10 +239,9 @@ object Similarity {
   /** Codegen'd argmax-of-dot-products: index (0-based) of the centroid with
     * the highest cosine against `v`. Centroids ride along as literal array
     * columns — no join, no shuffle, no UDF. */
-  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column = {
-    val dots = array(cents.map(c => dot(v, array(c.map(lit): _*))): _*)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
-  }
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    graft.plans.VectorExpressions.nearestCentroid(v, flatCents(cents),
+      cents(0).length, rounded = false)
 
   /** [[nearestCentroid]] with each cosine quantized to 6 decimals before
     * the argmax — the repo's cross-engine float rule for ORACLE-GATED
@@ -250,11 +249,49 @@ object Similarity {
     * the raw vectors while Spark dots the pre-normalized ones, so a
     * centroid near-tie could otherwise pick different cells per engine.
     * Ties after quantization resolve to the lowest centroid index on both
-    * sides (array_position's first-max here, `ORDER BY cos DESC, c` there). */
-  def nearestCentroidRounded(v: Column, cents: Array[Array[Double]]): Column = {
-    val dots = array(cents.map(c => round(dot(v, array(c.map(lit): _*)), 6)): _*)
+    * sides (the kernel's first-max, `ORDER BY cos DESC, c` there).
+    *
+    * Both assignment forms are ONE [[graft.plans.CentroidKernel]] call
+    * with the flattened tensor as a codegen reference object: the
+    * composed `array(round(dot(v, array(lit...))))` form (kept as the
+    * spec-pinned REFERENCE, [[nearestCentroidComposed]]) inlines
+    * nlist*dim literal doubles and blows janino's 64 KB method limit at
+    * production quantizer sizes (nlist ~ sqrt n — 450 cells at the 100x
+    * semantic-dedup point). */
+  def nearestCentroidRounded(v: Column, cents: Array[Array[Double]]): Column =
+    graft.plans.VectorExpressions.nearestCentroid(v, flatCents(cents),
+      cents(0).length, rounded = true)
+
+  /** Column-composed REFERENCE forms of the two assignments — the exact
+    * expressions the kernels replaced; OperatorsSpec pins kernel ==
+    * composed, cell for cell. Not for hot paths. */
+  def nearestCentroidComposed(v: Column, cents: Array[Array[Double]],
+      rounded: Boolean): Column = {
+    val dots =
+      if (rounded) array(cents.map(c => round(dot(v, array(c.map(lit): _*)), 6)): _*)
+      else array(cents.map(c => dot(v, array(c.map(lit): _*))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
+
+  private def flatCents(cents: Array[Array[Double]]): Array[Double] = {
+    val dim = cents(0).length
+    val flat = new Array[Double](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      require(cents(c).length == dim, "ragged centroid tensor")
+      System.arraycopy(cents(c), 0, flat, c * dim, dim)
+      c += 1
+    }
+    flat
+  }
+
+  /** Probe list as a kernel call — `nprobe` centroid indices by
+    * (dot desc, index asc), optionally 6-decimal-rounded (the oracle
+    * rule). Replaces the per-centroid struct-array sort composition. */
+  def centroidProbes(v: Column, cents: Array[Array[Double]], nprobe: Int,
+      rounded: Boolean): Column =
+    graft.plans.VectorExpressions.centroidProbes(v, flatCents(cents),
+      cents(0).length, nprobe, rounded)
 
   /** ANN top-k via IVF (inverted-file) coarse quantization — the other
     * standard scale path next to [[lshTopK]].
@@ -280,10 +317,8 @@ object Similarity {
     // per-query probe list: nprobe highest-cosine centroids
     val probed = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
-      .withColumn("cdots", array(cents.indices.map(c =>
-        struct(dot($"qv", array(cents(c).map(lit): _*)).as("d"), lit(c).as("c"))): _*))
-      .withColumn("probe", slice(reverse(array_sort($"cdots")), 1, nprobe))
-      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+      .select($"query_id", $"qv",
+        explode(centroidProbes($"qv", cents, nprobe, rounded = false)).as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", round(dot($"nv", $"qv"), 6))
@@ -359,10 +394,8 @@ object Similarity {
     // oracle replays them bit-identically)
     val probed = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
-      .withColumn("cdots", array(cents.indices.map(c =>
-        struct((-round(dot($"qv", array(cents(c).map(lit): _*)), 6)).as("d"), lit(c).as("c"))): _*))
-      .withColumn("probe", slice(array_sort($"cdots"), 1, nprobe))
-      .select($"query_id", $"qv", explode($"probe.c").as("cluster"))
+      .select($"query_id", $"qv",
+        explode(centroidProbes($"qv", cents, nprobe, rounded = true)).as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", round(dot($"nv", $"qv"), 6))

@@ -310,6 +310,61 @@ object VectorExpressions {
     ColumnBridge.column(FirstCollidingTable(
       ColumnBridge.expression(a), ColumnBridge.expression(b), nBits, nTables))
 
+  /** Nearest-centroid assignment over a flattened centroid tensor
+    * ([[CentroidKernel.nearest]]) — replaces the per-centroid literal
+    * column composition whose nlist*dim inlined doubles blow janino's
+    * 64 KB method limit at production quantizer sizes (nlist ~ sqrt n). */
+  case class NearestCentroid(child: Expression, cents: Array[Double],
+      dim: Int, rounded: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(dim >= 1 && cents.length % dim == 0 && cents.nonEmpty,
+      s"centroid tensor length ${cents.length} must be a positive multiple of dim $dim")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(v: Any): Any =
+      CentroidKernel.nearest(v.asInstanceOf[ArrayData], cents, dim, rounded)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("centroids", cents, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.CentroidKernel.nearest($a, $centsRef, $dim, $rounded);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def nearestCentroid(v: Column, cents: Array[Double], dim: Int,
+      rounded: Boolean): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v), cents, dim, rounded))
+
+  /** IVF probe list — the `nprobe` centroid indices by (dot desc, index
+    * asc), [[CentroidKernel.probes]] as a codegen'd expression. */
+  case class CentroidProbes(child: Expression, cents: Array[Double],
+      dim: Int, nprobe: Int, rounded: Boolean)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(dim >= 1 && cents.length % dim == 0 && cents.nonEmpty && nprobe >= 1,
+      s"centroid tensor length ${cents.length} must be a positive multiple of dim $dim; nprobe $nprobe >= 1")
+    override def inputTypes = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any =
+      CentroidKernel.probes(v.asInstanceOf[ArrayData], cents, dim, nprobe, rounded)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("centroids", cents, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.plans.CentroidKernel.probes($a, $centsRef, $dim, $nprobe, $rounded);")
+    }
+
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def centroidProbes(v: Column, cents: Array[Double], dim: Int, nprobe: Int,
+      rounded: Boolean): Column =
+    ColumnBridge.column(CentroidProbes(ColumnBridge.expression(v), cents, dim,
+      nprobe, rounded))
+
   /** Hamming distance between two packed-bit array<long> columns — one
     * XOR+popcount pass over primitive longs (extra words on the longer
     * side are ignored, mirroring [[DotProduct]]'s min-length rule). The

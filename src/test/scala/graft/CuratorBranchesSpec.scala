@@ -139,7 +139,10 @@ class CuratorBranchesSpec extends AnyFunSuite {
   test("E12: multiple omid tokens — one becomes the metaval, externals kept") {
     val (metaid, ids) = Parsing.cleanIdList(
       Seq("omid:br/0601", "omid:br/0602", "doi:10.1234/test"))
-    assert(metaid.contains("br/0601")) // engine rule: first omid wins
+    // the reference TEST accepts either omid (metaid in (0601, 0602));
+    // its IMPLEMENTATION overwrites per token (curator.py:769-770), so
+    // the engine pins last-wins — r11, was first-wins before
+    assert(metaid.contains("br/0602"))
     assert(ids == Seq("doi:10.1234/test"))
   }
 

@@ -405,6 +405,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("CentroidKernel == composed argmax/probe columns, cell for cell") {
+    // the kernels replaced per-centroid literal compositions whose
+    // nlist*dim inlined doubles blow janino at production quantizer
+    // sizes; semantics (HALF_UP round-6, first-max ties, probe order
+    // (dot desc, index asc)) must be bit-identical to the composed forms
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(Similarity.normalized($"embedding").as("nv")).limit(300)
+      .localCheckpoint()
+    val cents: Array[Array[Double]] = e.limit(11)
+      .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+    for (rounded <- Seq(true, false)) {
+      val mism = e.select(
+          Similarity.nearestCentroid($"nv", cents).as("k0"),
+          Similarity.nearestCentroidRounded($"nv", cents).as("k1"),
+          Similarity.nearestCentroidComposed($"nv", cents, rounded = false).as("c0"),
+          Similarity.nearestCentroidComposed($"nv", cents, rounded = true).as("c1"))
+        .filter($"k0" =!= $"c0" || $"k1" =!= $"c1").count()
+      assert(mism == 0, s"kernel assignment diverges from composed form")
+    }
+    // probe order vs the struct-sort composition (rounded, the oracle rule)
+    val probeMism = e.select(
+        Similarity.centroidProbes($"nv", cents, 4, rounded = true).as("k"),
+        slice(array_sort(array(cents.indices.map(c =>
+          struct((-round(Similarity.dot($"nv", array(cents(c).map(lit): _*)), 6)).as("d"),
+            lit(c).as("c"))): _*)), 1, 4).getField("c").as("c"))
+      .filter(not($"k" <=> $"c")).count()
+    assert(probeMism == 0, "kernel probe list diverges from composed sort")
+  }
+
   test("IvfIndex: persisted build+probe == in-memory exact twin; probe scan is partition-pruned") {
     // the FAISS IVF-Flat layout as a partitioned table: identical output
     // to ivfTopKExact (same quantizer), and the probe's corpus scan must
