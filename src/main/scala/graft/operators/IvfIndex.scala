@@ -58,6 +58,29 @@ object IvfIndex {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** Incremental maintenance: assign a batch of NEW vectors with the
+    * index's PERSISTED centroids and append them to the partitioned
+    * corpus — no rebuild, no full-corpus shuffle; the only cost is the
+    * new batch's assignment scan and its partitioned write. The
+    * quantizer is frozen (classic IVF practice: centroids drift slowly;
+    * rebuild on a cadence, append in between), so probes see old and new
+    * vectors through the same cell geometry. `newVectors` needs
+    * (`vec_id`, `embedding`); ids are the caller's contract — append
+    * does not dedupe against the existing corpus (pair an anti-join in
+    * front when re-ingestion is possible). */
+  def append(s: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    import s.implicits._
+    val cents: Array[Array[Double]] = s.read.parquet(s"$indexDir/centroids")
+      .orderBy($"c").select($"cv").as[Seq[Double]].collect().map(_.toArray)
+    require(cents.nonEmpty, s"IvfIndex.append: no centroids under $indexDir")
+    newVectors
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .withColumn("cluster", Similarity.nearestCentroidRounded($"nv", cents))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/corpus")
+  }
+
   /** Probe the index with `queries` (`query_id`, `qv` normalized): exact
     * top-k within the `nprobe` nearest cells per query. Same output
     * contract as [[Similarity.ivfTopKExact]]. */

@@ -450,6 +450,43 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe scan is not partition-pruned:\n${pruned.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")}")
   }
 
+  test("IvfIndex.append: build-half + append-half == one build over the full corpus") {
+    // the frozen-quantizer contract: appending with the persisted
+    // centroids must land every new vector in the same cell a full
+    // build with those centroids would pick, and probes must see old
+    // and new vectors identically
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val n = e.count()
+    val dirA = java.nio.file.Files.createTempDirectory("ivf_app_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("ivf_app_b").toString
+    // A: build on the first half (seeds come from it), append the rest
+    val half = n / 2
+    val firstHalfDir = java.nio.file.Files.createTempDirectory("ivf_half").toString
+    e.filter($"vec_id" < half).write.mode("overwrite")
+      .parquet(s"$firstHalfDir/embeddings.parquet")
+    graft.operators.IvfIndex.build(spark, firstHalfDir, dirA, nlist = 8)
+    graft.operators.IvfIndex.append(spark, dirA, e.filter($"vec_id" >= half))
+    // B: one build over the full corpus with the SAME seeds (the first 8
+    // vec_ids live in the first half, so both quantizers are identical)
+    graft.operators.IvfIndex.build(spark, dir, dirB, nlist = 8)
+    val a = spark.read.parquet(s"$dirA/corpus")
+      .select($"vec_id", $"cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = spark.read.parquet(s"$dirB/corpus")
+      .select($"vec_id", $"cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b, s"append assignments diverge from full build: ${(a diff b).take(5)} / ${(b diff a).take(5)}")
+    val queries = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"nv".as("qv"))
+    val pa = graft.operators.IvfIndex.probe(spark, dirA, queries).collect().map(_.toString).toSeq
+    val pb = graft.operators.IvfIndex.probe(spark, dirB, queries).collect().map(_.toString).toSeq
+    assert(pa == pb, "probes over appended index diverge from full build")
+  }
+
   test("sign-LSH pair emission is exactly-once: no duplicates without a distinct") {
     // the production path dropped its pair-dedup exchange — uniqueness is
     // now structural (first-colliding-table filter), so a regression here
