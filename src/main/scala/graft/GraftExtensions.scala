@@ -33,6 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Multiply(Sqrt(VectorExpressions.DotProduct(args(0), args(0))),
             Sqrt(VectorExpressions.DotProduct(args(1), args(1)))))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_hamming"),
+      info("graft_hamming",
+        "graft_hamming(a, b) - Hamming distance between packed-bit long arrays"),
+      (args: Seq[Expression]) => VectorExpressions.HammingDistance(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_levenshtein"),
+      info("graft_levenshtein",
+        "graft_levenshtein(a, b) - Myers bit-parallel Levenshtein distance"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.BitParallelLevenshtein(args(0), args(1), -1)))
   }
 }
 
@@ -52,6 +61,11 @@ object GraftFunctions {
       args => Divide(VectorExpressions.DotProduct(args(0), args(1)),
         Multiply(Sqrt(VectorExpressions.DotProduct(args(0), args(0))),
           Sqrt(VectorExpressions.DotProduct(args(1), args(1))))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hamming",
+      args => VectorExpressions.HammingDistance(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_levenshtein",
+      args => VectorExpressions.BitParallelLevenshtein(args(0), args(1), -1),
+      "scala_udf")
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -29,6 +29,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_clean_date('2020-02-50') AS d, graft_normalize_id('issn:0000-0000') AS i").head
     assert(cleaned.getString(0) == "2020-02")
     assert(cleaned.isNullAt(1))
+    val kernels = spark.sql(
+      "SELECT graft_hamming(array(0L, 7L), array(1L, 4L)) AS h, " +
+        "graft_levenshtein('kitten', 'sitting') AS l").head
+    assert(kernels.getInt(0) == 3) // xor: 1 (1 bit) + 3 (2 bits)
+    assert(kernels.getInt(1) == 3)
   }
 
   test("R2 graph diff: add/delete sets and round-trip apply") {
