@@ -294,7 +294,16 @@ object CurationBench {
         s""""checkers_sec":$tCheck""",
         s""""checkers_violations":$nViolations""",
         s""""checkers_triples":$nCheckTriples""",
-        s""""checkers_prov_snapshots":$nCheckProv""") else Seq.empty) ++
+        s""""checkers_prov_snapshots":$nCheckProv""",
+        "\"checkers_note\":\"local[" + cpus + "], " +
+          sys.env.getOrElse("SPARK_DRIVER_MEM", "8g") + " driver. " +
+          "Full Checkers.checkAll suite (7 batch checks: id existence, omid " +
+          "ownership, entity existence, provenance presence, open-snapshot " +
+          "invariant, datatype validity, misplaced editor ARs - standing in " +
+          "for check_results.py + check_rdf_files.py, ~2900 reference LoC) " +
+          "over the n-record fresh-curation world; timed region = the " +
+          "checks only, curation/emission are setup. violations=0 == the " +
+          "batch passes every check at this scale.\"") else Seq.empty) ++
       (if (scenario == "csvexport") Seq(
         s""""csvexport_sec":$tExport""",
         s""""csvexport_rows":$nExportRows""",
@@ -307,6 +316,18 @@ object CurationBench {
         s""""high_author_update_sec":$tHighUpdate""",
         s""""high_author_ars":$nHighArs""") else Seq.empty)
     println(parts.mkString("{", ",", "}"))
+    // the checkers scenario is a committed receipt (CHECKERS.json, like
+    // SCALE.json/CSVEXPORT.json) — write the artifact directly so a
+    // truncated stdout can't lose the run
+    if (scenario == "checkers") {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_CHECKERS_OUT", "CHECKERS.json")).toAbsolutePath
+      try {
+        java.nio.file.Files.writeString(outPath, parts.mkString("{", ",", "}") + "\n")
+        System.err.println(s"[checkers] artifact written to $outPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[checkers] artifact write to $outPath FAILED: $e") }
+    }
     spark.stop()
   }
 }
