@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * table). Journal volume/issue entities are folded into their articles'
   * volume/issue cells rather than exported as rows (generate_csv.py
   * skips them). Includes R4: author order reconstructed from the
-  * `hasNext` pointer chain by iterative join (pointer-chasing with a
-  * bounded frontier, `lib/finder.py:313-408`).
+  * `hasNext` pointer chain by the grouped per-(br, role) resolution in
+  * [[ArChains]] (`lib/finder.py:313-408`).
   */
 object CsvExporter {
 
@@ -44,38 +44,27 @@ object CsvExporter {
       .agg(concat_ws(" ", transform(array_sort(collect_list(struct(
         length($"id_uri"), $"id_uri", $"id_str"))), x => x.getField("id_str"))).as("ids_str"))
 
-    // R4: hasNext chain order. Heads = ARs that are nobody's next; then
-    // iterative frontier join assigns positions (bounded, cycle-safe).
+    // R4: hasNext chain order — reference-exact per-(br, role) resolution
+    // in one grouped pass ([[ArChains.resolve]]); non-chain ARs are
+    // dropped, as the reference's finder walk drops them.
     val brAr = objOf(Vocab.IsDocumentContextFor).select($"s".as("br"), $"o".as("ar"))
     val arRole = objOf(Vocab.WithRole)
       .select($"s".as("ar"), expr(s"substring(o, ${Vocab.Pro.length + 1})").as("role"))
     val arRa = objOf(Vocab.IsHeldBy).select($"s".as("ar"), $"o".as("ra"))
-    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar")).cache()
-    val heads = brAr.join(next.select($"next_ar".as("ar")), Seq("ar"), "left_anti")
-      .select($"ar").withColumn("pos", lit(1L))
-    var ordered = heads.localCheckpoint()
-    var frontier = heads
-    var iter = 0
-    var done = false
-    while (!done && iter < 100) {
-      val nxt = frontier.join(next, Seq("ar"))
-        .select($"next_ar".as("ar"), ($"pos" + 1).as("pos"))
-        .localCheckpoint()
-      if (nxt.isEmpty) done = true
-      else {
-        // a cycle would revisit an ar: drop already-ordered ones
-        frontier = nxt.join(ordered.select($"ar"), Seq("ar"), "left_anti").localCheckpoint()
-        ordered = ordered.union(frontier).localCheckpoint()
-        if (frontier.isEmpty) done = true
-      }
-      iter += 1
-    }
+    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar"))
+    val orderedRoles = ArChains.resolve(brAr, arRole, arRa, next)
 
     // RA display names
     val family = objOf(Vocab.FoafFamilyName).groupBy($"s").agg(min($"o").as("family"))
     val given = objOf(Vocab.FoafGivenName).groupBy($"s").agg(min($"o").as("given"))
     val orgName = objOf(Vocab.FoafName).groupBy($"s").agg(min($"o").as("org_name"))
     val raNames = family.join(given, Seq("s"), "full").join(orgName, Seq("s"), "full")
+      // composition matches the CURATOR side ("family, " with empty
+      // given, curator.py:734) rather than generate_csv.py:218-236's
+      // "family," ([[ArChains.csvName]]) — the reference's two tools
+      // render the degenerate family-only case differently; the engine
+      // picks the curator form on both sides so export round-trips the
+      // curated rows byte-for-byte (RdfSpec round-trip, CSVEXPORT parity).
       .withColumn("name", coalesce(
         when($"family".isNotNull,
           concat($"family", lit(", "), coalesce($"given", lit("")))),
@@ -83,9 +72,7 @@ object CsvExporter {
       .select($"s".as("ra"), $"name")
 
     // role cells: "Name [ids omid:ra/N]; ..." in hasNext order
-    val agentCells = brAr
-      .join(arRole, "ar").join(arRa, "ar")
-      .join(ordered, Seq("ar"), "left")
+    val agentCells = orderedRoles
       .join(raNames, Seq("ra"), "left")
       .join(idsOfEntity.withColumnRenamed("owner", "ra"), Seq("ra"), "left")
       .withColumn("agent_str", concat(coalesce($"name", lit("")), lit(" ["),
@@ -93,7 +80,7 @@ object CsvExporter {
           concat(lit("omid:"), shortMeta($"ra"))), lit("]")))
       .groupBy($"br", $"role")
       .agg(concat_ws("; ", transform(array_sort(collect_list(
-        struct(coalesce($"pos", lit(999999L)).as("pos"), $"ar", $"agent_str"))),
+        struct($"pos", $"ar", $"agent_str"))),
         x => x.getField("agent_str"))).as("cell"))
 
     // partOf climb: br -> p1 -> p2 -> p3 (issue -> volume -> venue chains)
@@ -130,7 +117,11 @@ object CsvExporter {
     val pages = objOf(Vocab.Embodiment).select($"s".as("br"), $"o".as("re"))
       .join(objOf(Vocab.StartingPage).select($"s".as("re"), $"o".as("sp")), Seq("re"), "left")
       .join(objOf(Vocab.EndingPage).select($"s".as("re"), $"o".as("ep")), Seq("re"), "left")
-      .withColumn("page", concat_ws("-", $"sp", $"ep"))
+      // export page rule (generate_csv.py:548-549): "sp-ep" with an empty
+      // side kept empty, emitted only when either page exists
+      .filter($"sp".isNotNull || $"ep".isNotNull)
+      .withColumn("page", concat(coalesce($"sp", lit("")), lit("-"),
+        coalesce($"ep", lit(""))))
       .select($"br", $"page")
 
     // BR rows: typed Expressions minus journal volume/issue entities and

@@ -63,36 +63,33 @@ object StoreViews {
       .select(short($"owner").as("owner_meta"), $"literal",
         short($"id_uri").as("id_meta"))
 
-    // roles with hasNext order reconstruction (R4)
+    // roles in hasNext chain order (R4): reference-exact per-(br, role)
+    // resolution — loop/multi-chain/dangling-next semantics and all — in
+    // one grouped pass (see [[ArChains]]; replaces the former global
+    // head-BFS, whose 100-hop cap truncated long chains and which kept
+    // non-chain ARs the reference drops)
     val brAr = objOf(Vocab.IsDocumentContextFor).select($"s".as("br"), $"o".as("ar"))
     val arRole = objOf(Vocab.WithRole)
       .select($"s".as("ar"), expr(s"substring(o, ${Vocab.Pro.length + 1})").as("role"))
     val arRa = objOf(Vocab.IsHeldBy).select($"s".as("ar"), $"o".as("ra"))
-    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar")).cache()
-    val heads = brAr.join(next.select($"next_ar".as("ar")), Seq("ar"), "left_anti")
-      .select($"ar").withColumn("pos", lit(1L))
-    var ordered = heads.localCheckpoint()
-    var frontier = heads
-    var iter = 0
-    var done = frontier.isEmpty
-    while (!done && iter < 100) {
-      val nxt = frontier.join(next, Seq("ar"))
-        .select($"next_ar".as("ar"), ($"pos" + 1).as("pos")).localCheckpoint()
-      frontier = nxt.join(ordered.select($"ar"), Seq("ar"), "left_anti").localCheckpoint()
-      if (frontier.isEmpty) done = true
-      else ordered = ordered.union(frontier).localCheckpoint()
-      iter += 1
-    }
-    val roles = brAr.join(arRole, "ar").join(arRa, "ar")
-      .join(ordered, Seq("ar"), "left")
-      .select(short($"br").as("br_meta"), $"role",
-        coalesce($"pos", lit(999999L)).as("pos"),
+    val next = objOf(Vocab.HasNext).select($"s".as("ar"), $"o".as("next_ar"))
+    val roles = ArChains.resolve(brAr, arRole, arRa, next)
+      .select(short($"br").as("br_meta"), $"role", $"pos",
         short($"ar").as("ar_meta"), short($"ra").as("ra_meta"))
 
     val family = objOf(Vocab.FoafFamilyName).groupBy($"s").agg(min($"o").as("family"))
     val given = objOf(Vocab.FoafGivenName).groupBy($"s").agg(min($"o").as("given"))
     val orgName = objOf(Vocab.FoafName).groupBy($"s").agg(min($"o").as("org_name"))
     val raNames = family.join(given, Seq("s"), "full").join(orgName, Seq("s"), "full")
+      // composition INTENTIONALLY matches the batch side (Curator's
+      // "family, given" with empty given -> "family, ", curator.py:734),
+      // NOT the finder's "_construct_full_name" ("family," —
+      // [[ArChains.finderFullName]], pinned in ResourceFinderCasesSpec):
+      // the AR-sequence alignment (D5) compares store names against
+      // batch names, and the reference bridges its own finder-vs-curator
+      // format skew with per-case normalization (curator.py:1019-1021);
+      // the engine instead composes both sides identically, so a
+      // reprocess is a true no-op (MetaProcessCasesSpec test 3).
       .withColumn("name", coalesce(
         when($"family".isNotNull, concat($"family", lit(", "), coalesce($"given", lit("")))),
         $"org_name"))
@@ -101,8 +98,10 @@ object StoreViews {
     val pages = objOf(Vocab.Embodiment).select($"s".as("br"), $"o".as("re"))
       .join(objOf(Vocab.StartingPage).select($"s".as("re"), $"o".as("sp")), Seq("re"), "left")
       .join(objOf(Vocab.EndingPage).select($"s".as("re"), $"o".as("ep")), Seq("re"), "left")
+      // finder page rule (finder.py:420-429): a lone starting OR ending
+      // page doubles into "p-p", not a dangling "p"
       .select(short($"br").as("br_meta"), short($"re").as("re_meta"),
-        concat_ws("-", $"sp", $"ep").as("page"))
+        concat(coalesce($"sp", $"ep"), lit("-"), coalesce($"ep", $"sp")).as("page"))
 
     val partOf = objOf(Vocab.PartOf)
       .select(short($"s").as("child_meta"), short($"o").as("parent_meta"))
