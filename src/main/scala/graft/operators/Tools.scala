@@ -78,7 +78,18 @@ object Tools {
     * `(raw volume, raw issue, venue omid, sorted venue ids)`, emitted
     * when the row has a venue id/omid and a volume or issue. One
     * Parsing-family UDF per row, then explode + distinct — the
-    * reference's ProcessPoolExecutor chunking becomes partitions. */
+    * reference's ProcessPoolExecutor chunking becomes partitions.
+    *
+    * DELIBERATE divergence: tokens are split with
+    * [[graft.curation.Parsing.splitIdTokens]] (collapses stray spaces
+    * around ':', the main curation path's E11 rule), while the
+    * reference's `extract_identifiers_and_metavals` splits on plain
+    * whitespace (`curator.py:224 ids_str.split()`), so a malformed cell
+    * like `[pmid: 123]` seeds `pmid:123` here but `pmid:` + `123` there.
+    * The collapsed form is the one the curation join keys use, so the
+    * pre-filter prunes consistently with what curation will actually
+    * match; the reference's raw split would seed an id curation itself
+    * never joins on. */
   def collectIdentifiers(input: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import input.sparkSession.implicits._
     import graft.curation.Parsing
@@ -252,28 +263,137 @@ object Tools {
     if (out == null) triples.limit(0) else out.distinct()
   }
 
-  /** D10 — post-hoc merge (`run/merge/entities.py`, `core/editor.py:190-276`):
-    * redirect every (s,p,merged) triple to the surviving entity, move the
-    * merged entities' identifiers/roles, and drop the merged subjects.
-    * `pairs` = (surviving, merged) URIs. Group transitivity (the tool's
-    * UnionFind batching) is the caller's concern — pairs here are final. */
+  /** D10 — post-hoc merge (`run/merge/entities.py`, `core/editor.py:190-276`
+    * + oc_ocdm `GraphEntity.merge`), reference-exact per the observable
+    * contract its own suite pins (`test/entity_merger_test.py`):
+    *
+    *  - inbound references to a merged entity are redirected to the
+    *    survivor (role re-assignment, entity_merger_test.py:393-402);
+    *  - `hasIdentifier` edges move and then DEDUP BY CONTENT — two ids
+    *    with the same scheme+value collapse to the lowest-numbered id
+    *    entity, whose orphaned twin is purged
+    *    (test_merge_with_conflicting_data:830-838);
+    *  - non-BR merges take the MERGED entity's functional values, last
+    *    merged (by `ord`) winning, replacing the survivor's
+    *    (test_merge_authors_with_real_data name "John Smith"->"J. Smith";
+    *    test_merge_multiple_entities "should take the last merged name");
+    *  - BR merges (both `fabio:Expression` — editor.py:266-276
+    *    `prefer_self=True`) keep the survivor's literals/embodiment,
+    *    adopting the merged's only where the survivor has none — EXCEPT
+    *    `frbr:partOf`, where the merged's container replaces the
+    *    survivor's (test_merge_bibliographic_resources:1124-1130 pins
+    *    partOf == the merged side's volume while embodiment stays the
+    *    survivor's);
+    *  - everything else of the merged subjects (rdf:type, leftover
+    *    literals) drops with them.
+    *
+    * `pairs` = (surviving, merged) full URIs, optional `ord` (the CSV list
+    * position; defaults to the merged entity's resource number). Group
+    * transitivity (the tool's UnionFind batching) is the caller's
+    * concern — pairs here are final. One pass of equi-joins; no
+    * driver-side state. */
   def applyMerges(triples: DataFrame, pairs: DataFrame): DataFrame = {
     import triples.sparkSession.implicits._
-    val redirect = pairs.select($"merged".as("from"), $"surviving".as("to"))
-    val objRedirected = triples
-      .join(redirect, triples("o") === redirect("from"), "left")
+    val v = graft.rdf.Vocab
+    val pr = (if (pairs.columns.contains("ord"))
+        pairs.select($"surviving", $"merged", $"ord".cast("long").as("ord"))
+      else pairs.select($"surviving", $"merged",
+        when($"merged".rlike("[0-9]+$"),
+          regexp_extract($"merged", "([0-9]+)$", 1).cast("long"))
+          .otherwise(lit(0L)).as("ord")))
+      .localCheckpoint()
+
+    // prefer-self dispatch: both sides typed fabio:Expression = BR merge
+    val exprSubs = triples
+      .filter($"p" === v.RdfType && $"o" === v.Expression)
+      .select($"s").distinct().localCheckpoint()
+    val prBr = pr
+      .join(exprSubs.select($"s".as("surviving")), Seq("surviving"), "left_semi")
+      .join(exprSubs.select($"s".as("merged")), Seq("merged"), "left_semi")
+      .withColumn("is_br", lit(true))
+    val prTyped = pr.join(prBr.select($"surviving", $"merged", $"is_br"),
+      Seq("surviving", "merged"), "left")
+      .withColumn("is_br", coalesce($"is_br", lit(false)))
+      .localCheckpoint()
+
+    // 1. redirect inbound references (IRI objects only)
+    val redirect = prTyped.select($"merged".as("from"), $"surviving".as("to"))
+    val base = triples
+      .join(redirect, triples("o") === redirect("from") &&
+        triples("o_datatype").isNull, "left")
       .withColumn("o", coalesce($"to", $"o")).drop("from", "to")
-    val subjRedirected = objRedirected
-      .join(redirect, objRedirected("s") === redirect("from"), "left")
-      // identifier/role/partOf edges move to the survivor; type and
-      // literal facts of the merged entity are dropped with it
-      .withColumn("keep", $"to".isNull ||
-        col("p").isin(graft.rdf.Vocab.HasIdentifier,
-          graft.rdf.Vocab.IsDocumentContextFor, graft.rdf.Vocab.Embodiment))
-      .filter($"keep")
-      .withColumn("s", coalesce($"to", $"s"))
-      .drop("from", "to", "keep")
-    subjRedirected.distinct()
+
+    // 2. split: outgoing triples of merged subjects vs the rest
+    val mergedOut = base.join(
+        prTyped.select($"merged".as("s"), $"surviving", $"ord", $"is_br"), Seq("s"))
+      .select($"surviving", $"p", $"o", $"o_datatype", $"ord", $"is_br")
+    val rest = base.join(prTyped.select($"merged".as("s")), Seq("s"), "left_anti")
+
+    // functional value-set: the properties oc_ocdm merge carries over
+    val funcProps = Seq(v.FoafName, v.FoafGivenName, v.FoafFamilyName,
+      v.Title, v.PublicationDate, v.HasSequenceIdentifier,
+      v.HasLiteralValue, v.UsesIdentifierScheme, v.StartingPage, v.EndingPage)
+
+    def lastOrdPerProp(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"surviving", $"p")
+      df.withColumn("mx", max($"ord").over(w)).filter($"ord" === $"mx")
+        .select($"surviving".as("s"), $"p", $"o", $"o_datatype")
+    }
+
+    val movedIds = mergedOut.filter($"p" === v.HasIdentifier)
+      .select($"surviving".as("s"), $"p", $"o", $"o_datatype")
+    val movedRoles = mergedOut.filter($"p" === v.IsDocumentContextFor)
+      .select($"surviving".as("s"), $"p", $"o", $"o_datatype")
+    // non-BR: merged's functional values REPLACE the survivor's
+    val replWinners = lastOrdPerProp(
+      mergedOut.filter(!$"is_br" && $"p".isin(funcProps: _*)))
+    // BR: complement-fill only (survivor keeps its own values)
+    val survHasProp = rest.select($"s".as("surviving"), $"p").distinct()
+    val fillWinners = lastOrdPerProp(
+      mergedOut.filter($"is_br" &&
+          ($"p".isin(funcProps: _*) || $"p" === v.Embodiment))
+        .join(survHasProp, Seq("surviving", "p"), "left_anti"))
+    // partOf: the merged side's container wins for BRs, replaces for all
+    val partOfWinners = lastOrdPerProp(mergedOut.filter($"p" === v.PartOf))
+
+    val replacedSP = replWinners.select($"s", $"p")
+      .unionByName(partOfWinners.select($"s", $"p")).distinct()
+    val kept = rest.join(replacedSP, Seq("s", "p"), "left_anti")
+    val merged0 = kept
+      .unionByName(movedIds).unionByName(movedRoles)
+      .unionByName(replWinners).unionByName(fillWinners)
+      .unionByName(partOfWinners)
+      .distinct()
+
+    // 3. id content dedup: same (scheme, value) under one owner collapses
+    // to the lowest-numbered id entity; orphaned twins are purged
+    val idContent = merged0.filter($"p" === v.UsesIdentifierScheme)
+      .select($"s".as("id_uri"), $"o".as("scheme"))
+      .join(merged0.filter($"p" === v.HasLiteralValue)
+        .select($"s".as("id_uri"), $"o".as("value")), Seq("id_uri"))
+    val owned = merged0.filter($"p" === v.HasIdentifier)
+      .select($"s".as("owner"), $"o".as("id_uri"))
+      .join(idContent, Seq("id_uri"), "left")
+    val idW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"owner", $"scheme", $"value")
+    val dupEdges = owned.filter($"scheme".isNotNull)
+      .withColumn("keep_uri", min($"id_uri").over(idW))
+      .filter($"id_uri" =!= $"keep_uri")
+      .select($"owner", $"id_uri").localCheckpoint()
+    if (dupEdges.isEmpty) merged0
+    else {
+      val deduped = merged0.join(
+        dupEdges.select($"owner".as("s"), $"id_uri".as("o"),
+          lit(v.HasIdentifier).as("p")), Seq("s", "p", "o"), "left_anti")
+      // purge dropped id entities nothing references anymore
+      val stillRef = deduped.filter($"p" === v.HasIdentifier)
+        .select($"o".as("id_uri")).distinct()
+      val orphans = dupEdges.select($"id_uri")
+        .join(stillRef, Seq("id_uri"), "left_anti")
+      deduped.join(orphans.select($"id_uri".as("s")), Seq("s"), "left_anti")
+        .distinct()
+    }
   }
 
   /** `run/merge/group_entities.py`: split a merge-row batch into
