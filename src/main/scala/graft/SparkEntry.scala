@@ -43,6 +43,8 @@ object SparkEntry {
     // corpus-sized operating point (Dedup.lshAutoParams) — same exact
     // oracle: the 4e-8 miss budget holds at every derived (bands, rows)
     "q22_lsh_match_score_auto" -> (TQ.q22LshMatchScoreAuto _),
+    // D11 end-to-end: Crossref API parse (S13) -> weighted match score
+    "q60_crossref_match" -> (TQ.q60CrossrefMatch _),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     // the ORACLE anchor runs uncapped so its documented behavior can
     // never diverge from its own oracle; the production dfCap variant is
@@ -150,6 +152,7 @@ object SparkEntry {
     "q21_match_score" -> TQ.q21Sql,
     "q22_lsh_match_score" -> TQ.q22Sql,
     "q22_lsh_match_score_auto" -> TQ.q22Sql,
+    "q60_crossref_match" -> TQ.q60Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,

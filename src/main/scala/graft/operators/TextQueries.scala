@@ -431,6 +431,82 @@ object TextQueries {
         |SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2, round(jac, 6) AS jac, score
         |FROM sc WHERE score >= 25.0 ORDER BY k1, k2""".stripMargin
 
+  /** q60 — the D11 chain END-TO-END as one oracle row: Crossref
+    * works-API response parsing ([[graft.sources.CrossrefMeta
+    * .fromMessages]], S13) feeding the reference's full weighted
+    * matching score (G6/J12, `lib/bibliographic_matching.py:86-259`)
+    * against store-side candidate metadata — the parse -> block ->
+    * score flow `find_broken_dois.py` runs per unresolved DOI.
+    *
+    * Deterministic message construction from `part` (one API response
+    * per record, partkey < 200), with the messiness the extraction
+    * rules exist for: padded mixed-case titles (lower+trim), padded
+    * given names (trim, case kept), ISSN arrays empty on 2/3 of rows
+    * (get(0) -> null -> ""), year via issued.date-parts[0][0], page as
+    * "start-end" split at the FIRST hyphen. The extracted ten fields
+    * then score against the q21 store metadata within a
+    * title-first-letter block. Pure column arithmetic end-to-end — the
+    * DuckDB oracle replays the chain by computing the extracted values
+    * directly from `part`, so a hash match proves parse ∘ score ==
+    * direct computation (the extraction rules themselves are
+    * additionally fixture-golden in BiblioMatchGoldenSpec). */
+  def q60CrossrefMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val msgs = part(s, dir)
+      .filter($"p_partkey" < 200)
+      .select(struct(
+        concat(lit("10.1/"), $"p_partkey").as("DOI"),
+        array(concat(lit("  "), initcap($"p_name"), lit("   "))).as("title"),
+        array(struct(upper($"p_type").as("family"),
+          concat(lit(" "), $"p_type", lit(" ")).as("given"))).as("author"),
+        struct(array(array($"p_size".cast("long"))).as("date-parts")).as("issued"),
+        array(upper(reverse($"p_name"))).as("container-title"),
+        when($"p_size" % 3 === 0, array($"p_type"))
+          .otherwise(array().cast("array<string>")).as("ISSN"),
+        ($"p_size" % 10).cast("string").as("volume"),
+        ($"p_partkey" % 5).cast("string").as("issue"),
+        concat(($"p_size" * 10).cast("string"), lit("-"),
+          ($"p_size" * 10 + $"p_partkey" % 3).cast("string")).as("page"))
+        .as("message"))
+    val cx = graft.sources.CrossrefMeta.fromMessages(msgs)
+      .withColumn("blk", lower(substring($"title", 1, 1)))
+    val m = biblioMeta(s, dir)
+      .withColumn("blk", lower($"blk"))
+    def side(df: DataFrame, n: String, keep: Seq[String]) =
+      df.select((keep.map(col) ++ df.columns.filterNot(keep.contains)
+        .map(c => col(c).as(s"${c}_$n"))): _*)
+    side(cx, "a", Seq("blk")).join(side(m, "b", Seq("blk")), Seq("blk"))
+      .withColumn("score", graft.functions.BiblioMatch.matchingScore(
+        $"family_a", $"family_b", $"given_a", $"given_b",
+        $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
+        $"year_a", $"year_b", $"volume_a", $"volume_b",
+        $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
+        $"end_page_a", $"end_page_b"))
+      .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
+      .select($"doi_a".as("doi"), $"p_partkey_b".cast("long").as("k2"), $"score")
+      .orderBy($"doi", $"k2")
+  }
+
+  val q60Sql: String =
+    "WITH m AS (\n  " + metaSqlCte + "\n" +
+      """), cx AS (
+        |  SELECT '10.1/'||p_partkey AS doi, lower(p_name) AS title,
+        |    lower(p_type) AS family, p_type AS given,
+        |    CAST(p_size AS VARCHAR) AS year, reverse(lower(p_name)) AS venue,
+        |    CASE WHEN p_size % 3 = 0 THEN p_type ELSE '' END AS issn,
+        |    CAST(p_size % 10 AS VARCHAR) AS volume,
+        |    CAST(p_partkey % 5 AS VARCHAR) AS issue,
+        |    CAST(p_size * 10 AS VARCHAR) AS start_page,
+        |    CAST(p_size * 10 + p_partkey % 3 AS VARCHAR) AS end_page
+        |  FROM part WHERE p_partkey < 200
+        |), sc AS (
+        |  SELECT a.doi, b.p_partkey AS k2,
+        |    """.stripMargin + scoreSqlExpr + """ AS score
+        |  FROM cx a JOIN m b ON substr(a.title, 1, 1) = lower(b.blk)
+        |)
+        |SELECT doi, CAST(k2 AS BIGINT) AS k2, score
+        |FROM sc WHERE score >= 25.0 ORDER BY doi, k2""".stripMargin
+
   /** q20 — J6/G3: first-non-empty propagation per entity (curator.py
     * 1370-1386): earliest non-empty props value per user. */
   def q20FirstNonEmpty(s: SparkSession, dir: String): DataFrame = {
