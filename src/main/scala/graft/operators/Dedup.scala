@@ -554,6 +554,27 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Banded rows for bands [lo, hi) ONLY of the full (bands, rows)
+    * operating point: the affine-permutation table is sliced, so the
+    * minhash kernel computes exactly this slice's hashes (total CPU
+    * across all slices == one full-signature pass; the only repeated
+    * work is re-iterating each doc's base-hash array once per slice).
+    * Band keys/seeds use ABSOLUTE band indices, so the union over slices
+    * is row-identical to [[bandedSignatures]] of the full point. */
+  private def bandedSignaturesSlice(sets: DataFrame, bands: Int, rows: Int,
+      lo: Int, hi: Int): DataFrame = {
+    import sets.sparkSession.implicits._
+    val params = affineParams(bands * rows).slice(lo * rows, hi * rows)
+    val sig = graft.plans.VectorExpressions.minhashSig(
+      shingleBaseHashes($"hv"), params.map(_._1).toArray,
+      params.map(_._2).toArray, MinhashPrime)
+    sets.select($"doc_id", sig.as("sig"))
+      .select($"doc_id", posexplode(transform(sequence(lit(0), lit(hi - lo - 1)),
+        b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b + lit(lo))))
+        .as(Seq("band_local", "bh")))
+      .select($"doc_id", ($"band_local" + lit(lo)).as("band"), $"bh")
+  }
+
   /** Corpus-sized MinHash-LSH (bands, rows) operating point for a
     * J >= `threshold` funnel — the q34_lsh_auto treatment applied to
     * set-similarity banding. Holding (bands, rows) FIXED while the corpus
@@ -602,21 +623,76 @@ object Dedup {
       k1: String, k2: String): DataFrame =
     pairs.repartition(parts, col(k1), col(k2)).distinct()
 
-  private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
+  /** One node's banded-frame envelope per band-join pass (rows): past
+    * this the frame is generated and joined in bounded BAND-GROUP slices
+    * instead of one piece. 256 M rows x ~24 B ≈ 6 GB of exchange per
+    * slice — well inside the measured disk budget even with a slice's
+    * shuffle files lingering until the next GC. At the q22_auto 100x
+    * point (n = 2 M records, ~1082 bands -> 2.2 B banded rows, the ~35 GB
+    * single-piece frame that exceeded the node, SCALE.json r11 _note)
+    * this yields ~9 slices of ~128 bands each. */
+  private[graft] val MaxBandedRowsPerPass = 256000000L
+
+  private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame =
+    lshCandidatePairsSliced(sets, bands, rows, MaxBandedRowsPerPass)
+
+  /** LSH candidate pairs with the banded frame bounded per pass. The
+    * band-group decomposition is loss-free AND exact: a pair's candidacy
+    * is a union over per-band collisions, so generating bands [lo, hi)
+    * per slice, deduping within the slice, and deduping the slice union
+    * yields the IDENTICAL pair set (the per-band miss-budget law — and
+    * hence every oracle — is untouched). Per-slice cost: one bounded
+    * exchange (the slice's banded rows, self-join reuses it via
+    * ReuseExchange) + an answer-mass-sized localCheckpoint of the
+    * slice's deduped pairs; the slice's shuffle files become garbage as
+    * soon as its pairs materialize, and an explicit GC beat between
+    * slices lets the ContextCleaner reap them before the next slice
+    * writes (the r11 dead-shuffle-file lesson). On a cluster the slices
+    * are trivially independent jobs; on one node they bound peak disk to
+    * ~2 slices of exchange instead of the whole frame. */
+  private[graft] def lshCandidatePairsSliced(sets: DataFrame, bands: Int,
+      rows: Int, maxBandedRows: Long): DataFrame = {
     import sets.sparkSession.implicits._
-    val banded = bandedSignatures(sets, bands, rows)
-    // banded is localCheckpointed — the count is a cached-scan, not a
-    // recompute. Repartitioning BY THE JOIN KEYS means the join reuses
-    // this exchange (distribution requirement already satisfied).
-    val nBanded = banded.count()
-    val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
-      math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
-    val keyed = banded.repartition(parts, $"band", $"bh")
-    dedupPairs(
-      keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
-      parts, "d1", "d2")
+    val nDocs = sets.count() // sets is cached by every caller
+    if (nDocs * bands <= maxBandedRows) {
+      val banded = bandedSignatures(sets, bands, rows)
+      // banded is localCheckpointed — the count is a cached-scan, not a
+      // recompute. Repartitioning BY THE JOIN KEYS means the join reuses
+      // this exchange (distribution requirement already satisfied).
+      val nBanded = banded.count()
+      val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
+        math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
+      val keyed = banded.repartition(parts, $"band", $"bh")
+      dedupPairs(
+        keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+            $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
+        parts, "d1", "d2")
+    } else {
+      val bandsPerSlice = math.max(1, (maxBandedRows / math.max(1L, nDocs)).toInt)
+      val sliceRows = nDocs * bandsPerSlice
+      val parts = math.max(sets.sparkSession.sparkContext.defaultParallelism,
+        math.min(4096, (sliceRows / BandJoinRowsPerPartition).toInt + 1))
+      val slices = (0 until bands by bandsPerSlice).map { lo =>
+        val hi = math.min(bands, lo + bandsPerSlice)
+        val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
+          .repartition(parts, $"band", $"bh")
+        val pairs = dedupPairs(
+          keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+              $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+            .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
+          parts, "d1", "d2")
+          .localCheckpoint() // eager: the slice executes HERE, bounded
+        // the slice's ShuffleDependency is unreachable now — collect it
+        // so its files free before the next slice writes its own; only
+        // worth the beat when a slice's exchange is actually disk-sized
+        if (sliceRows >= 64000000L) { System.gc(); Thread.sleep(1000) }
+        pairs
+      }
+      // cross-slice dedup: a pair colliding in bands of two slices
+      // appears once per slice — same post-exchange distinct discipline
+      dedupPairs(slices.reduce(_ unionByName _), parts, "d1", "d2")
+    }
   }
 
   /** 64-bit SimHash of the token multiset — Scala REFERENCE implementation
@@ -777,6 +853,21 @@ object Dedup {
       math.ceil(nSigBits * p + 2.0 * math.sqrt(nSigBits * p * (1 - p))).toInt)
   }
 
+  /** q34_lsh — banded sign-LSH near-dup pairs with the staged Hamming
+    * verify.
+    *
+    * BEHAVIOR CHANGE (r11, applies to the registered
+    * q34_lsh_embedding_pairs / q45_lsh_embedding_clusters and the _auto
+    * twins alike): the +2-sigma Hamming prefilter ([[hammingCutoff]])
+    * drops a qualifying pair sitting EXACTLY at the cosine threshold
+    * with ~2.3% probability (cos >= 0.5 with 0.05%, cos >= 0.55
+    * effectively never) — on top of the ~20% table-miss rate these
+    * fixed parameters always had. Spec floor: >=95% retention at the
+    * boundary, zero measured loss at cos >= 0.55 (OperatorsSpec).
+    * Consumers needing the r10 admit-everything behavior at the
+    * boundary should use the exact anchor (q34/q45) — the tradeoff buys
+    * the answer-mass-shaped vector fetch that keeps the 100x rung on
+    * disk (SCALE.json). */
   def embeddingCosinePairsLsh(s: SparkSession, dir: String,
       threshold: Double = 0.45, dim: Int = 64,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {

@@ -179,12 +179,13 @@ object ScaleBench {
       ("q45_lsh_auto_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLshAuto(s, d), 100),
       ("q57_sqrtn_semantic_dedup", (s: SparkSession, d: String) => Dedup.semanticDedupSqrtN(s, d), 100),
       ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScore(s, d), 10),
-      // q22_auto follows the standard minhash-LSH cost law (rows ~ log10 n,
-      // bands ~ n^rho * 17, rho = ln2/ln10): at n = 2M records that is
-      // ~1100 bands -> a ~35 GB banded frame, beyond this single node's
-      // disk/time envelope though trivially partitionable on a cluster —
-      // its law is measured at {1x, 10x} (see the artifact note)
-      ("q22_lsh_match_score_auto", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreAuto(s, d), 10),
+      // q22_auto (r12): the ~1082-band banded frame at n = 2 M (~35 GB,
+      // past one node's envelope in one piece) is now generated and
+      // joined in bounded band-group slices (Dedup.MaxBandedRowsPerPass,
+      // ~9 slices of ~128 bands), each an independent bounded exchange —
+      // candidate set identical by the per-band union law, so the
+      // oracle-exact funnel is untouched and the op runs the full ladder
+      ("q22_lsh_match_score_auto", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreAuto(s, d), 100),
       ("pipeline", (s: SparkSession, d: String) => DocumentPipeline.curate(s, d), 100),
       // the bibliographic curation pipeline itself (SURVEY §2.4/§2.6/§2.7
       // chain): n = 10000*f synthetic records fresh-curated, triples
@@ -254,6 +255,68 @@ object ScaleBench {
       }.mkString(",") + "}"
     }.mkString(",")
     out ++= "},"
+
+    // ---- IVF index rung (largest factor's embedding corpus) -----------
+    // The persisted index's 100 TB claim is probe cost by STORAGE LAYOUT:
+    // build once (the only full-corpus shuffle), probe via broadcast
+    // probe-list + DPP-pruned partition scan, append without rebuild.
+    // This measures all three phases at the top rung and captures the
+    // executed probe plan's dynamic-pruning receipt (PlanProbe's check,
+    // as a committed number instead of an eyeballed plan dump).
+    {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{IvfIndex, Similarity}
+      val fMax = factors.last
+      val dirMax = s"/tmp/graft_scale/x$fMax"
+      val idxDir = s"/tmp/graft_scale/ivf_x$fMax"
+      val nVec = 2000L * fMax
+      val nlist = math.max(8, math.sqrt(nVec.toDouble).toInt)
+      clearStorage(); listener.reset()
+      val tB = System.nanoTime()
+      IvfIndex.build(spark, dirMax, idxDir, nlist,
+        deterministicSeeds = false, iters = 3)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val buildSpill = { org.apache.spark.GraftSparkInternals
+        .drainListenerBus(spark.sparkContext); listener.spillDisk }
+      // probe: 100-query batch, AQE off so the executed plan is plain and
+      // the scan's partition metric is directly readable (DPP itself does
+      // not need AQE)
+      clearStorage(); listener.reset()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (probeSec, probeRows, dpp, partsRead) = try {
+        val queries = spark.read.parquet(s"$dirMax/embeddings.parquet")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            Similarity.normalized(col("embedding")).as("nv"))
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("nv").as("qv"))
+        val probeDf = IvfIndex.probe(spark, idxDir, queries, k = 5, nprobe = 8)
+        val tP = System.nanoTime()
+        val n = probeDf.count()
+        val sec = (System.nanoTime() - tP) / 1e9
+        val plan = probeDf.queryExecution.executedPlan
+        val nDpp = "dynamicpruning".r.findAllIn(plan.toString).length
+        val parts = try plan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metrics.contains("numPartitions") =>
+            f.metrics("numPartitions").value
+        }.foldLeft(-1L)(math.max) catch { case _: Throwable => -1L }
+        (sec, n, nDpp, parts)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // append: a 1% batch assigned with the FROZEN persisted quantizer —
+      // no rebuild, no full-corpus shuffle
+      clearStorage(); listener.reset()
+      val newBatch = genEmbeddings(spark, math.max(100, (nVec / 100).toInt),
+          seed = 123L)
+        .select((col("vec_id") + lit(10L * nVec)).as("vec_id"), col("embedding"))
+      val tA = System.nanoTime()
+      IvfIndex.append(spark, idxDir, newBatch)
+      val appendSec = (System.nanoTime() - tA) / 1e9
+      out ++= s""""ivf_index":{"at_factor":$fMax,"n_vectors":$nVec,"nlist":$nlist,""" +
+        s""""build_sec":$buildSec,"build_spill":$buildSpill,""" +
+        s""""probe_sec":$probeSec,"probe_rows":$probeRows,""" +
+        s""""probe_dynamicpruning":$dpp,"probe_partitions_read":$partsRead,""" +
+        s""""append_sec":$appendSec},"""
+    }
     // growth factors between the first scale and the LAST scale each op
     // actually ran at (capped gate anchors stop early) — recorded as
     // {"ratio": t_last/t_first, "at": data_ratio_for_that_op}
@@ -273,10 +336,13 @@ object ScaleBench {
       driverMem + " driver, AQE wide exchanges " +
       "(initialPartitionNum=16*cpus). Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
-      "mass ~n^2/2^bits is the measured blowup they anchor); q22_auto stops at " +
-      "10x because its minhash-LSH cost law (rows~log10 n, bands~17*n^0.30) " +
-      "puts the n=2M banded frame (~1100 bands, ~35 GB) beyond one node's " +
-      "envelope while remaining trivially partitionable on a cluster. " +
+      "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto runs " +
+      "the full ladder since r12: its n=2M banded frame (~1082 bands, ~35 GB " +
+      "in one piece) is generated and joined in bounded band-group slices " +
+      "(Dedup.lshCandidatePairsSliced, 256M banded rows ~ 6 GB exchange per " +
+      "slice, ~9 slices, GC beat between slices reaps each slice's shuffle " +
+      "files) — the candidate set is identical by the per-band union law, " +
+      "so the q22_auto oracle row stays exact. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +
@@ -290,7 +356,14 @@ object ScaleBench {
       "q57_sqrtn remains the cheaper pair generator on clustered corpora. " +
       "curation_fresh (r11) is the bibliographic pipeline at n=10000*f " +
       "records (fresh curation + triples emission + prov snapshots, no " +
-      "warmup pass): x100 = n=1M, an order past CURATION_BENCH_100K.\""
+      "warmup pass): x100 = n=1M, an order past CURATION_BENCH_100K. " +
+      "ivf_index (r12) measures the persisted IVF-Flat index at the top " +
+      "rung: k-means build (nlist~sqrt n, partitionBy(cluster) = the only " +
+      "full-corpus shuffle), a 100-query probe whose executed plan's " +
+      "dynamic-pruning count and partitions-read metric are recorded " +
+      "(probe scans ~union of probed inverted lists, not the corpus; AQE " +
+      "off for that one query so the scan metric is readable), and a 1% " +
+      "append through the frozen quantizer (no rebuild).\""
     out ++= "}"
     println(out.toString)
     val outPath = java.nio.file.Paths.get(

@@ -29,6 +29,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("band-group-sliced candidate generation equals the single-piece frame") {
+    import org.apache.spark.sql.functions._
+    // same sets frame the q32/q42/q52 funnels build
+    val sets = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingleHashes(col("text"), 5).as("hv"))
+      .filter(size(col("hv")) > 0)
+      .cache()
+    sets.count()
+    def pairSet(maxBandedRows: Long) =
+      Dedup.lshCandidatePairsSliced(sets, 32, 4, maxBandedRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = pairSet(Long.MaxValue)          // single-piece path
+    val sliced = pairSet(sets.count() * 5)      // forces ~7 slices of 5 bands
+    val oneBand = pairSet(1L)                   // degenerate: 1 band per slice
+    assert(whole.nonEmpty)
+    assert(sliced == whole, "band-group slicing must be loss-free and exact")
+    assert(oneBand == whole)
+    sets.unpersist()
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs (full recall at tau=0.8)") {
     val exact = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
