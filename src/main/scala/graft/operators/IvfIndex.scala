@@ -110,30 +110,41 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  // One deterministic-seed index per (sfDir, nlist) per JVM: repeated
+  // q43Indexed invocations (bench ladders, query-registry loops) reuse
+  // the build instead of writing a fresh full-corpus copy each time —
+  // the build is idempotent for fixed seeds, so reuse is exact. The
+  // temp dir stays unique per JVM (concurrent JVMs never share a path)
+  // and ONE shutdown hook reaps every cached index.
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      indexCache.values().forEach { dir =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }))
+
   /** The registered q43_ann_ivf_indexed entry: deterministic-seed build
-    * into a per-corpus temp dir, then probe with the first 10 vectors —
-    * output identical to [[Similarity.ivfTopKExact]], gated by the SAME
-    * DuckDB oracle ([[Similarity.q43ExactSql]]). */
+    * into a per-(corpus, nlist) cached temp dir (built once per JVM),
+    * then probe with the first 10 vectors — output identical to
+    * [[Similarity.ivfTopKExact]], gated by the SAME DuckDB oracle
+    * ([[Similarity.q43ExactSql]]). */
   def q43Indexed(s: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 8, nprobe: Int = 3): DataFrame = {
     import s.implicits._
-    // unique dir per invocation: a shared corpus-keyed path races between
-    // concurrent JVMs (one's overwrite deletes files under another's
-    // mid-flight scan) and aliases corpora on hashCode collisions. The
-    // dir must outlive this call (the returned frame scans it lazily),
-    // so cleanup is a JVM-exit hook, not a finally.
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(indexDir)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }))
-    build(s, sfDir, indexDir, nlist)
+    cleanupHook
+    val indexDir = indexCache.computeIfAbsent((sfDir, nlist), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      build(s, sfDir, dir, nlist)
+      dir
+    })
     val queries = embeddings(s, sfDir)
       .select($"vec_id".cast("long").as("vec_id"),
         Similarity.normalized($"embedding").as("nv"))

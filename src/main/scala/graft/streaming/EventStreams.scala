@@ -145,7 +145,10 @@ object EventStreams {
   final case class EmbRow(vec_id: Long, ingest_ts: java.sql.Timestamp,
     bucket: Long, sg: Seq[Long])
   final case class EmbBucketState(docs: List[(Long, Seq[Long], Long)]) // (vec_id, sg, ingestMs)
-  final case class VerifiedPair(v1: Long, v2: Long, table: Int, ham: Int)
+  /** `ingest_ts` = the LATER vector's event time (the pair forms when it
+    * arrives) — a valid watermark basis for downstream dedup/joins. */
+  final case class VerifiedPair(v1: Long, v2: Long, table: Int, ham: Int,
+    ingest_ts: java.sql.Timestamp)
 
   /** Streaming embedding near-dup gate — the sign-LSH twin of
     * [[nearDupCandidates]], with the r11 staged-verify discipline carried
@@ -161,7 +164,12 @@ object EventStreams {
     * tables) memory, independent of history. A pair colliding in
     * several tables is emitted per table (arrival order differs per
     * bucket, so the batch path's first-colliding-table trick does not
-    * apply); `table`/`ham` columns let downstream dedupe or rank. */
+    * apply); `table`/`ham` columns let downstream dedupe or rank.
+    * NOTE for counting/joining consumers: use
+    * [[embeddingNearDupPairsDistinct]] — it bounds the dedup state by
+    * the fact that ALL of a pair's duplicate emissions share one
+    * micro-batch (the later vector's arrival feeds every table's bucket
+    * in the same batch), so a within-watermark key dedup is complete. */
   def embeddingNearDupPairs(docs: DataFrame, dim: Int = 64,
       nBits: Int = 4, nTables: Int = 8, threshold: Double = 0.45,
       watermark: String = "1 hour",
@@ -204,7 +212,7 @@ object EventStreams {
                   }
                   if (ham <= cut)
                     out += VerifiedPair(math.min(d, a.vec_id),
-                      math.max(d, a.vec_id), table, ham)
+                      math.max(d, a.vec_id), table, ham, a.ingest_ts)
                 }
                 docs = (a.vec_id, asg, ms) :: docs
               }
@@ -217,6 +225,36 @@ object EventStreams {
           }
       }
   }
+
+  /** [[embeddingNearDupPairs]] with exactly-once pair emission: the
+    * per-table duplicates are collapsed by a watermark-bounded key dedup
+    * on (v1, v2). Correct AND bounded because every duplicate emission
+    * of a pair lands in ONE micro-batch — the later vector's arrival is
+    * exploded to all nTables buckets inside the same batch, and a pair
+    * can never re-form later (both ids are then in state, and in-state
+    * ids are not re-paired) — so `dropDuplicatesWithinWatermark` holds a
+    * pair key only until the watermark passes its `ingest_ts`:
+    * O(pair rate x watermark) state, not all-history. The surviving
+    * row's `table`/`ham` are whichever duplicate won; rank-sensitive
+    * consumers should use the raw per-table stream.
+    *
+    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false` for the query: Spark's static checker rejects any
+    * stateful op downstream of flatMapGroupsWithState because fMGWS MAY
+    * emit rows older than the watermark. This gate cannot: every
+    * emission carries the CURRENT arrival's `ingest_ts`, and that
+    * arrival already passed the upstream watermark filter — so no
+    * emission is ever late to the dedup and the check is pessimistic
+    * here. */
+  def embeddingNearDupPairsDistinct(docs: DataFrame, dim: Int = 64,
+      nBits: Int = 4, nTables: Int = 8, threshold: Double = 0.45,
+      watermark: String = "1 hour",
+      horizonMs: Long = 60L * 60 * 1000): DataFrame =
+    embeddingNearDupPairs(docs, dim, nBits, nTables, threshold, watermark,
+      horizonMs)
+      .toDF()
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("v1", "v2")
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)

@@ -160,6 +160,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("distinct embedding gate emits exactly one row per pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val rnd = new scala.util.Random(99)
+    val v = Seq.fill(64)(rnd.nextGaussian())
+    val out = EventStreams.embeddingNearDupPairsDistinct(
+      in.toDF().toDF("vec_id", "embedding", "ingest_ts"),
+      watermark = "10 minutes", horizonMs = 10L * 60 * 1000)
+    // the gate's emissions are never late to the dedup (see the
+    // operator's scaladoc) — the static chained-stateful-op check is
+    // pessimistic here and documented as a requirement of this operator
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = out.writeStream.format("memory").queryName("embdup_distinct_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      in.addData((1L, v, ts(t0)), (2L, v, ts(t0 + 60 * 1000)))
+      q.processAllAvailable()
+      // identical vectors collide in all 8 tables — the raw gate emits 8
+      // rows (asserted above); the distinct wrapper must emit exactly 1
+      val rows = spark.table("embdup_distinct_out")
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L)),
+        s"expected exactly one (1,2) emission, got ${rows.toSeq}")
+    } finally {
+      q.stop()
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    }
+  }
+
+  test("embedding gate state is horizon-bounded: expired buckets evict") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val rnd = new scala.util.Random(7)
+    val nTables = 8
+    def vec() = Seq.fill(64)(rnd.nextGaussian())
+    val out = EventStreams.embeddingNearDupPairs(
+      in.toDF().toDF("vec_id", "embedding", "ingest_ts"),
+      nTables = nTables, watermark = "10 minutes", horizonMs = 10L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("embdup_state_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      // wave 1: 10 vectors inside one horizon
+      in.addData((0 until 10).map(i => (100L + i, vec(), ts(t0 + i * 1000L))): _*)
+      q.processAllAvailable()
+      def stateRows: Long = {
+        val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        if (ps.isEmpty) 0L else ps.last.stateOperators.map(_.numRowsTotal).sum
+      }
+      val wave1Rows = stateRows
+      assert(wave1Rows > 0 && wave1Rows <= 10L * nTables,
+        s"state rows must be bounded by docs x tables, got $wave1Rows")
+      // wave 2 far past the horizon: watermark advances, wave-1 buckets
+      // time out — total state must NOT accumulate across horizons
+      in.addData((0 until 10).map(i => (200L + i, vec(), ts(t0 + 100L * 60 * 1000 + i * 1000L))): _*)
+      q.processAllAvailable()
+      in.addData((999L, vec(), ts(t0 + 200L * 60 * 1000))) // advance watermark again
+      q.processAllAvailable()
+      val finalRows = stateRows
+      assert(finalRows <= 11L * nTables,
+        s"expired buckets must evict (O(rate x horizon x tables) bound): " +
+        s"wave1=$wave1Rows final=$finalRows")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes sessions on gap") {
     import spark.implicits._
     val t0 = 1700000000000L
