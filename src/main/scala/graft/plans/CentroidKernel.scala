@@ -56,25 +56,39 @@ object CentroidKernel {
   }
 
   /** The `nprobe` centroid indices ordered by (dot desc, index asc) —
-    * the probe list of the IVF query side. */
+    * the probe list of the IVF query side. Bounded insertion selection
+    * (O(nlist * nprobe), primitive arrays, no boxing) instead of a full
+    * O(nlist log nlist) sort: nprobe is single-digit-to-32 while nlist
+    * grows with the corpus (sqrt n cells — thousands at corpus scale, a
+    * million-cell quantizer someday), so the per-row cost must be ~one
+    * linear scan. Tie rule preserved exactly: centroids arrive in index
+    * order and an incoming EQUAL dot never displaces a seated one
+    * (strict `>` at the shift), so equal-dot cells keep index-asc —
+    * bit-identical to the stable sort this replaces (spec-pinned against
+    * the composed struct-sort AND a dense-tie reference). */
   def probes(v: ArrayData, cents: Array[Double], dim: Int, nprobe: Int,
       rounded: Boolean): ArrayData = {
     val nlist = cents.length / dim
     val d = math.min(dim, v.numElements())
-    val ds = new Array[Double](nlist)
+    val k = math.min(nprobe, nlist)
+    val topDot = new Array[Double](k)
+    val topIdx = new Array[Int](k)
+    var filled = 0
     var c = 0
     while (c < nlist) {
       var s = dotAt(v, cents, dim, c, d)
       if (rounded) s = round6(s)
-      ds(c) = s
+      if (filled < k || s > topDot(filled - 1)) {
+        // seat at the end (dropping the displaced last when full), then
+        // shift up past strictly-smaller dots only
+        var i = if (filled < k) { filled += 1; filled - 1 } else k - 1
+        while (i > 0 && topDot(i - 1) < s) {
+          topDot(i) = topDot(i - 1); topIdx(i) = topIdx(i - 1); i -= 1
+        }
+        topDot(i) = s; topIdx(i) = c
+      }
       c += 1
     }
-    val idx = Array.tabulate(nlist)(identity)
-    // stable sort by dot desc; stability keeps index-asc on ties
-    val boxed = idx.sortBy(i => -ds(i))
-    val k = math.min(nprobe, nlist)
-    val out = new Array[Int](k)
-    System.arraycopy(boxed, 0, out, 0, k)
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(topIdx)
   }
 }

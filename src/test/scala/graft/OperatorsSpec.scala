@@ -457,6 +457,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(probeMism == 0, "kernel probe list diverges from composed sort")
   }
 
+  test("CentroidKernel.probes bounded selection == stable sort under dense ties") {
+    // the r12 O(nlist*nprobe) insertion selection must keep the exact
+    // (dot desc, index asc) order of the stable sort it replaced — ties
+    // are the risk, so quantize dots onto a handful of values: vectors
+    // and centroids drawn from {0,1}^dim with rounding ON collide hard
+    val rnd = new scala.util.Random(77)
+    val dim = 8
+    for (trial <- 0 until 200) {
+      val nlist = 1 + rnd.nextInt(40)
+      val nprobe = 1 + rnd.nextInt(12)
+      val cents = Array.fill(nlist * dim)(rnd.nextInt(2).toDouble)
+      val v = Array.fill(dim)(rnd.nextInt(2).toDouble)
+      val vd = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(v)
+      val got = graft.plans.CentroidKernel
+        .probes(vd, cents, dim, nprobe, rounded = true).toIntArray().toSeq
+      // reference: full dot list, stable sort desc, take k
+      val dots = Array.tabulate(nlist) { c =>
+        val s = (0 until dim).map(i => cents(c * dim + i) * v(i)).sum
+        java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val want = dots.indices.sortBy(i => -dots(i)).take(math.min(nprobe, nlist))
+      assert(got == want, s"trial=$trial nlist=$nlist nprobe=$nprobe: got $got want $want dots=${dots.toSeq}")
+    }
+  }
+
   test("IvfIndex: persisted build+probe == in-memory exact twin; probe scan is partition-pruned") {
     // the FAISS IVF-Flat layout as a partitioned table: identical output
     // to ivfTopKExact (same quantizer), and the probe's corpus scan must
