@@ -623,33 +623,71 @@ object Dedup {
       k1: String, k2: String): DataFrame =
     pairs.repartition(parts, col(k1), col(k2)).distinct()
 
-  /** One node's banded-frame envelope per band-join pass (rows): past
-    * this the frame is generated and joined in bounded BAND-GROUP slices
-    * instead of one piece. 256 M rows x ~24 B ≈ 6 GB of exchange per
-    * slice — well inside the measured disk budget even with a slice's
-    * shuffle files lingering until the next GC. At the q22_auto 100x
-    * point (n = 2 M records, ~1082 bands -> 2.2 B banded rows, the ~35 GB
-    * single-piece frame that exceeded the node, SCALE.json r11 _note)
-    * this yields ~9 slices of ~128 bands each. */
+  /** Upper cap on the banded-frame envelope per band-join pass (rows):
+    * past this the frame is generated and joined in bounded BAND-GROUP
+    * slices instead of one piece. 256 M rows x ~24 B ≈ 6 GB of exchange
+    * per slice. At the q22_auto 100x point (n = 2 M records, ~1082 bands
+    * -> 2.2 B banded rows, the ~35 GB single-piece frame that exceeded
+    * the node, SCALE.json r11 _note) this yields ~9 slices of ~128 bands
+    * each. The production entry point tightens this cap to what the
+    * node's free disk actually affords ([[maxBandedRowsForDisk]]). */
   private[graft] val MaxBandedRowsPerPass = 256000000L
 
+  /** Banded-frame envelope derived from the node's measured free disk,
+    * not a constant: the smallest usable space across the configured
+    * shuffle dirs, budgeting a slice's exchange at 1/8 of it. The
+    * divisor prices a banded row at 32 B of shuffle (2x the ~16 B/row
+    * measured in the lz4 exchange) so one slice's exchange + its pair
+    * spill + OS headroom fit even while the previous slice's files are
+    * still being reclaimed. Floor of 16 M rows keeps slices from
+    * degenerating on a nearly-full disk (below that the operator cannot
+    * run anywhere). On a cluster each executor sees its own disk; the
+    * driver-side bound here is the single-node worst case. */
+  private[graft] def maxBandedRowsForDisk(spark: org.apache.spark.sql.SparkSession): Long = {
+    val dirs = spark.sparkContext.getConf.get("spark.local.dir",
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val usable = dirs.split(",").iterator
+      .map(d => new java.io.File(d.trim).getUsableSpace)
+      .foldLeft(Long.MaxValue)(math.min)
+    math.max(16000000L, math.min(MaxBandedRowsPerPass, usable / (8L * 32L)))
+  }
+
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame =
-    lshCandidatePairsSliced(sets, bands, rows, MaxBandedRowsPerPass)
+    lshCandidatePairsSliced(sets, bands, rows, maxBandedRowsForDisk(sets.sparkSession))
 
   /** LSH candidate pairs with the banded frame bounded per pass. The
     * band-group decomposition is loss-free AND exact: a pair's candidacy
     * is a union over per-band collisions, so generating bands [lo, hi)
     * per slice, deduping within the slice, and deduping the slice union
     * yields the IDENTICAL pair set (the per-band miss-budget law — and
-    * hence every oracle — is untouched). Per-slice cost: one bounded
-    * exchange (the slice's banded rows, self-join reuses it via
-    * ReuseExchange) + an answer-mass-sized localCheckpoint of the
-    * slice's deduped pairs; the slice's shuffle files become garbage as
-    * soon as its pairs materialize, and an explicit GC beat between
-    * slices lets the ContextCleaner reap them before the next slice
-    * writes (the r11 dead-shuffle-file lesson). On a cluster the slices
-    * are trivially independent jobs; on one node they bound peak disk to
-    * ~2 slices of exchange instead of the whole frame. */
+    * hence every oracle — is untouched).
+    *
+    * Peak disk is bounded for REAL, not heuristically (the r12 lesson:
+    * a GC beat + sleep left slice shuffle files to accumulate — 60.9 GB
+    * written, ENOSPC at the 100x rung where one slice is ~6 GB):
+    *
+    *   - each slice's deduped pairs are spilled to compact parquet
+    *     (columnar + compressed, answer-mass-sized), NOT localCheckpoint
+    *     blocks — so the slice's result holds no executor memory and its
+    *     whole lineage (including the exchange) is dead on completion;
+    *   - the slice's shuffle files are then reclaimed SYNCHRONOUSLY:
+    *     shuffle ids are snapshotted around the slice and the new ids
+    *     released through the ContextCleaner's blocking path
+    *     ([[org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking]])
+    *     before the next slice writes a byte;
+    *   - the envelope itself is sized from measured free disk
+    *     ([[maxBandedRowsForDisk]]), not a constant.
+    *
+    * Peak disk is therefore ONE slice's exchange + the accumulated pair
+    * parquet. The spill directory is deleted as soon as the cross-slice
+    * dedup materializes (eager localCheckpoint of the final answer-mass
+    * pair set). On a cluster the slices are trivially independent jobs;
+    * the synchronous reclamation is driver-coordinated and works the
+    * same there (the cleaner broadcasts removals to every block
+    * manager). Caveat: ids created by CONCURRENT jobs inside the
+    * snapshot window would be reclaimed too — their stages would
+    * recompute (correctness unaffected); this operator assumes the
+    * serial batch context it runs in. */
   private[graft] def lshCandidatePairsSliced(sets: DataFrame, bands: Int,
       rows: Int, maxBandedRows: Long): DataFrame = {
     import sets.sparkSession.implicits._
@@ -669,29 +707,60 @@ object Dedup {
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
         parts, "d1", "d2")
     } else {
+      val spark = sets.sparkSession
+      val sc = spark.sparkContext
       val bandsPerSlice = math.max(1, (maxBandedRows / math.max(1L, nDocs)).toInt)
       val sliceRows = nDocs * bandsPerSlice
-      val parts = math.max(sets.sparkSession.sparkContext.defaultParallelism,
+      val parts = math.max(sc.defaultParallelism,
         math.min(4096, (sliceRows / BandJoinRowsPerPartition).toInt + 1))
-      val slices = (0 until bands by bandsPerSlice).map { lo =>
-        val hi = math.min(bands, lo + bandsPerSlice)
-        val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
-          .repartition(parts, $"band", $"bh")
-        val pairs = dedupPairs(
-          keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-              $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-            .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
+      val spillDir = java.nio.file.Files
+        .createTempDirectory("graft-lsh-slices-").toAbsolutePath
+      val sliceStarts = (0 until bands by bandsPerSlice).toSeq
+      // ids "seen" stay seen after their cleanup — Spark never reuses a
+      // shuffle id, so the running snapshot is monotone
+      var seen = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
+      try {
+        sliceStarts.foreach { lo =>
+          val hi = math.min(bands, lo + bandsPerSlice)
+          val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
+            .repartition(parts, $"band", $"bh")
+          dedupPairs(
+            keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+                $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+              .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
+            parts, "d1", "d2")
+            .write.mode("overwrite") // the slice executes HERE, bounded
+            .parquet(s"$spillDir/slice_$lo")
+          // the slice's shuffles are dead (its only product is now
+          // parquet) — release their files before the next slice writes
+          val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
+          org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
+          seen ++= now
+        }
+        // cross-slice dedup: a pair colliding in bands of two slices
+        // appears once per slice — same post-exchange distinct
+        // discipline; eager checkpoint so the spill dir (and the dedup's
+        // own exchange) can be released before returning
+        val all = dedupPairs(
+          spark.read.parquet(sliceStarts.map(lo => s"$spillDir/slice_$lo"): _*),
           parts, "d1", "d2")
-          .localCheckpoint() // eager: the slice executes HERE, bounded
-        // the slice's ShuffleDependency is unreachable now — collect it
-        // so its files free before the next slice writes its own; only
-        // worth the beat when a slice's exchange is actually disk-sized
-        if (sliceRows >= 64000000L) { System.gc(); Thread.sleep(1000) }
-        pairs
+          .localCheckpoint()
+        val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
+        org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
+        all
+      } finally {
+        // best-effort recursive delete; the final pair set no longer
+        // reads from here (checkpointed above)
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try s.forEach(rm(_)) finally s.close()
+          }
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+        rm(spillDir)
       }
-      // cross-slice dedup: a pair colliding in bands of two slices
-      // appears once per slice — same post-exchange distinct discipline
-      dedupPairs(slices.reduce(_ unionByName _), parts, "d1", "d2")
     }
   }
 

@@ -71,6 +71,7 @@ object CentroidKernel {
     val nlist = cents.length / dim
     val d = math.min(dim, v.numElements())
     val k = math.min(nprobe, nlist)
+    if (k <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
     val topDot = new Array[Double](k)
     val topIdx = new Array[Int](k)
     var filled = 0
@@ -78,7 +79,10 @@ object CentroidKernel {
     while (c < nlist) {
       var s = dotAt(v, cents, dim, c, d)
       if (rounded) s = round6(s)
-      if (filled < k || s > topDot(filled - 1)) {
+      // skip non-finite dots (s != s is NaN): an unconditionally-seated
+      // NaN would freeze the selection (every `>` against it is false),
+      // diverging from the NaN-last total ordering this kernel replaced
+      if (s == s && (filled < k || s > topDot(filled - 1))) {
         // seat at the end (dropping the displaced last when full), then
         // shift up past strictly-smaller dots only
         var i = if (filled < k) { filled += 1; filled - 1 } else k - 1
@@ -89,6 +93,9 @@ object CentroidKernel {
       }
       c += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(topIdx)
+    // filled < k only when non-finite dots were skipped — return the
+    // seated prefix rather than zero-padded slots
+    UnsafeArrayData.fromPrimitiveArray(
+      if (filled == k) topIdx else java.util.Arrays.copyOf(topIdx, filled))
   }
 }

@@ -41,39 +41,79 @@ object ArChains {
     if (digits.isEmpty || digits.length > 18) Long.MaxValue else digits.toLong
   }
 
+  /** Per-member adjacency for one (br, role) group: targets restricted to
+    * IN-GROUP, non-self ARs, ordered by resource number. The shared
+    * pre-walk normalization of both the reader and the repairer — an
+    * out-of-group or self `next` can stop a walk but never extend one
+    * (finder.py:344-349), and the priority order makes the data-ERROR
+    * multi-next case deterministic (the reference pins only "no crash"
+    * there, taking storage order; this engine takes lowest-numbered). */
+  private[graft] def groupAdjacency(
+      nexts: Seq[(String, Seq[String])]): Map[String, Seq[String]] = {
+    val inGroup = nexts.iterator.map(_._1).toSet
+    nexts.groupBy(_._1).map { case (ar, rows) =>
+      ar -> rows.flatMap(_._2)
+        .filter(t => t != null && t.nonEmpty && t != ar && inGroup(t))
+        .distinct.sortBy(resourceNumber)
+    }
+  }
+
+  /** THE canonical-chain rule — the engine's single chain semantics,
+    * shared by the reader ([[resolveGroup]]) and the repairer
+    * ([[ChainAnomalies.repairPlan]]):
+    *
+    *   - start candidates = members no in-group edge targets (a fully
+    *     circular group nominates every member);
+    *   - walk = from the current AR, step to its first not-yet-visited
+    *     target in adjacency priority order (for well-formed single-next
+    *     data this is the plain pointer walk; on multi-next corruption
+    *     it degenerates to min-next, falling back to the next-lowest
+    *     when the min edge is dead);
+    *   - winner = longest walk, ties to the lowest-numbered start.
+    *
+    * Because the repairer rewrites a group as the winner followed by the
+    * leftovers in resource order — a clean single-next list — re-reading
+    * a repaired group returns exactly the repaired order: repair is a
+    * fixed point of read (ChainFixedPointSpec). */
+  private[graft] def canonicalChain(
+      adj: Map[String, Seq[String]]): Vector[String] = {
+    if (adj.isEmpty) return Vector.empty
+    val referenced = adj.valuesIterator.flatten.toSet
+    val starts = {
+      val s = adj.keysIterator.filterNot(referenced.contains).toSeq
+      if (s.nonEmpty) s else adj.keys.toSeq
+    }
+    def walk(start: String): Vector[String] = {
+      val visited = scala.collection.mutable.LinkedHashSet(start)
+      var cur = start
+      var continue = true
+      while (continue) {
+        adj.getOrElse(cur, Nil).find(!visited.contains(_)) match {
+          case Some(t) => visited += t; cur = t
+          case None => continue = false
+        }
+      }
+      visited.toVector
+    }
+    starts.map(walk).minBy(c => (-c.length, resourceNumber(c.head)))
+  }
+
   /** Row-local resolution of one (br, role) member group.
     * `members`: (ar, ra, next — null/empty when absent); output: the
     * winning chain as (ar, ra, pos) with pos 1..len, non-chain ARs
     * dropped (finder.py:341-408 semantics, incl. its tests' loop /
-    * self-reference / two-chains / dangling-next cases). */
+    * self-reference / two-chains / dangling-next cases), the chain rule
+    * itself being [[canonicalChain]]. */
   private[graft] def resolveGroup(
       members: Seq[(String, String, String)]): Seq[(String, String, Long)] = {
     if (members.isEmpty) return Seq.empty
-    val byAr: Map[String, (String, String)] = members.groupBy(_._1).map {
-      case (ar, rows) =>
-        val ra = rows.map(_._2).minBy(resourceNumber)
-        val nexts = rows.map(_._3).filter(n => n != null && n.nonEmpty)
-        ar -> (ra, if (nexts.isEmpty) null else nexts.minBy(resourceNumber))
+    val raOf: Map[String, String] = members.groupBy(_._1).map {
+      case (ar, rows) => ar -> rows.map(_._2).minBy(resourceNumber)
     }
-    // an AR is a start candidate unless some member points at it; a next
-    // pointing OUTSIDE the group still disqualifies nothing but also
-    // nominates nothing (finder.py:344-349)
-    val nextTargets = byAr.valuesIterator.map(_._2).filter(_ != null).toSet
-    var starts = byAr.keysIterator.filterNot(nextTargets.contains).toSeq
-    if (starts.isEmpty) // pure cycle: start from the lowest-numbered AR
-      starts = Seq(byAr.keysIterator.minBy(resourceNumber))
-    def walk(start: String): Vector[String] = {
-      val visited = scala.collection.mutable.LinkedHashSet.empty[String]
-      var cur = start
-      while (cur != null && !visited.contains(cur) && byAr.contains(cur)) {
-        visited += cur
-        cur = byAr(cur)._2
-      }
-      visited.toVector
+    val adj = groupAdjacency(members.map(m => (m._1, Seq(m._3))))
+    canonicalChain(adj).zipWithIndex.map {
+      case (ar, i) => (ar, raOf(ar), (i + 1).toLong)
     }
-    val best = starts.map(walk)
-      .minBy(c => (-c.length, resourceNumber(c.head)))
-    best.zipWithIndex.map { case (ar, i) => (ar, byAr(ar)._1, (i + 1).toLong) }
   }
 
   private val resolveUdf = udf((ms: Seq[Row]) =>

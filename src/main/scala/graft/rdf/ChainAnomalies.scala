@@ -163,13 +163,17 @@ object ChainAnomalies {
     cycles.toSeq
   }
 
-  /** Repair plan for every (br, role) group: the canonical chain is the
-    * LONGEST walkable chain, tie-broken by LOWEST start omid number (the
-    * has_next.py:467-503 ordering heuristic, minus its external-API
-    * verification); ARs outside the chosen chain are appended in omid
-    * order. Emits the full repaired edge list (tail rows have null
-    * next_ar) — diff against the store's hasNext triples to get the patch.
-    */
+  /** Repair plan for every (br, role) group: the canonical chain is
+    * [[ArChains.canonicalChain]] — the SAME rule the reader resolves by
+    * (longest walkable chain, ties to lowest start; the has_next.py:
+    * 467-503 ordering heuristic minus its external-API verification) —
+    * with the leftover ARs appended in omid order. One chain semantics
+    * for the whole engine: because the repaired group is a clean
+    * single-next list headed by the canonical chain, re-reading it
+    * returns the repaired order verbatim (repair is a fixed point of
+    * read; ChainFixedPointSpec pins this). Emits the full repaired edge
+    * list (tail rows have null next_ar) — diff against the store's
+    * hasNext triples to get the patch. */
   def repairPlan(triples: DataFrame): Dataset[RepairedEdge] = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -177,29 +181,8 @@ object ChainAnomalies {
       .flatMapGroups { (key: (String, String), it: Iterator[ArInfo]) =>
         val (br, role) = key
         val ars = it.toSeq
-        val inGroup = ars.map(_.ar).toSet
-        val next: Map[String, Seq[String]] = ars.iterator
-          .map(a => a.ar -> a.nexts.filter(t => inGroup(t) && t != a.ar)
-            .sortBy(omidNumber)).toMap
-        val referenced = next.values.flatten.toSet
-        val startCandidates = {
-          val s = ars.map(_.ar).filterNot(referenced)
-          if (s.nonEmpty) s else ars.map(_.ar) // fully circular: any entry
-        }
-        def walk(start: String): Seq[String] = {
-          val seen = collection.mutable.LinkedHashSet(start)
-          var cur = start
-          var continue = true
-          while (continue) {
-            next.getOrElse(cur, Nil).find(!seen(_)) match {
-              case Some(t) => seen += t; cur = t
-              case None => continue = false
-            }
-          }
-          seen.toSeq
-        }
-        val best = startCandidates.map(s => (s, walk(s)))
-          .maxBy { case (s, chain) => (chain.length, -omidNumber(s)) }._2
+        val best = ArChains.canonicalChain(
+          ArChains.groupAdjacency(ars.map(a => (a.ar, a.nexts))))
         val rest = ars.map(_.ar).filterNot(best.toSet).sortBy(omidNumber)
         val order = best ++ rest
         order.zip(order.drop(1).map(Option(_)) :+ None).map {

@@ -102,6 +102,26 @@ object ScaleBench {
         StructField("p_size", LongType))))
   }
 
+  /** Samples free space on the shuffle/spill volume every 500 ms; an
+    * op's peak disk use = free-at-start minus the minimum observed while
+    * it ran. This is THE receipt number for the sliced band join: the
+    * claim is "peak disk ~ one slice's exchange", and a sampler is the
+    * only honest way to observe the peak (shuffle_write counts bytes
+    * WRITTEN cumulatively, not what's simultaneously live). */
+  private class DiskSampler(dir: java.io.File) extends Thread {
+    @volatile var minFree: Long = Long.MaxValue
+    @volatile private var live = true
+    setDaemon(true)
+    override def run(): Unit = while (live) {
+      minFree = math.min(minFree, dir.getUsableSpace)
+      Thread.sleep(500)
+    }
+    /** Reset the watermark; returns free space now. */
+    def mark(): Long = { val f = dir.getUsableSpace; minFree = f; f }
+    def peakUsed(base: Long): Long = math.max(0L, base - minFree)
+    def shutdown(): Unit = live = false
+  }
+
   private class MetricsListener extends SparkListener {
     @volatile var spillDisk = 0L
     @volatile var shuffleWrite = 0L
@@ -147,6 +167,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
+    val sampler = new DiskSampler(new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp")))
+    sampler.start()
 
     import graft.operators.{Dedup, DocumentPipeline, TextQueries}
     // the production chain: LSH text dedup, capped n-gram pairs, cluster
@@ -214,10 +237,13 @@ object ScaleBench {
       // and the ContextCleaner reaps them — across a 3-rung x14-op run
       // the dead files accumulate to tens of GB and starve the x100 ops
       // of disk (the r11 first-run disk-fill after the staged verify
-      // removed the r10 one). Force the collection between ops and give
-      // the async cleaner a beat.
-      System.gc()
-      Thread.sleep(2000)
+      // removed the r10 one). A finished op's shuffles are all dead (its
+      // only product was a count), so release every registered id
+      // through the cleaner's blocking path — deterministic, unlike the
+      // r12 GC-and-hope beat.
+      org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(
+        spark.sparkContext,
+        org.apache.spark.GraftSparkInternals.registeredShuffleIds(spark.sparkContext))
     }
 
     val out = new StringBuilder
@@ -240,18 +266,21 @@ object ScaleBench {
       val rows = chain.filter(_._3 >= f).map { case (name, fn, _) =>
         clearStorage()
         listener.reset()
+        val baseFree = sampler.mark()
         val t0 = System.nanoTime()
         val n = try fn(spark, dir).count() catch { case e: Throwable =>
           System.err.println(s"[scale] $name at x$f failed: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
-        (name, sec, n, listener.spillDisk, listener.shuffleWrite)
+        (name, sec, n, listener.spillDisk, listener.shuffleWrite,
+          sampler.peakUsed(baseFree))
       }
       f -> rows
     }
     out ++= perScale.map { case (f, rows) =>
-      s""""x$f":{""" + rows.map { case (name, sec, n, spill, sw) =>
-        s""""$name":{"sec":$sec,"rows":$n,"spill_disk":$spill,"shuffle_write":$sw}"""
+      s""""x$f":{""" + rows.map { case (name, sec, n, spill, sw, peak) =>
+        s""""$name":{"sec":$sec,"rows":$n,"spill_disk":$spill,""" +
+          s""""shuffle_write":$sw,"peak_disk_used":$peak}"""
       }.mkString(",") + "}"
     }.mkString(",")
     out ++= "},"
@@ -290,10 +319,17 @@ object ScaleBench {
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("query_id"), col("nv").as("qv"))
         val probeDf = IvfIndex.probe(spark, idxDir, queries, k = 5, nprobe = 8)
+        // execute the SAME QueryExecution whose plan we read the scan
+        // metric from: df.count() plans its own QueryExecution, leaving
+        // this one's metrics untouched (r12's receipt read 0 partitions
+        // off an unexecuted plan object). executedPlan.execute() runs
+        // the DPP subqueries (SparkPlan.executeQuery waits on them) and
+        // populates this plan's SQLMetrics.
+        val qe = probeDf.queryExecution
         val tP = System.nanoTime()
-        val n = probeDf.count()
+        val n = qe.executedPlan.execute().count()
         val sec = (System.nanoTime() - tP) / 1e9
-        val plan = probeDf.queryExecution.executedPlan
+        val plan = qe.executedPlan
         val nDpp = "dynamicpruning".r.findAllIn(plan.toString).length
         val parts = try plan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -334,15 +370,23 @@ object ScaleBench {
     out ++= "},"
     out ++= "\"_note\":\"local[" + cpus + "], " +
       driverMem + " driver, AQE wide exchanges " +
-      "(initialPartitionNum=16*cpus). Per-op max factors: fixed-parameter gate " +
+      "(initialPartitionNum=16*cpus). peak_disk_used = per-op peak bytes " +
+      "held on the shuffle volume (500ms free-space sampler watermark) — " +
+      "the number that certifies the sliced band join's disk bound. " +
+      "Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
       "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto runs " +
-      "the full ladder since r12: its n=2M banded frame (~1082 bands, ~35 GB " +
-      "in one piece) is generated and joined in bounded band-group slices " +
-      "(Dedup.lshCandidatePairsSliced, 256M banded rows ~ 6 GB exchange per " +
-      "slice, ~9 slices, GC beat between slices reaps each slice's shuffle " +
-      "files) — the candidate set is identical by the per-band union law, " +
-      "so the q22_auto oracle row stays exact. " +
+      "the full ladder: its n=2M banded frame (~1082 bands, ~35 GB in one " +
+      "piece) is generated and joined in bounded band-group slices " +
+      "(Dedup.lshCandidatePairsSliced; slice envelope derived from measured " +
+      "free disk, capped at 256M banded rows ~ 6 GB exchange per slice). " +
+      "Each slice's pairs spill to compact parquet and its shuffle files " +
+      "are reclaimed SYNCHRONOUSLY via the ContextCleaner's blocking path " +
+      "(GraftSparkInternals.cleanupShufflesBlocking) before the next slice " +
+      "writes — peak disk is one slice's exchange plus the pair parquet, " +
+      "not the accumulated frame (r12's GC-beat heuristic ENOSPC'd here). " +
+      "The candidate set is identical by the per-band union law, so the " +
+      "q22_auto oracle row stays exact. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +

@@ -1,0 +1,223 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.EventStreams
+
+/** At-rate receipt for the streaming embedding near-dup gate and its
+  * exactly-once wrapper (`STREAMING.json`) — the committed-artifact
+  * counterpart of StreamingSpec's functional pins, at the scale the
+  * VERDICT asked for: >= 10k docs/min event-time rate, 1 h horizon,
+  * 8 tables, WITH a mid-stream restart.
+  *
+  * What it measures:
+  *   1. exactly-once ACROSS RESTART: the wrapper query
+  *      ([[EventStreams.embeddingNearDupPairsDistinct]]) runs over the
+  *      first half of the stream, is stopped, and is restarted from its
+  *      checkpoint over the second half; the file-sink output must
+  *      contain every emitted (v1, v2) exactly once.
+  *   2. state bound: the gate's state rows (bucket groups) stay within
+  *      min(2^nBits x tables, in-horizon docs x tables) — the
+  *      O(rate x horizon x tables) law — and the wrapper's extra dedup
+  *      operator holds at most the pairs inside one watermark window.
+  *   3. wrapper overhead vs the raw per-table gate
+  *      ([[EventStreams.embeddingNearDupPairs]]) run over the same
+  *      input: wall-time ratio + the dedup operator's state rows.
+  *   4. planted-pair recall: ~1% of docs are near-copies of a doc 6 s
+  *      earlier (well inside the horizon); the gate must find them.
+  *
+  * Input is seeded and distributed-generated (per-id RNG), written as
+  * one parquet file per 5 event-minutes so `maxFilesPerTrigger=1`
+  * yields a realistic multi-batch advance of the watermark.
+  *
+  *   runMain graft.tools.StreamingReceipt [docsPerMin] [spanMin]
+  */
+object StreamingReceipt {
+
+  private val Dim = 64
+  private val NTables = 8
+  private val NBits = 14
+  private val HorizonMin = 60
+  private val WindowMin = 5
+  private val T0 = 1700000000000L
+
+  /** splitmix64 — java.util.Random's LCG correlates across sequential
+    * seeds (the first draws of seeds k and k+1 are close), which made a
+    * raw-id-seeded corpus one big near-dup cluster; full-avalanche
+    * mixing makes the vectors genuinely independent. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic per-id vector; ids divisible by 100 (past the first
+    * 1000) are near-copies of id-999 (~6 s earlier at 10k/min). The
+    * copy target is ≡ 1 (mod 100), so it is NEVER itself a copy — each
+    * planted pair is a true near-dup of a stored raw vector. */
+  private def vecOf(id: Long): Array[Double] = {
+    val base = if (id >= 1000 && id % 100 == 0) id - 999 else id
+    val rnd = new scala.util.Random(mix64(base))
+    val v = Array.fill(Dim)(rnd.nextGaussian())
+    if (base != id) {
+      val r2 = new scala.util.Random(mix64(0x123457L ^ id))
+      var i = 0
+      while (i < Dim) { v(i) += 0.01 * r2.nextGaussian(); i += 1 }
+    }
+    v
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docsPerMin = if (args.length > 0) args(0).toInt else 10000
+    val spanMin = if (args.length > 1) args(1).toInt else 80
+    require(docsPerMin >= 1 && spanMin % (2 * WindowMin) == 0,
+      s"spanMin must be a multiple of ${2 * WindowMin}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    require(cpus.nonEmpty && cpus.length <= 4 && cpus.forall(_.isDigit) && cpus.toInt > 0)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streaming-receipt")
+      .config("spark.sql.shuffle.partitions", (2 * cpus.toInt).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val msPerDoc = 60000.0 / docsPerMin
+    val nWindows = spanMin / WindowMin
+    val docsPerWindow = docsPerMin * WindowMin
+    val nDocs = nWindows.toLong * docsPerWindow
+    val work = java.nio.file.Files.createTempDirectory("graft-streaming-").toString
+    val inDir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    def writeWindow(w: Int): Unit = {
+      val lo = w.toLong * docsPerWindow
+      val tmp = s"$work/tmp_w$w"
+      spark.range(lo, lo + docsPerWindow).map { id =>
+        (id, vecOf(id).toSeq,
+          new java.sql.Timestamp(T0 + (id * msPerDoc).toLong))
+      }.toDF("vec_id", "embedding", "ingest_ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$inDir/w$w%03d.parquet"))
+    }
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(DoubleType)),
+      StructField("ingest_ts", TimestampType)))
+    def source: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+
+    def lastStateOps(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(String, Long)] = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) Seq.empty
+      else ps.last.stateOperators.map(o => (o.operatorName, o.numRowsTotal)).toSeq
+    }
+
+    // ---- wrapper with mid-stream restart --------------------------------
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val wrapOut = s"$work/wrap_out"; val wrapCk = s"$work/wrap_ck"
+    def startWrapper() = EventStreams.embeddingNearDupPairsDistinct(
+        source, dim = Dim, nBits = NBits, nTables = NTables,
+        watermark = s"$HorizonMin minutes", horizonMs = HorizonMin * 60000L)
+      .writeStream.format("parquet").option("path", wrapOut)
+      .option("checkpointLocation", wrapCk).outputMode("append").start()
+
+    (0 until nWindows / 2).foreach(writeWindow)
+    val tA = System.nanoTime()
+    val q1 = startWrapper()
+    q1.processAllAvailable(); q1.stop() // simulated shutdown mid-stream
+    val secA = (System.nanoTime() - tA) / 1e9
+
+    (nWindows / 2 until nWindows).foreach(writeWindow)
+    val tB = System.nanoTime()
+    val q2 = startWrapper() // restart from the same checkpoint
+    q2.processAllAvailable()
+    val secB = (System.nanoTime() - tB) / 1e9
+    val wrapperStateOps = lastStateOps(q2)
+    q2.stop()
+
+    // the file sink's manifest makes half-written batches invisible —
+    // this read sees exactly the committed output
+    val wrapped = spark.read.parquet(wrapOut).select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wrapRows = wrapped.size.toLong
+    val wrapDistinct = wrapped.toSet.size.toLong
+    val exactlyOnce = wrapRows == wrapDistinct && wrapRows > 0
+
+    val planted = (1000L until nDocs by 100L).map(i => (i - 999, i)).toSet
+    val recall = (planted & wrapped.toSet).size.toDouble / planted.size
+
+    // ---- raw gate, same input, single pass (overhead baseline) ----------
+    val rawOut = s"$work/raw_out"; val rawCk = s"$work/raw_ck"
+    val tC = System.nanoTime()
+    val q3 = EventStreams.embeddingNearDupPairs(
+        source, dim = Dim, nBits = NBits, nTables = NTables,
+        watermark = s"$HorizonMin minutes", horizonMs = HorizonMin * 60000L)
+      .toDF().writeStream.format("parquet").option("path", rawOut)
+      .option("checkpointLocation", rawCk).outputMode("append").start()
+    q3.processAllAvailable()
+    val secC = (System.nanoTime() - tC) / 1e9
+    val rawStateOps = lastStateOps(q3)
+    q3.stop()
+    val rawRows = spark.read.parquet(rawOut).count()
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+
+    val inHorizonDocs = docsPerMin.toLong * HorizonMin
+    val gateBound = math.min((1L << NBits) * NTables, inHorizonDocs * NTables)
+    val gateRows = wrapperStateOps.collect {
+      case (n, r) if n == null || !n.contains("dedupe") => r }.sum
+    val dedupRows = wrapperStateOps.collect {
+      case (n, r) if n != null && n.contains("dedupe") => r }.sum
+    val stateBounded = gateRows > 0 && gateRows <= gateBound && dedupRows <= wrapRows
+    val overhead = (secA + secB) / secC
+    val ok = exactlyOnce && stateBounded && recall >= 0.95
+
+    def ops(o: Seq[(String, Long)]) = o.map { case (n, r) =>
+      s""""${Option(n).getOrElse("?")}":$r""" }.mkString(",")
+    val out =
+      s"""{"metric":"streaming_receipt","docs_per_min":$docsPerMin,""" +
+      s""""span_min":$spanMin,"n_docs":$nDocs,"horizon_min":$HorizonMin,""" +
+      s""""tables":$NTables,"n_bits":$NBits,"dim":$Dim,""" +
+      s""""wrapper":{"rows":$wrapRows,"distinct_pairs":$wrapDistinct,""" +
+      s""""exactly_once_across_restart":$exactlyOnce,""" +
+      s""""planted_pairs":${planted.size},"planted_recall":${math.round(recall * 10000) / 10000.0},""" +
+      s""""state_rows":{${ops(wrapperStateOps)}},""" +
+      s""""gate_state_rows":$gateRows,"gate_state_bound":$gateBound,""" +
+      s""""dedup_state_rows":$dedupRows,"state_bounded":$stateBounded,""" +
+      s""""sec_first_half":$secA,"sec_second_half":$secB},""" +
+      s""""raw":{"rows":$rawRows,"state_rows":{${ops(rawStateOps)}},"sec":$secC},""" +
+      s""""wrapper_overhead_ratio":${math.round(overhead * 1000) / 1000.0},"ok":$ok,""" +
+      s""""_note":"local[$cpus]. Event-time rate $docsPerMin docs/min over """ +
+      s"$spanMin simulated minutes, one parquet file per $WindowMin min, " +
+      "maxFilesPerTrigger=1 (realistic watermark advance). The wrapper " +
+      "query is STOPPED after half the stream and restarted from its " +
+      "checkpoint; exactly_once_across_restart certifies zero duplicate " +
+      "(v1,v2) rows in the committed file-sink output across the restart. " +
+      "gate_state_bound = min(2^nBits x tables, in-horizon docs x tables) " +
+      "— the O(rate x horizon x tables) law of EventStreams.scala; " +
+      "dedup_state_rows is the exactly-once wrapper's added state, bounded " +
+      "by the emitted pair count within one watermark. " +
+      "wrapper_overhead_ratio compares wrapper (incl. restart) to the raw " +
+      "per-table gate on identical input.\"}"
+    println(out)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STREAMING_OUT", "STREAMING.json")).toAbsolutePath
+    try {
+      java.nio.file.Files.writeString(outPath, out + "\n")
+      System.err.println(s"[streaming] artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[streaming] artifact write FAILED: $e") }
+    // input/checkpoint/output are tmp-dir garbage; leave for the JVM exit
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

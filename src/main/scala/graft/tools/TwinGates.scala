@@ -1,0 +1,213 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-visible gate artifact for the `no_oracle` production twins
+  * (`TWIN_GATES.json`). Each registered query without a DuckDB oracle is
+  * an approximate/parallelism twin of an oracle-exact anchor; its
+  * correctness law lives in the ScalaTest suite. This tool re-evaluates
+  * each law and emits the measured value + verdict as one committed
+  * artifact per round, so the driver's correctness report — not only a
+  * judge-run test session — certifies the twins.
+  *
+  * One row per twin: twin query name, its anchor, the gate law (same
+  * statement the spec asserts), the measured value, pass/fail. Laws and
+  * scale factors mirror the specs verbatim (OperatorsSpec): sf0.001 for
+  * the recall/identity gates, sf0.01 where the spec needs the larger
+  * corpus for non-vacuous signal (q31 cap, q57 sqrt-n).
+  *
+  *   runMain graft.tools.TwinGates
+  */
+object TwinGates {
+
+  private case class Gate(twin: String, anchor: String, sf: String,
+      law: String, value: Double, pass: Boolean)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    require(cpus.nonEmpty && cpus.length <= 4 && cpus.forall(_.isDigit) && cpus.toInt > 0)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-twin-gates")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf1 = "/root/testdata/sf0.001"
+    val sf2 = "/root/testdata/sf0.01"
+
+    // id-column names follow each operator's contract: document pairs are
+    // (d1, d2), embedding-vector pairs are (v1, v2)
+    def pairSet(df: org.apache.spark.sql.DataFrame, c1: String, c2: String): Set[(Long, Long)] =
+      df.select(c1, c2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val gates = Seq.newBuilder[Gate]
+
+    // q31_capped: the df-cap is an optimization, not an approximation —
+    // with the cap above the corpus max df the pair set is IDENTICAL
+    {
+      val a = pairSet(Dedup.ngramJaccardPairs(spark, sf2), "d1", "d2")
+      val b = pairSet(Dedup.ngramJaccardPairs(spark, sf2, dfCap = 50), "d1", "d2")
+      val jac = if ((a | b).isEmpty) 0.0 else (a & b).size.toDouble / (a | b).size
+      gates += Gate("q31_capped_ngram_jaccard", "q31_ngram_jaccard", "sf0.01",
+        "capped(dfCap=50) pair set == uncapped (set jaccard == 1)", jac,
+        a.nonEmpty && jac == 1.0)
+    }
+
+    // q34_lsh: subset-of-exact + recall floor
+    {
+      val exact = pairSet(Dedup.embeddingCosinePairs(spark, sf1), "v1", "v2")
+      val lsh = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf1), "v1", "v2")
+      val recall = if (exact.isEmpty) 0.0 else (exact & lsh).size.toDouble / exact.size
+      gates += Gate("q34_lsh_embedding_pairs", "q34_embedding_cosine_pairs", "sf0.001",
+        "lsh pairs subset of exact AND recall >= 0.6", recall,
+        exact.nonEmpty && (lsh -- exact).isEmpty && recall >= 0.6)
+    }
+
+    // q34_lsh_auto: at gate n (<= 2000 vectors) auto must resolve to the
+    // fixed twin's parameter point — identical output
+    {
+      val fixed = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf1), "v1", "v2")
+      val auto = pairSet(Dedup.embeddingCosinePairsLshAuto(spark, sf1), "v1", "v2")
+      val jac = if ((fixed | auto).isEmpty) 0.0 else (fixed & auto).size.toDouble / (fixed | auto).size
+      gates += Gate("q34_lsh_auto_embedding_pairs", "q34_lsh_embedding_pairs", "sf0.001",
+        "auto == fixed twin at gate corpus size (identity)", jac,
+        fixed.nonEmpty && jac == 1.0)
+    }
+
+    // q43_ann_ivf: recall floor vs brute force (spec parameters)
+    {
+      val brute = Similarity.bruteForceTopK(spark, sf1, nQueries = 10, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ivf = Similarity.ivfTopK(spark, sf1, nQueries = 10, k = 5,
+        nlist = 8, nprobe = 3, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = if (brute.isEmpty) 0.0 else (brute & ivf).size.toDouble / brute.size
+      gates += Gate("q43_ann_ivf", "q43_ann_topk (brute force)", "sf0.001",
+        "IVF top-k recall vs brute force >= 0.6, size <= brute", recall,
+        brute.nonEmpty && recall >= 0.6 && ivf.size <= brute.size)
+    }
+
+    // q45_lsh: every LSH cluster sits inside ONE exact cluster
+    // (refinement) + membership recall floor
+    {
+      val lsh = Dedup.embeddingClustersLsh(spark, sf1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val exactCluster = Dedup.embeddingClusters(spark, sf1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refinementOk = lsh.groupBy(_._2).forall { case (_, rows) =>
+        val parents = rows.map(r => exactCluster.get(r._1)).toSet
+        parents.size == 1 && !parents.contains(None)
+      }
+      val clustered = exactCluster.keySet
+      val memRecall = if (clustered.isEmpty) 0.0
+        else (clustered & lsh.map(_._1).toSet).size.toDouble / clustered.size
+      gates += Gate("q45_lsh_embedding_clusters", "q45_embedding_clusters", "sf0.001",
+        "LSH clustering refines exact clustering AND membership recall >= 0.6",
+        memRecall, lsh.nonEmpty && refinementOk && memRecall >= 0.6)
+    }
+
+    // q45_lsh_auto: identity with the fixed twin at gate n
+    {
+      val fixed = Dedup.embeddingClustersLsh(spark, sf1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val auto = Dedup.embeddingClustersLshAuto(spark, sf1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val jac = if ((fixed | auto).isEmpty) 0.0 else (fixed & auto).size.toDouble / (fixed | auto).size
+      gates += Gate("q45_lsh_auto_embedding_clusters", "q45_lsh_embedding_clusters",
+        "sf0.001", "auto == fixed twin at gate corpus size (identity)", jac,
+        fixed.nonEmpty && jac == 1.0)
+    }
+
+    // q57_sqrtn: sound drops (every dropped vector has a >=thr smaller-id
+    // mate) + decision agreement with the fixed-nlist anchor
+    {
+      val thr = 0.4
+      val twin = Dedup.semanticDedupSqrtN(spark, sf2, threshold = thr).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      val vecs = graft.Tables.embeddings(spark, sf2)
+        .selectExpr("cast(vec_id as long) vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na) / math.sqrt(nb)
+      }
+      val byId = vecs.toMap
+      val dropped = twin.collect { case (id, 0L) => id }.toSet
+      val sound = dropped.forall { id =>
+        val v = byId(id)
+        vecs.exists { case (j, u) =>
+          j < id && math.round(cos(u, v) * 1e6) >= math.round(thr * 1e6) }
+      }
+      val anchorDropped = Dedup.semanticDedup(spark, sf2, threshold = thr).collect()
+        .filter(_.getLong(2) == 0L).map(_.getLong(0)).toSet
+      val precision = if (dropped.isEmpty) 0.0
+        else (dropped & anchorDropped).size.toDouble / dropped.size
+      gates += Gate("q57_sqrtn_semantic_dedup", "q57_semantic_dedup", "sf0.01",
+        "drops sound (real >=thr smaller-id mate) AND precision-vs-anchor >= 0.7 " +
+          "AND drop count >= 0.3x anchor", precision,
+        twin.size == vecs.length && dropped.nonEmpty && sound &&
+          precision >= 0.7 && dropped.size >= (0.3 * anchorDropped.size).toInt)
+    }
+
+    // q59_p32: the registered p32 point must match the packing model
+    // (md5 order, running offsets, window assignment) computed
+    // independently per shard — the spec's parallelism-contract law
+    {
+      val shards = 32
+      val got = TextAnalysis
+        .q59SequencePacking(spark, sf1, ctx = 512, shards = shards)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val docs = graft.Tables.documents(spark, sf1)
+        .selectExpr("cast(doc_id as long) doc_id", "text").collect()
+        .map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val nTok = text.split(" ").count(_.nonEmpty).toLong
+          val ord = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, id % shards, nTok, ord)
+        }
+      val expect = docs.groupBy(_._2).toSeq.flatMap { case (shard, ds) =>
+        var off = 0L
+        ds.sortBy(d => (d._4, d._1)).map { d =>
+          val start = off; off += d._3
+          d._1 -> ((shard, d._3, start / 512, start % 512))
+        }
+      }.toMap
+      val same = got == expect
+      gates += Gate("q59_sequence_packing_p32", "q59_sequence_packing", "sf0.001",
+        "p32 packing == independent md5-order running-sum model at shards=32",
+        if (same) 1.0 else 0.0, got.nonEmpty && same)
+    }
+
+    val rows = gates.result()
+    val json = rows.map { g =>
+      s"""{"twin":"${g.twin}","anchor":"${g.anchor}","sf":"${g.sf}",""" +
+        s""""law":"${g.law}","value":${math.round(g.value * 10000) / 10000.0},""" +
+        s""""pass":${g.pass}}"""
+    }.mkString(",")
+    val allPass = rows.forall(_.pass)
+    val out = s"""{"metric":"twin_gates","gates":[$json],"all_pass":$allPass,""" +
+      s""""_note":"Laws mirror the ScalaTest twin gates (OperatorsSpec) """ +
+      "verbatim; this artifact makes them driver-visible per round. A " +
+      "no_oracle row in CORRECTNESS is by design iff its twin appears " +
+      "here with pass=true.\"}"
+    println(out)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_TWIN_OUT", "TWIN_GATES.json")).toAbsolutePath
+    try {
+      java.nio.file.Files.writeString(outPath, out + "\n")
+      System.err.println(s"[twin-gates] artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[twin-gates] artifact write FAILED: $e") }
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+}

@@ -50,6 +50,23 @@ class OperatorsSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("blocking shuffle cleanup releases exactly the snapshot-diff ids") {
+    import org.apache.spark.GraftSparkInternals
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    val before = GraftSparkInternals.registeredShuffleIds(sc)
+    // a real exchange, then a lineage cut so the shuffle is reclaimable
+    // without invalidating anything — the sliced-LSH loop's exact shape
+    spark.range(1000).repartition(4, col("id")).localCheckpoint().count()
+    val mid = GraftSparkInternals.registeredShuffleIds(sc)
+    val fresh = mid -- before
+    assert(fresh.nonEmpty, "the repartition must register a shuffle")
+    assert(GraftSparkInternals.cleanupShufflesBlocking(sc, fresh) == fresh.size)
+    val after = GraftSparkInternals.registeredShuffleIds(sc)
+    assert((after & fresh).isEmpty,
+      "blocking cleanup must unregister the slice's shuffles before returning")
+  }
+
   test("minhash LSH pairs equal exact ngram-jaccard pairs (full recall at tau=0.8)") {
     val exact = Dedup.ngramJaccardPairs(spark, dir).select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
