@@ -216,7 +216,18 @@ object StreamingReceipt {
       System.err.println(s"[streaming] artifact written to $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[streaming] artifact write FAILED: $e") }
-    // input/checkpoint/output are tmp-dir garbage; leave for the JVM exit
+    // input/checkpoint/output add up to ~2x the generated corpus plus
+    // the full pair sink — delete them (a temp dir does NOT self-delete
+    // on JVM exit; two leftover runs once ate 32 GB of the shuffle volume)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      try java.nio.file.Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () }
+    }
+    rm(java.nio.file.Paths.get(work))
     spark.stop()
     if (!ok) sys.exit(1)
   }
