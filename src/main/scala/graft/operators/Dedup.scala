@@ -315,9 +315,15 @@ object Dedup {
     * pairs — O(docs*bands) rows — instead of the full shingle explosion. */
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
+    import s.implicits._
     val sets = shingleSets(s, dir, n).cache()
     val nDocs = sets.count()
-    jaccardVerify(lshCandidatePairs(sets, bands, rows), sets, threshold, nDocs)
+    // verify INSIDE the band-group slices (answer-mass spill past the
+    // disk envelope); the deterministic order the registered pair set
+    // needs is restored after the cross-slice dedup
+    lshCandidatePairsRefined(sets, bands, rows,
+      c => jaccardVerify(c, sets, threshold, nDocs, sorted = false))
+      .orderBy($"d1", $"d2")
   }
 
   /** q42 — near-dup CLUSTERS: the dedup decision a training-data pipeline
@@ -655,6 +661,18 @@ object Dedup {
   private[operators] def lshCandidatePairs(sets: DataFrame, bands: Int, rows: Int): DataFrame =
     lshCandidatePairsSliced(sets, bands, rows, maxBandedRowsForDisk(sets.sparkSession))
 
+  /** [[lshCandidatePairs]] with the caller's verify stage pushed inside
+    * each band-group slice (see `refine` on [[lshCandidatePairsSliced]]).
+    * Production funnels (q22, q32) pass their exact-Jaccard verify here
+    * so the per-slice spill — and the cross-slice dedup exchange — is
+    * answer-mass-sized. Below the envelope this composes identically to
+    * verify-after-candidates (refine(dedupPairs(join))), so gate-SF
+    * oracles see the exact same plan shape. */
+  private[operators] def lshCandidatePairsRefined(sets: DataFrame, bands: Int,
+      rows: Int, refine: DataFrame => DataFrame): DataFrame =
+    lshCandidatePairsSliced(sets, bands, rows,
+      maxBandedRowsForDisk(sets.sparkSession), refine)
+
   /** LSH candidate pairs with the banded frame bounded per pass. The
     * band-group decomposition is loss-free AND exact: a pair's candidacy
     * is a union over per-band collisions, so generating bands [lo, hi)
@@ -687,9 +705,26 @@ object Dedup {
     * manager). Caveat: ids created by CONCURRENT jobs inside the
     * snapshot window would be reclaimed too — their stages would
     * recompute (correctness unaffected); this operator assumes the
-    * serial batch context it runs in. */
+    * serial batch context it runs in.
+    *
+    * `refine` (default identity) runs INSIDE each slice, between the
+    * slice's pair dedup and its spill — the r11 staged-verify discipline
+    * applied to the text funnel: when the caller's verify stage (exact
+    * Jaccard, score filter) is pushed here, the spilled parquet is
+    * ANSWER-mass, not candidate-mass. Without it the accumulated spill
+    * is the full candidate set, which at the q22_auto 100x point
+    * (~600 M surviving candidates per 128-band slice, ~9 GB parquet
+    * each, 9 slices) exceeds a single node's disk even though every
+    * exchange is bounded. Exactness is preserved for any per-pair
+    * deterministic refine (filter + annotate): refine commutes with the
+    * band-union decomposition, and the cross-slice distinct collapses a
+    * pair's identical refined rows from different slices. The refine
+    * must be BLIND to candidate multiplicity (each slice has already
+    * deduped its own pairs; a pair colliding in two slices reaches
+    * refine once per slice). */
   private[graft] def lshCandidatePairsSliced(sets: DataFrame, bands: Int,
-      rows: Int, maxBandedRows: Long): DataFrame = {
+      rows: Int, maxBandedRows: Long,
+      refine: DataFrame => DataFrame = identity): DataFrame = {
     import sets.sparkSession.implicits._
     val nDocs = sets.count() // sets is cached by every caller
     if (nDocs * bands <= maxBandedRows) {
@@ -701,11 +736,11 @@ object Dedup {
       val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
         math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
       val keyed = banded.repartition(parts, $"band", $"bh")
-      dedupPairs(
+      refine(dedupPairs(
         keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
             $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
-        parts, "d1", "d2")
+        parts, "d1", "d2"))
     } else {
       val spark = sets.sparkSession
       val sc = spark.sparkContext
@@ -724,11 +759,11 @@ object Dedup {
           val hi = math.min(bands, lo + bandsPerSlice)
           val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
             .repartition(parts, $"band", $"bh")
-          dedupPairs(
+          refine(dedupPairs(
             keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
                 $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
               .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
-            parts, "d1", "d2")
+            parts, "d1", "d2"))
             .write.mode("overwrite") // the slice executes HERE, bounded
             .parquet(s"$spillDir/slice_$lo")
           // the slice's shuffles are dead (its only product is now
@@ -739,8 +774,10 @@ object Dedup {
         }
         // cross-slice dedup: a pair colliding in bands of two slices
         // appears once per slice — same post-exchange distinct
-        // discipline; eager checkpoint so the spill dir (and the dedup's
-        // own exchange) can be released before returning
+        // discipline (full-row distinct: any refine annotation is a
+        // deterministic function of the pair, so identical rows); eager
+        // checkpoint so the spill dir (and the dedup's own exchange) can
+        // be released before returning
         val all = dedupPairs(
           spark.read.parquet(sliceStarts.map(lo => s"$spillDir/slice_$lo"): _*),
           parts, "d1", "d2")

@@ -77,10 +77,11 @@ object DocumentPipeline {
       .cache()
     val nDocs = sets.count()
 
-    // near-dup decision (q52 shape): LSH pairs -> CC -> min-id keep
-    val pairs = Dedup.jaccardVerify(
-        Dedup.lshCandidatePairs(sets, cfg.bands, cfg.rows),
-        sets, cfg.nearDupThreshold, nDocs)
+    // near-dup decision (q52 shape): LSH pairs -> CC -> min-id keep;
+    // verify runs inside the band-group slices (answer-mass spill past
+    // the disk envelope, same as q22/q32)
+    val pairs = Dedup.lshCandidatePairsRefined(sets, cfg.bands, cfg.rows,
+        c => Dedup.jaccardVerify(c, sets, cfg.nearDupThreshold, nDocs, sorted = false))
       .select($"d1", $"d2").localCheckpoint()
     val membership = pairs.select($"d1".as("entity"), struct($"d1", $"d2").as("key"))
       .union(pairs.select($"d2".as("entity"), struct($"d1", $"d2").as("key")))

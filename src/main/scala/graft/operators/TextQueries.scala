@@ -380,8 +380,12 @@ object TextQueries {
     val nRecords = sets.count()
     val (bands, rows) =
       if (auto) Dedup.lshAutoParams(nRecords, threshold = 0.5) else (128, 3)
-    val cand = Dedup.lshCandidatePairs(sets, bands, rows)
-    val pairs = Dedup.jaccardVerify(cand, sets, 0.5, nRecords, sorted = false)
+    // exact-Jaccard verify pushed INSIDE the band-group slices: past the
+    // disk envelope the per-slice spill is verified pairs (~2% of
+    // candidates at these parameters), not the candidate set — the
+    // answer-mass discipline that keeps the q22_auto 100x rung on disk
+    val pairs = Dedup.lshCandidatePairsRefined(sets, bands, rows,
+      c => Dedup.jaccardVerify(c, sets, 0.5, nRecords, sorted = false))
     // shuffle-hash, not sort-merge: SMJ would SORT the multi-million-pair
     // candidate side (with the first join's wide meta columns attached)
     // before each fetch — measured as a ~1.5 GB disk spill at 10x corpus;

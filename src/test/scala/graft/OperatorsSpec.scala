@@ -47,6 +47,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(whole.nonEmpty)
     assert(sliced == whole, "band-group slicing must be loss-free and exact")
     assert(oneBand == whole)
+    // refined path: pushing a per-pair refine (here an id-parity filter +
+    // annotation — deterministic per pair, like the production Jaccard
+    // verify) INSIDE the slices must equal refine-after-candidates
+    def refined(maxBandedRows: Long) =
+      Dedup.lshCandidatePairsSliced(sets, 32, 4, maxBandedRows,
+          c => c.filter((col("d1") + col("d2")) % 2 === 0)
+            .withColumn("tag", col("d1") % 7))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val refWhole = refined(Long.MaxValue)
+    val refSliced = refined(sets.count() * 5)
+    assert(refWhole.nonEmpty && refWhole.subsetOf(
+      whole.map { case (a, b) => (a, b, a % 7) }))
+    assert(refSliced == refWhole,
+      "in-slice refine must be exact vs refine-after-candidates")
     sets.unpersist()
   }
 
