@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_lsh_match_score_auto" -> (TQ.q22LshMatchScoreAuto _),
     // D11 end-to-end: Crossref API parse (S13) -> weighted match score
     "q60_crossref_match" -> (TQ.q60CrossrefMatch _),
+    "q61_substring_dedup" -> ((s, d) => Dedup.substringDedup(s, d)),
     "q30_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(s, d)),
     // the ORACLE anchor runs uncapped so its documented behavior can
     // never diverge from its own oracle; the production dfCap variant is
@@ -153,6 +154,7 @@ object SparkEntry {
     "q22_lsh_match_score" -> TQ.q22Sql,
     "q22_lsh_match_score_auto" -> TQ.q22Sql,
     "q60_crossref_match" -> TQ.q60Sql,
+    "q61_substring_dedup" -> Dedup.q61Sql,
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,

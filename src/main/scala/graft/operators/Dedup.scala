@@ -221,6 +221,19 @@ object Dedup {
     * MB); above it the verify joins stay shuffle-hash. */
   private val VerifyBroadcastMaxDocs = 250000L
 
+  /** Broadcast-arm extension for larger corpora whose shingle-set frame
+    * is nonetheless compact (short records — the fuzzy-match funnel's
+    * bibliographic strings are ~15 shingles/doc): if the cached frame
+    * MEASURES under this many bytes, verifying over a broadcast is worth
+    * it at any doc count under the hard cap, because the candidate
+    * stream — orders of magnitude heavier than the sets frame past the
+    * LSH envelope — then never crosses an exchange at all. 800 MB
+    * serialized is a deliberate ceiling: the hash relation builds ~3x
+    * that on the executor, well inside one worker's memory at the target
+    * shape. */
+  private val VerifyBroadcastMaxBytes = 800L * 1024 * 1024
+  private val VerifyBroadcastHardMaxDocs = 4000000L
+
   /** @param sorted emit pairs ordered by (d1, d2) — callers that register
     *   the pair set directly need the deterministic order; funnel callers
     *   (q22) that keep joining/re-sorting downstream pass false and skip
@@ -235,7 +248,16 @@ object Dedup {
     // hash-builds per partition. At corpus scale the shingle-set frame is
     // O(docs), so the broadcast arm is only taken by genuinely small
     // inputs.
-    val bcast = nDocs <= VerifyBroadcastMaxDocs
+    val bcast = nDocs <= VerifyBroadcastMaxDocs ||
+      (nDocs <= VerifyBroadcastHardMaxDocs && {
+        // measured size of the (cached) sets frame — accurate once the
+        // cache is materialized; a too-large estimate just falls back to
+        // the shuffle-hash arm (conservative direction)
+        val bytes = try BigInt(
+          sets.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+        catch { case _: Throwable => BigInt(Long.MaxValue) }
+        bytes <= VerifyBroadcastMaxBytes
+      })
     def side(df: DataFrame, k: String, renames: (String, String)*) = {
       val s = renames.foldLeft(df.withColumnRenamed("doc_id", k)) {
         case (d, (from, to)) => d.withColumnRenamed(from, to)
@@ -322,7 +344,8 @@ object Dedup {
     // disk envelope); the deterministic order the registered pair set
     // needs is restored after the cross-slice dedup
     lshCandidatePairsRefined(sets, bands, rows,
-      c => jaccardVerify(c, sets, threshold, nDocs, sorted = false))
+      c => jaccardVerify(c, sets, threshold, nDocs, sorted = false),
+      nDocsKnown = nDocs)
       .orderBy($"d1", $"d2")
   }
 
@@ -567,18 +590,33 @@ object Dedup {
     * work is re-iterating each doc's base-hash array once per slice).
     * Band keys/seeds use ABSOLUTE band indices, so the union over slices
     * is row-identical to [[bandedSignatures]] of the full point. */
+  /** Banded frame for bands [lo, hi), each row ALSO carrying the doc's
+    * PREVIOUS band's bucket hash (`bhp`): the signature is computed from
+    * band lo-1 on (one extra band of rows), so `bhp` is exact across
+    * slice boundaries. Band 0 has no predecessor — its `bhp` is a
+    * constant the join's `band === 0` arm ignores. The extra column is
+    * 8 B/row on the band exchange; it buys the chained first-collision
+    * suppression in [[lshCandidatePairsSliced]]'s join. */
   private def bandedSignaturesSlice(sets: DataFrame, bands: Int, rows: Int,
       lo: Int, hi: Int): DataFrame = {
     import sets.sparkSession.implicits._
-    val params = affineParams(bands * rows).slice(lo * rows, hi * rows)
+    val loP = math.max(0, lo - 1) // include the predecessor band's rows
+    val params = affineParams(bands * rows).slice(loP * rows, hi * rows)
     val sig = graft.plans.VectorExpressions.minhashSig(
       shingleBaseHashes($"hv"), params.map(_._1).toArray,
       params.map(_._2).toArray, MinhashPrime)
+    val off = lo - loP // 0 for the first slice, 1 otherwise
     sets.select($"doc_id", sig.as("sig"))
       .select($"doc_id", posexplode(transform(sequence(lit(0), lit(hi - lo - 1)),
-        b => xxhash64(slice($"sig", b * lit(rows) + lit(1), lit(rows)), b + lit(lo))))
-        .as(Seq("band_local", "bh")))
-      .select($"doc_id", ($"band_local" + lit(lo)).as("band"), $"bh")
+        b => struct(
+          xxhash64(slice($"sig", (b + lit(off)) * rows + 1, lit(rows)), b + lit(lo))
+            .as("bh"),
+          when(b + lit(lo) === 0, lit(0L)).otherwise(
+            xxhash64(slice($"sig", (b + lit(off) - 1) * rows + 1, lit(rows)),
+              b + lit(lo) - 1)).as("bhp"))))
+        .as(Seq("band_local", "h")))
+      .select($"doc_id", ($"band_local" + lit(lo)).as("band"),
+        $"h.bh".as("bh"), $"h.bhp".as("bhp"))
   }
 
   /** Corpus-sized MinHash-LSH (bands, rows) operating point for a
@@ -669,9 +707,10 @@ object Dedup {
     * verify-after-candidates (refine(dedupPairs(join))), so gate-SF
     * oracles see the exact same plan shape. */
   private[operators] def lshCandidatePairsRefined(sets: DataFrame, bands: Int,
-      rows: Int, refine: DataFrame => DataFrame): DataFrame =
+      rows: Int, refine: DataFrame => DataFrame,
+      nDocsKnown: Long = -1L): DataFrame =
     lshCandidatePairsSliced(sets, bands, rows,
-      maxBandedRowsForDisk(sets.sparkSession), refine)
+      maxBandedRowsForDisk(sets.sparkSession), refine, nDocsKnown)
 
   /** LSH candidate pairs with the banded frame bounded per pass. The
     * band-group decomposition is loss-free AND exact: a pair's candidacy
@@ -696,10 +735,11 @@ object Dedup {
     *   - the envelope itself is sized from measured free disk
     *     ([[maxBandedRowsForDisk]]), not a constant.
     *
-    * Peak disk is therefore ONE slice's exchange + the accumulated pair
-    * parquet. The spill directory is deleted as soon as the cross-slice
-    * dedup materializes (eager localCheckpoint of the final answer-mass
-    * pair set). On a cluster the slices are trivially independent jobs;
+    * Peak disk is therefore ONE slice's (answer-shaped) exchanges + the
+    * answer parquet, held exactly once by the incremental anti-join. The
+    * spill directory is deleted as soon as the final read materializes
+    * (eager localCheckpoint of the answer-mass pair set). On a cluster
+    * the band slices remain sequential rounds of independent shuffles;
     * the synchronous reclamation is driver-coordinated and works the
     * same there (the cleaner broadcasts removals to every block
     * manager). Caveat: ids created by CONCURRENT jobs inside the
@@ -707,26 +747,29 @@ object Dedup {
     * recompute (correctness unaffected); this operator assumes the
     * serial batch context it runs in.
     *
-    * `refine` (default identity) runs INSIDE each slice, between the
-    * slice's pair dedup and its spill — the r11 staged-verify discipline
-    * applied to the text funnel: when the caller's verify stage (exact
-    * Jaccard, score filter) is pushed here, the spilled parquet is
-    * ANSWER-mass, not candidate-mass. Without it the accumulated spill
-    * is the full candidate set, which at the q22_auto 100x point
-    * (~600 M surviving candidates per 128-band slice, ~9 GB parquet
-    * each, 9 slices) exceeds a single node's disk even though every
-    * exchange is bounded. Exactness is preserved for any per-pair
-    * deterministic refine (filter + annotate): refine commutes with the
-    * band-union decomposition, and the cross-slice distinct collapses a
-    * pair's identical refined rows from different slices. The refine
-    * must be BLIND to candidate multiplicity (each slice has already
-    * deduped its own pairs; a pair colliding in two slices reaches
-    * refine once per slice). */
+    * `refine` (default identity) runs INSIDE each slice, on the raw
+    * (suppressed) occurrence stream BEFORE any pair exchange — the r11
+    * staged-verify discipline applied to the text funnel: when the
+    * caller's verify stage (exact Jaccard, score filter) is pushed here,
+    * both the dedup exchange and the spilled parquet are ANSWER-mass,
+    * not candidate-mass. Without it the spill is the full candidate
+    * set, which at the q22_auto 100x point exceeds a single node's disk
+    * even though every banded exchange is bounded. Exactness is
+    * preserved for any PER-ROW deterministic refine (filter + annotate):
+    * refine commutes with the band-union decomposition, the per-slice
+    * distinct collapses an occurrence's identical refined rows, and the
+    * cross-slice anti-join keeps the first slice's copy. The refine must
+    * be BLIND to occurrence multiplicity — a pair colliding in several
+    * bands of a slice reaches refine once per unsuppressed collision
+    * run, and its refined rows must be identical every time. */
   private[graft] def lshCandidatePairsSliced(sets: DataFrame, bands: Int,
       rows: Int, maxBandedRows: Long,
-      refine: DataFrame => DataFrame = identity): DataFrame = {
+      refine: DataFrame => DataFrame = identity,
+      nDocsKnown: Long = -1L): DataFrame = {
     import sets.sparkSession.implicits._
-    val nDocs = sets.count() // sets is cached by every caller
+    // callers that already counted their cached sets pass it in —
+    // re-counting here would be one extra cached-scan job per operator
+    val nDocs = if (nDocsKnown >= 0L) nDocsKnown else sets.count()
     if (nDocs * bands <= maxBandedRows) {
       val banded = bandedSignatures(sets, bands, rows)
       // banded is localCheckpointed — the count is a cached-scan, not a
@@ -755,33 +798,58 @@ object Dedup {
       // shuffle id, so the running snapshot is monotone
       var seen = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
       try {
+        // Past the envelope the candidate stream's MULTIPLICITY is the
+        // disk bomb, not the banded frame (r13 measurement, x100 fuzzy
+        // match: ~60x answer-mass of raw (d1, d2) emissions per full
+        // frame — a ~49 GB exchange per 128-band slice where the banded
+        // exchange itself is 6 GB). Three exact cuts keep a slice's
+        // footprint answer-shaped:
+        //   1. chained first-collision suppression INSIDE the band join:
+        //      a pair colliding at band b is emitted only when b == 0 or
+        //      the two docs did NOT collide at b-1 (`bhp`, exact across
+        //      slice edges) — one emission per collision RUN, so the
+        //      all-band colliders (exact duplicates, the worst mass)
+        //      emit once per corpus instead of once per band. Loss-free:
+        //      every colliding pair has a first band in each run.
+        //      (Same 2^-64 hash-proxy model as bucket equality itself.)
+        //   2. refine runs per OCCURRENCE, before any pair exchange —
+        //      with the broadcast-verify arm the sub-threshold bulk dies
+        //      as compute inside the join stage and is never exchanged;
+        //      only refined survivors reach the dedup repartition.
+        //   3. cross-slice dedup is INCREMENTAL: each slice anti-joins
+        //      the accumulated answer parquet and appends only new
+        //      pairs, so the spill directory is the answer set exactly
+        //      once (not answer x slices-hit) and no end-of-loop
+        //      dedup exchange over the whole spill exists.
+        val seenDir = s"$spillDir/seen"
+        var nSlices = 0
+        def seenPaths: Seq[String] = (0 until nSlices).map(i => s"$seenDir/s$i")
         sliceStarts.foreach { lo =>
           val hi = math.min(bands, lo + bandsPerSlice)
           val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
             .repartition(parts, $"band", $"bh")
-          refine(dedupPairs(
-            keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-                $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
-              .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
-            parts, "d1", "d2"))
-            .write.mode("overwrite") // the slice executes HERE, bounded
-            .parquet(s"$spillDir/slice_$lo")
+          val occurrences = keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+              $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+                $"a.doc_id" < $"b.doc_id" &&
+                ($"a.band" === 0 || $"a.bhp" =!= $"b.bhp"))
+            .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          val sliceDistinct = dedupPairs(refine(occurrences), parts, "d1", "d2")
+          val fresh = if (nSlices == 0) sliceDistinct
+            else sliceDistinct.join(
+              spark.read.parquet(seenPaths: _*).select($"d1", $"d2"),
+              Seq("d1", "d2"), "left_anti")
+          fresh.write.mode("overwrite") // the slice executes HERE, bounded
+            .parquet(s"$seenDir/s$nSlices")
+          nSlices += 1
           // the slice's shuffles are dead (its only product is now
           // parquet) — release their files before the next slice writes
           val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
           org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
           seen ++= now
         }
-        // cross-slice dedup: a pair colliding in bands of two slices
-        // appears once per slice — same post-exchange distinct
-        // discipline (full-row distinct: any refine annotation is a
-        // deterministic function of the pair, so identical rows); eager
-        // checkpoint so the spill dir (and the dedup's own exchange) can
-        // be released before returning
-        val all = dedupPairs(
-          spark.read.parquet(sliceStarts.map(lo => s"$spillDir/slice_$lo"): _*),
-          parts, "d1", "d2")
-          .localCheckpoint()
+        // the seen directory is globally distinct by construction; eager
+        // checkpoint so the spill dir can be deleted before returning
+        val all = spark.read.parquet(seenPaths: _*).localCheckpoint()
         val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
         org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
         all
@@ -1116,6 +1184,93 @@ object Dedup {
       |  CAST(n_dup AS BIGINT) AS n_dup,
       |  round(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_frac
       |FROM per_doc ORDER BY doc_id""".stripMargin
+
+  /** q61 — EXACT-SUBSTRING dedup stats (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token span is
+    * duplicated when its k-gram occurs >= 2 times ANYWHERE in the corpus
+    * (unlike q51's per-doc non-overlapping chunks, this slides one
+    * position at a time and counts within-doc repeats too); overlapping
+    * duplicated k-grams merge into maximal removal spans, the operation
+    * the paper's suffix-array pass performs. Output per document: token
+    * count, duplicated-span token mass, retained fraction after removal.
+    *
+    * Spark-first shape (the suffix array is a single-node construct; the
+    * same answer falls out of three bounded shuffles):
+    *   1. positional k-gram frame — posexplode over a transform(sequence)
+    *      projection, one xxhash64 per start position (no string
+    *      materialization past the scan);
+    *   2. corpus frequency — groupBy(gramHash) with map-side partial agg,
+    *      HAVING count >= 2; duplicated starts come back via a LEFT SEMI
+    *      join (the frequency side carries no payload);
+    *   3. interval merge — the classic gaps-and-islands: per-doc window
+    *      ordered by position, a break whenever the gap exceeds k (fixed
+    *      k-length intervals mean the running max end is always
+    *      prev_p + k), islands summed as max(p)+k-min(p). The window is
+    *      doc-partitioned — no global sort, no driver state.
+    * At 100 TB the frequency table is the big exchange (one row per
+    * position); it partial-aggregates to distinct grams and the semi join
+    * back is key-only. Hot grams skew the HAVING-side groupBy no worse
+    * than q51's chunk table (count-only partial agg collapses them
+    * map-side). */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val toks = filter(split($"text", " "), t => length(t) > lit(0))
+    val docs = documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select($"doc_id".cast("long").as("doc_id"), toks.as("t"))
+      .cache() // two consumers: the gram frame and the final n_tokens join
+    val grams = docs.filter(size($"t") >= k)
+      .select($"doc_id", posexplode(transform(sequence(lit(0), size($"t") - k),
+        i => xxhash64(concat_ws(" ", slice($"t", i + 1, lit(k)))))))
+      .toDF("doc_id", "p", "gh")
+    val dupG = grams.groupBy($"gh").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"gh")
+    val dupStarts = grams.join(dupG, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val islands = dupStarts
+      .withColumn("brk",
+        when(coalesce($"p" - lag($"p", 1).over(w), lit(k + 1)) > k, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(w))
+    val dupPerDoc = islands.groupBy($"doc_id", $"island")
+      .agg((max($"p") + k - min($"p")).as("span"))
+      .groupBy($"doc_id").agg(sum($"span").cast("long").as("dup_tokens"))
+    docs.select($"doc_id", size($"t").cast("long").as("n_tokens"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        when($"n_tokens" === 0, lit(1.0)).otherwise(
+          round(lit(1.0) - coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens", 6))
+          .as("retained_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** q61 oracle — the same spans computed on the k-gram STRINGS in DuckDB
+    * (positional struct unnest; independent of the xxhash64 gram key). */
+  val q61Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
+      |), occ AS (
+      |  SELECT doc_id, unnest([struct_pack(p := i - 1, g := array_to_string(t[i:i+7], ' ')) for i in range(1, len(t) - 6)], recursive := true)
+      |  FROM toks WHERE len(t) >= 8
+      |), freq AS (
+      |  SELECT g FROM occ GROUP BY g HAVING count(*) >= 2
+      |), d AS (
+      |  SELECT doc_id, p FROM occ WHERE g IN (SELECT g FROM freq)
+      |), isl AS (
+      |  SELECT doc_id, p, CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), 9) > 8 THEN 1 ELSE 0 END AS brk FROM d
+      |), isl2 AS (
+      |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl
+      |), spans AS (
+      |  SELECT doc_id, island, max(p) + 8 - min(p) AS span FROM isl2 GROUP BY doc_id, island
+      |), dup AS (
+      |  SELECT doc_id, sum(span) AS dup_tokens FROM spans GROUP BY doc_id
+      |)
+      |SELECT CAST(t.doc_id AS BIGINT) AS doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(dup.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CASE WHEN len(t.t) = 0 THEN 1.0 ELSE round(1.0 - CAST(coalesce(dup.dup_tokens, 0) AS DOUBLE) / len(t.t), 6) END AS retained_frac
+      |FROM toks t LEFT JOIN dup ON t.doc_id = dup.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** q52 — the dedup DECISION over the whole corpus: every document with
     * its near-dup cluster id (its own id when unclustered) and whether it

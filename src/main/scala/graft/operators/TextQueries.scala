@@ -380,30 +380,40 @@ object TextQueries {
     val nRecords = sets.count()
     val (bands, rows) =
       if (auto) Dedup.lshAutoParams(nRecords, threshold = 0.5) else (128, 3)
-    // exact-Jaccard verify pushed INSIDE the band-group slices: past the
-    // disk envelope the per-slice spill is verified pairs (~2% of
-    // candidates at these parameters), not the candidate set — the
-    // answer-mass discipline that keeps the q22_auto 100x rung on disk
-    val pairs = Dedup.lshCandidatePairsRefined(sets, bands, rows,
-      c => Dedup.jaccardVerify(c, sets, 0.5, nRecords, sorted = false))
-    // shuffle-hash, not sort-merge: SMJ would SORT the multi-million-pair
-    // candidate side (with the first join's wide meta columns attached)
-    // before each fetch — measured as a ~1.5 GB disk spill at 10x corpus;
-    // hash-building the O(records) meta side per partition avoids any
-    // sort of the pair stream (same ids-first fetch discipline as
-    // Dedup.jaccardVerify).
-    def side(n: String) = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
-      .hint("shuffle_hash")
-    pairs
-      .join(side("a"), $"d1" === $"p_partkey_a")
-      .join(side("b"), $"d2" === $"p_partkey_b")
-      .withColumn("score", graft.functions.BiblioMatch.matchingScore(
-        $"family_a", $"family_b", $"given_a", $"given_b",
-        $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
-        $"year_a", $"year_b", $"volume_a", $"volume_b",
-        $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
-        $"end_page_a", $"end_page_b"))
-      .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
+    // the ENTIRE post-candidate chain — exact-Jaccard verify, metadata
+    // fetch, weighted score, threshold filter — is pushed inside the
+    // band-group slices as the refine: past the disk envelope the pair
+    // exchange and the per-slice spill then carry the FINAL scored
+    // answer, not candidates or jac-only survivors (the answer-mass
+    // discipline that keeps the q22_auto 100x rung on disk). Per-row
+    // deterministic, so the refine contract holds.
+    //
+    // The meta sides broadcast when the cached frame measures small
+    // (short bibliographic rows — ~300 MB at the 2M-record 100x point),
+    // so the pair stream never crosses an exchange for the fetch;
+    // shuffle-hash (never sort-merge: sorting the pair stream with wide
+    // meta columns attached was a measured ~1.5 GB spill at 10x) is the
+    // fallback past the broadcast budget.
+    val mBytes = try BigInt(m.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    def side(n: String) = {
+      val r = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
+      if (mBytes <= 800L * 1024 * 1024) broadcast(r) else r.hint("shuffle_hash")
+    }
+    val refine: DataFrame => DataFrame = c =>
+      Dedup.jaccardVerify(c, sets, 0.5, nRecords, sorted = false)
+        .join(side("a"), $"d1" === $"p_partkey_a")
+        .join(side("b"), $"d2" === $"p_partkey_b")
+        .withColumn("score", graft.functions.BiblioMatch.matchingScore(
+          $"family_a", $"family_b", $"given_a", $"given_b",
+          $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
+          $"year_a", $"year_b", $"volume_a", $"volume_b",
+          $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
+          $"end_page_a", $"end_page_b"))
+        .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
+        .select($"d1", $"d2", $"jac", $"score")
+    Dedup.lshCandidatePairsRefined(sets, bands, rows, refine,
+      nDocsKnown = nRecords)
       .select($"d1".cast("long").as("k1"), $"d2".cast("long").as("k2"),
         $"jac", $"score")
       .orderBy($"k1", $"k2")

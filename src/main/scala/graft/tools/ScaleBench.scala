@@ -379,14 +379,19 @@ object ScaleBench {
       "the full ladder: its n=2M banded frame (~1082 bands, ~35 GB in one " +
       "piece) is generated and joined in bounded band-group slices " +
       "(Dedup.lshCandidatePairsSliced; slice envelope derived from measured " +
-      "free disk, capped at 256M banded rows ~ 6 GB exchange per slice). " +
-      "Each slice's pairs spill to compact parquet and its shuffle files " +
-      "are reclaimed SYNCHRONOUSLY via the ContextCleaner's blocking path " +
-      "(GraftSparkInternals.cleanupShufflesBlocking) before the next slice " +
-      "writes — peak disk is one slice's exchange plus the pair parquet, " +
-      "not the accumulated frame (r12's GC-beat heuristic ENOSPC'd here). " +
-      "The candidate set is identical by the per-band union law, so the " +
-      "q22_auto oracle row stays exact. " +
+      "free disk, capped at 256M banded rows ~ 7 GB exchange per slice). " +
+      "Inside each slice the candidate stream stays ANSWER-shaped (the r13 " +
+      "lesson: raw (d1,d2) occurrences are ~60x answer mass — an 83 GB " +
+      "exchange at x100 no matter how the frame is sliced): chained " +
+      "first-collision suppression in the band join kills the per-run " +
+      "multiplicity, the verify+score refine runs per occurrence over " +
+      "BROADCAST sets/meta before any pair exchange, and cross-slice dedup " +
+      "is an incremental anti-join so the spill holds the answer exactly " +
+      "once. Slice shuffle files are reclaimed SYNCHRONOUSLY via the " +
+      "ContextCleaner's blocking path (GraftSparkInternals." +
+      "cleanupShufflesBlocking) before the next slice writes. " +
+      "The pair set is identical by the per-band union law and the " +
+      "run-start suppression law, so the q22_auto oracle row stays exact. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +

@@ -843,4 +843,31 @@ class OperatorsSpec extends AnyFunSuite {
       assert(got == expect, s"shards=$shards packing mismatch")
     }
   }
+
+  test("q61 substring dedup merges overlapping duplicated k-grams into maximal spans") {
+    import spark.implicits._
+    // docs 1/2 share a 10-token run (3 overlapping 8-gram starts -> ONE
+    // merged 10-token span each); doc 3 is clean; doc 4 repeats an 8-token
+    // run WITHIN itself at distance > k (two islands, 8 tokens each) —
+    // within-doc repeats count toward the corpus frequency, per the
+    // exact-substring definition
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 5).map(i => s"a$i") ++ Seq(shared) ++ (1 to 7).map(i => s"z$i")).mkString(" ")),
+      (2L, (Seq(shared) ++ (1 to 9).map(i => s"b$i")).mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (4L, (Seq(run) ++ Seq("x", "y") ++ Seq(run)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q61spec").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.substringDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def round6(x: Double) = // Spark round() semantics: HALF_UP
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((22L, 10L, round6(1.0 - 10.0 / 22))))
+    assert(got(2L) == ((19L, 10L, round6(1.0 - 10.0 / 19))))
+    assert(got(3L) == ((20L, 0L, 1.0)))
+    assert(got(4L) == ((18L, 16L, round6(1.0 - 16.0 / 18))))
+  }
 }
