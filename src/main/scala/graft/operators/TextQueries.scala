@@ -380,40 +380,41 @@ object TextQueries {
     val nRecords = sets.count()
     val (bands, rows) =
       if (auto) Dedup.lshAutoParams(nRecords, threshold = 0.5) else (128, 3)
-    // the ENTIRE post-candidate chain — exact-Jaccard verify, metadata
-    // fetch, weighted score, threshold filter — is pushed inside the
-    // band-group slices as the refine: past the disk envelope the pair
-    // exchange and the per-slice spill then carry the FINAL scored
-    // answer, not candidates or jac-only survivors (the answer-mass
-    // discipline that keeps the q22_auto 100x rung on disk). Per-row
-    // deterministic, so the refine contract holds.
-    //
-    // The meta sides broadcast when the cached frame measures small
-    // (short bibliographic rows — ~300 MB at the 2M-record 100x point),
-    // so the pair stream never crosses an exchange for the fetch;
-    // shuffle-hash (never sort-merge: sorting the pair stream with wide
-    // meta columns attached was a measured ~1.5 GB spill at 10x) is the
-    // fallback past the broadcast budget.
+    // exact-Jaccard verify pushed INSIDE the band-group slices as the
+    // refine: it runs per occurrence in the band-join pipeline (over the
+    // broadcast sets frame past jaccardVerify's measured-size arm), so
+    // the sub-threshold candidate bulk dies as compute and the per-slice
+    // exchange/spill carries jac-survivors only. The metadata fetch and
+    // weighted score deliberately stay OUTSIDE the slices: score costs
+    // three Myers-Levenshteins over wide meta rows per evaluation, and
+    // running it per occurrence was a measured 76x per-row slowdown at
+    // the 100x corpus — after the cross-slice dedup it runs exactly once
+    // per distinct pair.
+    val pairs = Dedup.lshCandidatePairsRefined(sets, bands, rows,
+      c => Dedup.jaccardVerify(c, sets, 0.5, nRecords, sorted = false),
+      nDocsKnown = nRecords)
+    // meta sides broadcast when the cached frame measures small (short
+    // bibliographic rows — ~300 MB at the 2M-record 100x point), so the
+    // pair stream never crosses an exchange for the fetch; shuffle-hash
+    // (never sort-merge: sorting the pair stream with wide meta columns
+    // attached was a measured ~1.5 GB spill at 10x) is the fallback past
+    // the broadcast budget.
     val mBytes = try BigInt(m.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
       catch { case _: Throwable => BigInt(Long.MaxValue) }
     def side(n: String) = {
       val r = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
       if (mBytes <= 800L * 1024 * 1024) broadcast(r) else r.hint("shuffle_hash")
     }
-    val refine: DataFrame => DataFrame = c =>
-      Dedup.jaccardVerify(c, sets, 0.5, nRecords, sorted = false)
-        .join(side("a"), $"d1" === $"p_partkey_a")
-        .join(side("b"), $"d2" === $"p_partkey_b")
-        .withColumn("score", graft.functions.BiblioMatch.matchingScore(
-          $"family_a", $"family_b", $"given_a", $"given_b",
-          $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
-          $"year_a", $"year_b", $"volume_a", $"volume_b",
-          $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
-          $"end_page_a", $"end_page_b"))
-        .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
-        .select($"d1", $"d2", $"jac", $"score")
-    Dedup.lshCandidatePairsRefined(sets, bands, rows, refine,
-      nDocsKnown = nRecords)
+    pairs
+      .join(side("a"), $"d1" === $"p_partkey_a")
+      .join(side("b"), $"d2" === $"p_partkey_b")
+      .withColumn("score", graft.functions.BiblioMatch.matchingScore(
+        $"family_a", $"family_b", $"given_a", $"given_b",
+        $"title_a", $"title_b", $"venue_a", $"venue_b", $"issn_a", $"issn_b",
+        $"year_a", $"year_b", $"volume_a", $"volume_b",
+        $"issue_a", $"issue_b", $"start_page_a", $"start_page_b",
+        $"end_page_a", $"end_page_b"))
+      .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
       .select($"d1".cast("long").as("k1"), $"d2".cast("long").as("k2"),
         $"jac", $"score")
       .orderBy($"k1", $"k2")
