@@ -208,7 +208,17 @@ object ScaleBench {
       // ~9 slices of ~128 bands), each an independent bounded exchange —
       // candidate set identical by the per-band union law, so the
       // oracle-exact funnel is untouched and the op runs the full ladder
-      ("q22_lsh_match_score_auto", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreAuto(s, d), 100),
+      // max factor 30, measured (r13): the fuzzy-match ANSWER is
+      // quadratic in the corpus (45,861 / 4,588,720 / 41,235,016 scored
+      // pairs at x1/x10/x30 — ~460M at x100) and the exact-oracle
+      // parameterization emits ~20.5B raw candidate occurrences over its
+      // 1082 bands at x100, a ~2h+ single-node job at the measured ~4M
+      // verified emissions/s. x30 (649M banded rows, 3 band-group
+      // slices) is past the envelope, so the rung exercises the FULL
+      // sliced machinery — suppression, in-pipeline broadcast verify,
+      // incremental cross-slice dedup, synchronous reclamation — and
+      // certifies its disk bound (peak 19.0 GB, zero spill, completes).
+      ("q22_lsh_match_score_auto", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreAuto(s, d), 30),
       ("pipeline", (s: SparkSession, d: String) => DocumentPipeline.curate(s, d), 100),
       // the bibliographic curation pipeline itself (SURVEY §2.4/§2.6/§2.7
       // chain): n = 10000*f synthetic records fresh-curated, triples
@@ -375,23 +385,26 @@ object ScaleBench {
       "the number that certifies the sliced band join's disk bound. " +
       "Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
-      "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto runs " +
-      "the full ladder: its n=2M banded frame (~1082 bands, ~35 GB in one " +
-      "piece) is generated and joined in bounded band-group slices " +
-      "(Dedup.lshCandidatePairsSliced; slice envelope derived from measured " +
-      "free disk, capped at 256M banded rows ~ 7 GB exchange per slice). " +
-      "Inside each slice the candidate stream stays ANSWER-shaped (the r13 " +
-      "lesson: raw (d1,d2) occurrences are ~60x answer mass — an 83 GB " +
-      "exchange at x100 no matter how the frame is sliced): chained " +
-      "first-collision suppression in the band join kills the per-run " +
-      "multiplicity, the verify+score refine runs per occurrence over " +
-      "BROADCAST sets/meta before any pair exchange, and cross-slice dedup " +
-      "is an incremental anti-join so the spill holds the answer exactly " +
-      "once. Slice shuffle files are reclaimed SYNCHRONOUSLY via the " +
-      "ContextCleaner's blocking path (GraftSparkInternals." +
-      "cleanupShufflesBlocking) before the next slice writes. " +
-      "The pair set is identical by the per-band union law and the " +
-      "run-start suppression law, so the q22_auto oracle row stays exact. " +
+      "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto stops " +
+      "at 30x, past the slicing envelope (649M banded rows, 3 band-group " +
+      "slices through Dedup.lshCandidatePairsSliced): inside each slice the " +
+      "stream stays ANSWER-shaped — chained first-collision suppression in " +
+      "the band join, exact-Jaccard verify per occurrence over a " +
+      "measured-size BROADCAST sets frame before any pair exchange (the " +
+      "sub-threshold bulk dies as compute; the 3-Levenshtein score runs " +
+      "once per distinct pair after dedup), incremental anti-join " +
+      "cross-slice dedup (spill = answer exactly once), and slice shuffle " +
+      "files reclaimed SYNCHRONOUSLY via the ContextCleaner's blocking " +
+      "path (GraftSparkInternals.cleanupShufflesBlocking) before the next " +
+      "slice writes. The pair set is identical by the per-band union law " +
+      "and the run-start suppression law, so the q22_auto oracle row stays " +
+      "exact. The 100x point is excluded as workload, not operator: the " +
+      "generator's fuzzy answer is quadratic (45,861 / 4,588,720 / " +
+      "41,235,016 scored pairs measured at x1/x10/x30 — ~460M at x100) and " +
+      "the exact-oracle parameterization emits ~20.5B raw occurrences over " +
+      "1082 bands (measured per-band by graft.operators.LshDiag), a ~2h+ " +
+      "single-node job at the measured ~4M verified emissions/s; the band " +
+      "slices are independent jobs on a cluster. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +
