@@ -472,7 +472,7 @@ object TextAnalysis {
 
   /** q41 — multimodal plumbing baseline: opaque binary payload metadata
     * (byte length + md5) — the schema/partitioning shape media pipelines
-    * use; decode itself is stubbed (see graft.operators.Multimodal). */
+    * use; real decode kernels live in graft.operators.Multimodal. */
   def q41BinaryMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)

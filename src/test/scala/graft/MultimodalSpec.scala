@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Multimodal plumbing specs: schema, batch shape, determinism, frame
-  * explode, size-aware partitioning. Decode itself is a deterministic
-  * stub (no codecs in this environment). */
+/** Multimodal specs: REAL JDK-native decode (ImageIO for PNG, javax.sound
+  * for WAV) verified against generated fixtures with exact expected
+  * dims/samples, plus the Spark-side plumbing — schema, batch shape,
+  * determinism, frame explode, size-aware partitioning — and the
+  * byte-level fallback path for undecodable payloads. */
 class MultimodalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
@@ -17,7 +19,61 @@ class MultimodalSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // text-bytes corpus: exercises the undecodable-payload fallback path
   lazy val media = Multimodal.mediaFromDocuments(spark, dir).cache()
+  // real encoded PNG/WAV corpus: exercises the JDK decode path
+  lazy val realMedia = Multimodal.syntheticMedia(spark, 60).cache()
+
+  test("PNG decode is real: round-trips exact dims and pixels") {
+    val png = Multimodal.makePng(40, 20, seed = 3)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 40 && img.getHeight == 20)
+    // spot-check the generator's deterministic gradient survives encode/decode
+    val rgb = img.getRGB(0, 0)
+    assert(((rgb >> 16) & 0xff) == 3 && ((rgb >> 8) & 0xff) == 21)
+    // corrupt payloads decode to None, never throw
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("image feature is computed from decoded pixels (solid gray = exact luminance)") {
+    val img = new java.awt.image.BufferedImage(32, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128)); g.fillRect(0, 0, 32, 8); g.dispose()
+    val feat = Multimodal.imageFeature(img, dim = 8)
+    assert(feat.length == 8)
+    feat.foreach(v => assert(math.abs(v - 128f / 255f) < 1e-6f, s"strip lum $v"))
+  }
+
+  test("WAV decode is real: exact sample count, sine RMS per segment") {
+    val wav = Multimodal.makeWav(hz = 440.0, nSamples = 1600)
+    val samples = Multimodal.decodeAudio(wav).get
+    assert(samples.length == 1600)
+    assert(samples.forall(s => s >= -1f && s <= 1f))
+    // sine at amplitude 0.6 → RMS ≈ 0.6/√2 in every temporal segment
+    val feat = Multimodal.audioFeature(samples, dim = 8)
+    val want = 0.6f / math.sqrt(2.0).toFloat
+    feat.foreach(v => assert(math.abs(v - want) < 0.01f, s"segment rms $v want $want"))
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9, 9)).isEmpty)
+  }
+
+  test("extractFeatures dispatches to real codecs for image/audio, fallback for video") {
+    val feats = Multimodal.extractFeatures(realMedia, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    val recs = realMedia.collect().map(m => m.media_id -> m).toMap
+    assert(feats.size == 60)
+    recs.values.foreach { m =>
+      val got = feats(m.media_id).feature
+      val want = m.kind match {
+        case "image" => Multimodal.imageFeature(Multimodal.decodeImage(m.payload).get, 8)
+        case "audio" => Multimodal.audioFeature(Multimodal.decodeAudio(m.payload).get, 8)
+        case _       => Multimodal.byteFeature(m.payload, 8)
+      }
+      assert(got.toSeq == want.toSeq, s"media ${m.media_id} (${m.kind})")
+      // decode path actually diverges from the byte fallback
+      if (m.kind != "video")
+        assert(got.toSeq != Multimodal.byteFeature(m.payload, 8).toSeq)
+    }
+  }
 
   test("feature extraction preserves ids, emits fixed-dim vectors, is deterministic") {
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
@@ -74,6 +130,26 @@ class MultimodalSpec extends AnyFunSuite {
     out.filter(_.getAs[String]("kind") != "image").foreach { r =>
       assert(r.getAs[Double]("scale") == 1.0)
       assert(r.getAs[Int]("out_width") == r.getAs[Int]("width"))
+    }
+  }
+
+  test("resize resample is real: output payload decodes to the planned geometry") {
+    val out = Multimodal.resizeImages(realMedia, maxW = 24, maxH = 24).collect()
+    val imgs = out.filter(_.getAs[String]("kind") == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val decoded = Multimodal.decodeImage(r.getAs[Array[Byte]]("out_payload")).get
+      assert(decoded.getWidth == r.getAs[Int]("out_width"),
+        s"media ${r.getAs[Long]("media_id")} width")
+      assert(decoded.getHeight == r.getAs[Int]("out_height"),
+        s"media ${r.getAs[Long]("media_id")} height")
+    }
+    // non-image payloads pass through byte-identical
+    val vids = out.filter(_.getAs[String]("kind") == "video")
+    val origs = realMedia.collect().map(m => m.media_id -> m.payload).toMap
+    vids.foreach { r =>
+      assert(r.getAs[Array[Byte]]("out_payload").toSeq ==
+        origs(r.getAs[Long]("media_id")).toSeq)
     }
   }
 }
