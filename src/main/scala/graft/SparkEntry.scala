@@ -154,7 +154,7 @@ object SparkEntry {
     "q22_lsh_match_score" -> TQ.q22Sql,
     "q22_lsh_match_score_auto" -> TQ.q22Sql,
     "q60_crossref_match" -> TQ.q60Sql,
-    "q61_substring_dedup" -> Dedup.q61Sql,
+    "q61_substring_dedup" -> Dedup.q61Sql(),
     "q30_dedup_exact" -> Dedup.q30Sql,
     "q31_dedup_ngram_jaccard" -> Dedup.jaccardPairsSql,
     "q32_dedup_minhash_lsh" -> Dedup.jaccardPairsSql,

@@ -234,6 +234,41 @@ object Dedup {
   private val VerifyBroadcastMaxBytes = 800L * 1024 * 1024
   private val VerifyBroadcastHardMaxDocs = 4000000L
 
+  /** Optimizer-stats size of a frame. Only trustworthy when the frame is
+    * a MATERIALIZED cache (stats then reflect actual in-memory bytes);
+    * an unmaterialized cache or plain plan yields Catalyst's estimate,
+    * which can be a severe UNDERestimate for array columns — the unsafe
+    * direction for a broadcast decision. Callers must pair this with
+    * [[statsAreMeasured]]. */
+  private[operators] def measuredBytes(df: DataFrame): BigInt =
+    try BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    catch { case _: Throwable => BigInt(Long.MaxValue) }
+
+  /** True iff `df`'s optimized plan reads from cache AND the cached
+    * column buffers are already built, so `stats.sizeInBytes` is a
+    * measurement rather than an estimate. False (conservative: callers
+    * fall back to the shuffle-hash arm) when the frame is uncached or
+    * the cache has not been materialized by an action yet. */
+  private[operators] def statsAreMeasured(df: DataFrame): Boolean = {
+    val rels = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    rels.nonEmpty && rels.forall(_.cacheBuilder.isCachedColumnBuffersLoaded)
+  }
+
+  /** The exact broadcast-vs-shuffle-hash dispatch [[jaccardVerify]] uses,
+    * exposed so funnel callers (q22) can count the verify broadcast
+    * against their own concurrent broadcast budget — the two can coexist
+    * in one physical plan. */
+  private[operators] def verifyWillBroadcast(sets: DataFrame, nDocs: Long): Boolean =
+    nDocs <= VerifyBroadcastMaxDocs ||
+      (nDocs <= VerifyBroadcastHardMaxDocs &&
+        // measured size of the sets frame — trusted ONLY once the cache
+        // is materialized (statsAreMeasured); an estimate that is wrong
+        // low would broadcast a multi-GB frame, so unmeasured frames
+        // take the shuffle-hash arm (conservative direction)
+        statsAreMeasured(sets) && measuredBytes(sets) <= VerifyBroadcastMaxBytes)
+
   /** @param sorted emit pairs ordered by (d1, d2) — callers that register
     *   the pair set directly need the deterministic order; funnel callers
     *   (q22) that keep joining/re-sorting downstream pass false and skip
@@ -248,16 +283,7 @@ object Dedup {
     // hash-builds per partition. At corpus scale the shingle-set frame is
     // O(docs), so the broadcast arm is only taken by genuinely small
     // inputs.
-    val bcast = nDocs <= VerifyBroadcastMaxDocs ||
-      (nDocs <= VerifyBroadcastHardMaxDocs && {
-        // measured size of the (cached) sets frame — accurate once the
-        // cache is materialized; a too-large estimate just falls back to
-        // the shuffle-hash arm (conservative direction)
-        val bytes = try BigInt(
-          sets.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-        catch { case _: Throwable => BigInt(Long.MaxValue) }
-        bytes <= VerifyBroadcastMaxBytes
-      })
+    val bcast = verifyWillBroadcast(sets, nDocs)
     def side(df: DataFrame, k: String, renames: (String, String)*) = {
       val s = renames.foldLeft(df.withColumnRenamed("doc_id", k)) {
         case (d, (from, to)) => d.withColumnRenamed(from, to)
@@ -1195,37 +1221,44 @@ object Dedup {
     * count, duplicated-span token mass, retained fraction after removal.
     *
     * Spark-first shape (the suffix array is a single-node construct; the
-    * same answer falls out of three bounded shuffles):
+    * same answer falls out of two bounded shuffles):
     *   1. positional k-gram frame — posexplode over a transform(sequence)
     *      projection, one xxhash64 per start position (no string
     *      materialization past the scan);
-    *   2. corpus frequency — groupBy(gramHash) with map-side partial agg,
-    *      HAVING count >= 2; duplicated starts come back via a LEFT SEMI
-    *      join (the frequency side carries no payload);
+    *   2. corpus frequency — a count(*) window over the gram key
+    *      (partition-only, no ORDER BY, so the frame is the whole group
+    *      and WindowExec just sorts by gh within each exchange output),
+    *      keep starts with count >= 2. One exchange, one evaluation of
+    *      the positional frame — the groupBy+LEFT SEMI alternative costs
+    *      a second full positional exchange AND evaluates the gram
+    *      projection twice (or pins an O(corpus tokens) cache);
     *   3. interval merge — the classic gaps-and-islands: per-doc window
     *      ordered by position, a break whenever the gap exceeds k (fixed
     *      k-length intervals mean the running max end is always
     *      prev_p + k), islands summed as max(p)+k-min(p). The window is
     *      doc-partitioned — no global sort, no driver state.
-    * At 100 TB the frequency table is the big exchange (one row per
-    * position); it partial-aggregates to distinct grams and the semi join
-    * back is key-only. Hot grams skew the HAVING-side groupBy no worse
-    * than q51's chunk table (count-only partial agg collapses them
-    * map-side). */
+    * Nothing is cached: the tokenized docs projection is consumed by two
+    * branches, and at corpus scale re-scanning the pushed-down text
+    * column twice is strictly cheaper than pinning the token-array frame
+    * in executor memory for the session (the cache also never had a safe
+    * unpersist point — the returned plan is lazy). Hot grams put their
+    * positions in one window group — the same skew exposure the semi
+    * join's probe-side exchange had. */
   def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
     val toks = filter(split($"text", " "), t => length(t) > lit(0))
     val docs = documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id".cast("long").as("doc_id"), toks.as("t"))
-      .cache() // two consumers: the gram frame and the final n_tokens join
     val grams = docs.filter(size($"t") >= k)
       .select($"doc_id", posexplode(transform(sequence(lit(0), size($"t") - k),
         i => xxhash64(concat_ws(" ", slice($"t", i + 1, lit(k)))))))
       .toDF("doc_id", "p", "gh")
-    val dupG = grams.groupBy($"gh").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" >= 2).select($"gh")
-    val dupStarts = grams.join(dupG, Seq("gh"), "left_semi")
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy($"gh")
+    val dupStarts = grams
+      .withColumn("cnt", count(lit(1)).over(wG))
+      .filter($"cnt" >= 2)
+      .select($"doc_id", $"p")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
     val islands = dupStarts
@@ -1246,23 +1279,26 @@ object Dedup {
   }
 
   /** q61 oracle — the same spans computed on the k-gram STRINGS in DuckDB
-    * (positional struct unnest; independent of the xxhash64 gram key). */
-  val q61Sql: String =
-    """WITH toks AS (
+    * (positional struct unnest; independent of the xxhash64 gram key).
+    * Derived from the SAME `k` as [[substringDedup]] so a caller using a
+    * non-default k gets a matching oracle instead of a silent divergence
+    * from a hardcoded k=8 text. */
+  def q61Sql(k: Int = 8): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS t FROM documents
       |), occ AS (
-      |  SELECT doc_id, unnest([struct_pack(p := i - 1, g := array_to_string(t[i:i+7], ' ')) for i in range(1, len(t) - 6)], recursive := true)
-      |  FROM toks WHERE len(t) >= 8
+      |  SELECT doc_id, unnest([struct_pack(p := i - 1, g := array_to_string(t[i:i+${k - 1}], ' ')) for i in range(1, len(t) - ${k - 2})], recursive := true)
+      |  FROM toks WHERE len(t) >= $k
       |), freq AS (
       |  SELECT g FROM occ GROUP BY g HAVING count(*) >= 2
       |), d AS (
       |  SELECT doc_id, p FROM occ WHERE g IN (SELECT g FROM freq)
       |), isl AS (
-      |  SELECT doc_id, p, CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), 9) > 8 THEN 1 ELSE 0 END AS brk FROM d
+      |  SELECT doc_id, p, CASE WHEN coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p), ${k + 1}) > $k THEN 1 ELSE 0 END AS brk FROM d
       |), isl2 AS (
       |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl
       |), spans AS (
-      |  SELECT doc_id, island, max(p) + 8 - min(p) AS span FROM isl2 GROUP BY doc_id, island
+      |  SELECT doc_id, island, max(p) + $k - min(p) AS span FROM isl2 GROUP BY doc_id, island
       |), dup AS (
       |  SELECT doc_id, sum(span) AS dup_tokens FROM spans GROUP BY doc_id
       |)

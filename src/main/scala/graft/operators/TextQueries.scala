@@ -398,12 +398,23 @@ object TextQueries {
     // pair stream never crosses an exchange for the fetch; shuffle-hash
     // (never sort-merge: sorting the pair stream with wide meta columns
     // attached was a measured ~1.5 GB spill at 10x) is the fallback past
-    // the broadcast budget.
-    val mBytes = try BigInt(m.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    // the broadcast budget. The budget is SHARED across every broadcast
+    // this one physical plan can hold live at once: both meta sides
+    // (ReuseExchange collapses them to one physical broadcast, but we
+    // budget each defensively) PLUS jaccardVerify's sets broadcast when
+    // its measured-size arm fires inside the funnel slices — at -Xmx8g
+    // three independently-budgeted 800 MB relations would OOM the build.
+    val budget = BigInt(800L * 1024 * 1024)
+    val verifyBytes =
+      if (Dedup.verifyWillBroadcast(sets, nRecords)) Dedup.measuredBytes(sets)
+      else BigInt(0)
+    val mBytes =
+      if (Dedup.statsAreMeasured(m)) Dedup.measuredBytes(m)
+      else BigInt(Long.MaxValue) // unmeasured cache: never trust-broadcast
+    val metaBcast = mBytes * 2 + verifyBytes <= budget
     def side(n: String) = {
       val r = m.select(m.columns.map(c => col(c).as(s"${c}_$n")): _*)
-      if (mBytes <= 800L * 1024 * 1024) broadcast(r) else r.hint("shuffle_hash")
+      if (metaBcast) broadcast(r) else r.hint("shuffle_hash")
     }
     pairs
       .join(side("a"), $"d1" === $"p_partkey_a")

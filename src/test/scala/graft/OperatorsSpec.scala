@@ -870,4 +870,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((20L, 0L, 1.0)))
     assert(got(4L) == ((18L, 16L, round6(1.0 - 16.0 / 18))))
   }
+
+  test("q61 oracle SQL derives from the same k as the operator (no silent k divergence)") {
+    import spark.implicits._
+    // the oracle text tracks k: gram slice width, min token count, gap
+    // threshold, and span arithmetic must all move together
+    val sql8 = Dedup.q61Sql()
+    assert(sql8.contains("t[i:i+7]") && sql8.contains("len(t) >= 8") &&
+      sql8.contains("9) > 8") && sql8.contains("max(p) + 8 - min(p)"))
+    val sql3 = Dedup.q61Sql(3)
+    assert(sql3.contains("t[i:i+2]") && sql3.contains("len(t) >= 3") &&
+      sql3.contains("4) > 3") && sql3.contains("max(p) + 3 - min(p)"))
+    // and the operator honors non-default k: with k=3, doc 5's repeated
+    // 3-token run ("p q r ... p q r") yields two 3-token islands
+    val docs = Seq(
+      (5L, "p q r u v w x p q r"),
+      (6L, "m n o t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q61kspec").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.substringDedup(spark, tmp, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(5L) == ((10L, 6L)))
+    assert(got(6L) == ((10L, 0L)))
+  }
 }
