@@ -788,6 +788,42 @@ object Dedup {
     * be BLIND to occurrence multiplicity — a pair colliding in several
     * bands of a slice reaches refine once per unsuppressed collision
     * run, and its refined rows must be identical every time. */
+  /** Receipt hook for scale tooling ONLY (graft.tools.ScaleBench): when
+    * non-null, called after each band-group slice materializes with
+    * (sliceIdx, slicesTotal, sliceSec, freshPairs). Production paths
+    * never set it; reading freshPairs costs one extra parquet count per
+    * slice, so the count is taken only when the hook is installed. */
+  @volatile private[graft] var sliceReceiptHook: (Int, Int, Double, Long) => Unit = null
+
+  /** Receipt-only slice cap for TIME-BOXED scale runs: the sliced loop
+    * stops after this many slices. The truncated union is NOT the full
+    * answer — this exists solely so a past-envelope rung can commit its
+    * measured per-slice time/disk profile without paying the whole
+    * multi-hour single-node job. Production paths never set it. */
+  @volatile private[graft] var sliceLimitForReceipts: Int = Int.MaxValue
+
+  /** ONE band-group slice's candidate pairs, computed independently of
+    * every other slice: banded signatures for bands [lo, hi) (with the
+    * run-start suppression predicate evaluated against the GLOBAL band
+    * index, so a collision run that started before `lo` emits nothing
+    * here — its start slice owns the emission), the caller's refine per
+    * occurrence, then a post-exchange distinct. Slices are therefore
+    * independent jobs whose union-distinct equals the sequential sliced
+    * result — asserted in OperatorsSpec ("band slices are independent"). */
+  private[graft] def sliceCandidatePairsOnce(sets: DataFrame, bands: Int,
+      rows: Int, lo: Int, hi: Int, parts: Int,
+      refine: DataFrame => DataFrame = identity): DataFrame = {
+    import sets.sparkSession.implicits._
+    val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
+      .repartition(parts, $"band", $"bh")
+    val occurrences = keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id" &&
+          ($"a.band" === 0 || $"a.bhp" =!= $"b.bhp"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    dedupPairs(refine(occurrences), parts, "d1", "d2")
+  }
+
   private[graft] def lshCandidatePairsSliced(sets: DataFrame, bands: Int,
       rows: Int, maxBandedRows: Long,
       refine: DataFrame => DataFrame = identity,
@@ -850,29 +886,29 @@ object Dedup {
         val seenDir = s"$spillDir/seen"
         var nSlices = 0
         def seenPaths: Seq[String] = (0 until nSlices).map(i => s"$seenDir/s$i")
-        sliceStarts.foreach { lo =>
-          val hi = math.min(bands, lo + bandsPerSlice)
-          val keyed = bandedSignaturesSlice(sets, bands, rows, lo, hi)
-            .repartition(parts, $"band", $"bh")
-          val occurrences = keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-              $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
-                $"a.doc_id" < $"b.doc_id" &&
-                ($"a.band" === 0 || $"a.bhp" =!= $"b.bhp"))
-            .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          val sliceDistinct = dedupPairs(refine(occurrences), parts, "d1", "d2")
-          val fresh = if (nSlices == 0) sliceDistinct
-            else sliceDistinct.join(
-              spark.read.parquet(seenPaths: _*).select($"d1", $"d2"),
-              Seq("d1", "d2"), "left_anti")
-          fresh.write.mode("overwrite") // the slice executes HERE, bounded
-            .parquet(s"$seenDir/s$nSlices")
-          nSlices += 1
-          // the slice's shuffles are dead (its only product is now
-          // parquet) — release their files before the next slice writes
-          val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
-          org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
-          seen ++= now
-        }
+        val hook = sliceReceiptHook
+        sliceStarts.take(if (hook != null) sliceLimitForReceipts else Int.MaxValue)
+          .foreach { lo =>
+            val hi = math.min(bands, lo + bandsPerSlice)
+            val t0 = System.nanoTime()
+            val sliceDistinct =
+              sliceCandidatePairsOnce(sets, bands, rows, lo, hi, parts, refine)
+            val fresh = if (nSlices == 0) sliceDistinct
+              else sliceDistinct.join(
+                spark.read.parquet(seenPaths: _*).select($"d1", $"d2"),
+                Seq("d1", "d2"), "left_anti")
+            fresh.write.mode("overwrite") // the slice executes HERE, bounded
+              .parquet(s"$seenDir/s$nSlices")
+            nSlices += 1
+            if (hook != null)
+              hook(nSlices, sliceStarts.size, (System.nanoTime() - t0) / 1e9,
+                spark.read.parquet(s"$seenDir/s${nSlices - 1}").count())
+            // the slice's shuffles are dead (its only product is now
+            // parquet) — release their files before the next slice writes
+            val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
+            org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
+            seen ++= now
+          }
         // the seen directory is globally distinct by construction; eager
         // checkpoint so the spill dir can be deleted before returning
         val all = spark.read.parquet(seenPaths: _*).localCheckpoint()

@@ -201,6 +201,12 @@ object ScaleBench {
       ("q45_lsh_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLsh(s, d), 10),
       ("q45_lsh_auto_embedding_clusters", (s: SparkSession, d: String) => Dedup.embeddingClustersLshAuto(s, d), 100),
       ("q57_sqrtn_semantic_dedup", (s: SparkSession, d: String) => Dedup.semanticDedupSqrtN(s, d), 100),
+      // q61 (r15): the positional k-gram frame is the repo's largest
+      // exchange per input byte (one row + one xxhash64 per token
+      // position); the rung certifies the window-count frequency pass
+      // (one positional exchange, one gram-frame evaluation, no caches)
+      // holds its disk profile up the ladder.
+      ("q61_substring_dedup", (s: SparkSession, d: String) => Dedup.substringDedup(s, d), 100),
       ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScore(s, d), 10),
       // q22_auto (r12): the ~1082-band banded frame at n = 2 M (~35 GB,
       // past one node's envelope in one piece) is now generated and
@@ -322,19 +328,19 @@ object ScaleBench {
       // not need AQE)
       clearStorage(); listener.reset()
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val (probeSec, probeRows, dpp, partsRead) = try {
+      // executes the probe frame's OWN QueryExecution and reads its scan
+      // metric: df.count() plans a fresh QueryExecution, leaving the
+      // measured one's metrics untouched (r12's receipt read 0 partitions
+      // off an unexecuted plan object). executedPlan.execute() runs the
+      // DPP subqueries (SparkPlan.executeQuery waits on them) and
+      // populates this plan's SQLMetrics.
+      def runProbe(maxQueryId: Long): (Double, Long, Int, Long) = {
         val queries = spark.read.parquet(s"$dirMax/embeddings.parquet")
           .select(col("vec_id").cast("long").as("vec_id"),
             Similarity.normalized(col("embedding")).as("nv"))
-          .filter(col("vec_id") < 100)
+          .filter(col("vec_id") < maxQueryId)
           .select(col("vec_id").as("query_id"), col("nv").as("qv"))
         val probeDf = IvfIndex.probe(spark, idxDir, queries, k = 5, nprobe = 8)
-        // execute the SAME QueryExecution whose plan we read the scan
-        // metric from: df.count() plans its own QueryExecution, leaving
-        // this one's metrics untouched (r12's receipt read 0 partitions
-        // off an unexecuted plan object). executedPlan.execute() runs
-        // the DPP subqueries (SparkPlan.executeQuery waits on them) and
-        // populates this plan's SQLMetrics.
         val qe = probeDf.queryExecution
         val tP = System.nanoTime()
         val n = qe.executedPlan.execute().count()
@@ -347,7 +353,17 @@ object ScaleBench {
             f.metrics("numPartitions").value
         }.foldLeft(-1L)(math.max) catch { case _: Throwable => -1L }
         (sec, n, nDpp, parts)
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      val (probeSec, probeRows, dpp, partsRead) = try runProbe(100L)
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // single-query point: the per-query claim is "a probe touches at
+      // most nprobe of the nlist partitions" — the 100-query batch reads
+      // the union of its probe lists, which obscures it; one query makes
+      // the partition metric directly comparable to nprobe (= 8)
+      clearStorage(); listener.reset()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (probe1Sec, probe1Rows, _, probe1Parts) = try runProbe(1L)
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       // append: a 1% batch assigned with the FROZEN persisted quantizer —
       // no rebuild, no full-corpus shuffle
       clearStorage(); listener.reset()
@@ -361,8 +377,64 @@ object ScaleBench {
         s""""build_sec":$buildSec,"build_spill":$buildSpill,""" +
         s""""probe_sec":$probeSec,"probe_rows":$probeRows,""" +
         s""""probe_dynamicpruning":$dpp,"probe_partitions_read":$partsRead,""" +
+        s""""probe1_sec":$probe1Sec,"probe1_rows":$probe1Rows,""" +
+        s""""probe1_partitions_read":$probe1Parts,"nprobe":8,""" +
         s""""append_sec":$appendSec},"""
     }
+
+    // ---- q22_auto past-envelope receipt (TIME-BOXED) -------------------
+    // The x100 fuzzy-match rung is a measured ~2h+ single-node job
+    // (quadratic answer mass — see q22_auto_account below), so the full
+    // ladder stops it at x30. This section runs the FIRST
+    // SPARK_GRAFT_Q22X100_SLICES band-group slices of the x100 point
+    // under the shipped code and records each slice's wall-time, fresh
+    // (post cross-slice dedup) pair count, and peak disk — the flat
+    // per-slice disk profile IS the claim; the truncated pair union is
+    // explicitly NOT the full answer. 0 (default) skips the section.
+    val q22x100Slices = sys.env.getOrElse("SPARK_GRAFT_Q22X100_SLICES", "0").toInt
+    val q22x100Json: String = if (q22x100Slices > 0 && factors.contains(100)) {
+      import graft.operators.Dedup
+      val dir100 = s"/tmp/graft_scale/x100"
+      val receipts = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double, Long, Long)]
+      clearStorage(); listener.reset()
+      val baseFree = sampler.mark()
+      Dedup.sliceReceiptHook = (idx, total, sec, fresh) => {
+        val peak = sampler.peakUsed(sampler.mark())
+        receipts += ((idx, total, sec, fresh, peak))
+        System.err.println(s"[scale] q22x100 slice $idx/$total: ${sec}s, $fresh fresh pairs")
+      }
+      Dedup.sliceLimitForReceipts = q22x100Slices
+      val t0 = System.nanoTime()
+      val truncRows = try
+        graft.operators.TextQueries.q22LshMatchScoreAuto(spark, dir100).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] q22x100 timeboxed failed: $e"); -1L
+      } finally {
+        Dedup.sliceReceiptHook = null
+        Dedup.sliceLimitForReceipts = Int.MaxValue
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+      val perSlice = receipts.map { case (i, tot, s, fr, pk) =>
+        s"""{"slice":$i,"of":$tot,"sec":$s,"fresh_pairs":$fr,"peak_disk_used":$pk}"""
+      }.mkString(",")
+      s""""x100_timeboxed":{"timeboxed":true,"slices_completed":${receipts.size},""" +
+        s""""slices_total":${receipts.headOption.map(_._2).getOrElse(-1)},""" +
+        s""""total_sec":$sec,"rows_from_completed_slices":$truncRows,""" +
+        s""""spill_disk":${listener.spillDisk},""" +
+        s""""peak_disk_used":${sampler.peakUsed(baseFree)},""" +
+        s""""per_slice":[$perSlice]},"""
+    } else ""
+
+    // structured q22_auto account (r15: was _note prose) — the numbers a
+    // round-over-round diff needs, machine-readable
+    out ++= s""""q22_auto_account":{$q22x100Json""" +
+      """"answer_pairs_measured":{"x1":45861,"x10":4588720,"x30":41235016},""" +
+      """"answer_growth":"quadratic in corpus (generator's fuzzy answer mass)",""" +
+      """"x100_projection":{"scored_pairs":460000000,"bands":1082,""" +
+      """"raw_candidate_occurrences":20500000000,"verified_emissions_per_sec":4000000,""" +
+      """"single_node_estimate_sec":7200},""" +
+      """"slices_are_independent_jobs":"certified: union-distinct of standalone per-slice jobs equals the sequential sliced result (OperatorsSpec 'band slices are independent jobs'); the shipped single-node loop runs them as sequential bounded rounds with an incremental anti-join so peak disk stays one slice's exchange + the answer exactly once"},"""
     // growth factors between the first scale and the LAST scale each op
     // actually ran at (capped gate anchors stop early) — recorded as
     // {"ratio": t_last/t_first, "at": data_ratio_for_that_op}
@@ -385,26 +457,15 @@ object ScaleBench {
       "the number that certifies the sliced band join's disk bound. " +
       "Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
-      "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto stops " +
-      "at 30x, past the slicing envelope (649M banded rows, 3 band-group " +
-      "slices through Dedup.lshCandidatePairsSliced): inside each slice the " +
-      "stream stays ANSWER-shaped — chained first-collision suppression in " +
-      "the band join, exact-Jaccard verify per occurrence over a " +
-      "measured-size BROADCAST sets frame before any pair exchange (the " +
-      "sub-threshold bulk dies as compute; the 3-Levenshtein score runs " +
-      "once per distinct pair after dedup), incremental anti-join " +
-      "cross-slice dedup (spill = answer exactly once), and slice shuffle " +
-      "files reclaimed SYNCHRONOUSLY via the ContextCleaner's blocking " +
-      "path (GraftSparkInternals.cleanupShufflesBlocking) before the next " +
-      "slice writes. The pair set is identical by the per-band union law " +
-      "and the run-start suppression law, so the q22_auto oracle row stays " +
-      "exact. The 100x point is excluded as workload, not operator: the " +
-      "generator's fuzzy answer is quadratic (45,861 / 4,588,720 / " +
-      "41,235,016 scored pairs measured at x1/x10/x30 — ~460M at x100) and " +
-      "the exact-oracle parameterization emits ~20.5B raw occurrences over " +
-      "1082 bands (measured per-band by graft.operators.LshDiag), a ~2h+ " +
-      "single-node job at the measured ~4M verified emissions/s; the band " +
-      "slices are independent jobs on a cluster. " +
+      "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto's full " +
+      "rung stops at 30x (past the slicing envelope: 649M banded rows, 3 " +
+      "band-group slices through Dedup.lshCandidatePairsSliced; chained " +
+      "first-collision suppression + in-slice broadcast Jaccard verify + " +
+      "incremental cross-slice anti-join + synchronous shuffle reclamation " +
+      "keep each slice answer-shaped, and the pair set is exact by the " +
+      "per-band union law) — the x100 account, the measured answer-mass " +
+      "growth curve, and the time-boxed x100 per-slice receipt are the " +
+      "STRUCTURED q22_auto_account object, not prose. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +

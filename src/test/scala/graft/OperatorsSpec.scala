@@ -64,6 +64,34 @@ class OperatorsSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("band slices are independent jobs: union-distinct of standalone slices equals sequential") {
+    import org.apache.spark.sql.functions._
+    // certifies the cluster-concurrency claim: each band-range slice is
+    // computable with NO knowledge of the others (the sequential loop's
+    // incremental anti-join is a disk optimization, not a dependency),
+    // so a cluster can run the slices as concurrent jobs and take one
+    // terminal distinct over their outputs
+    val sets = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Dedup.shingleHashes(col("text"), 5).as("hv"))
+      .filter(size(col("hv")) > 0)
+      .cache()
+    val n = sets.count()
+    val (bands, rows) = (32, 4)
+    val sequential = Dedup.lshCandidatePairsSliced(sets, bands, rows, n * 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandsPerSlice = 5 // same slicing n*5 forces above
+    val unioned = (0 until bands by bandsPerSlice).flatMap { lo =>
+      Dedup.sliceCandidatePairsOnce(sets, bands, rows, lo,
+          math.min(bands, lo + bandsPerSlice), parts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(sequential.nonEmpty)
+    assert(unioned == sequential,
+      "standalone per-slice jobs unioned+distinct must equal the sequential sliced result")
+    sets.unpersist()
+  }
+
   test("blocking shuffle cleanup releases exactly the snapshot-diff ids") {
     import org.apache.spark.GraftSparkInternals
     import org.apache.spark.sql.functions.col
