@@ -22,7 +22,7 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object TwinGates {
 
   private case class Gate(twin: String, anchor: String, sf: String,
-      law: String, value: Double, pass: Boolean)
+      law: String, value: Double, pass: Boolean, denom: Long = -1L)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -38,6 +38,11 @@ object TwinGates {
     spark.sparkContext.setLogLevel("WARN")
     val sf1 = "/root/testdata/sf0.001"
     val sf2 = "/root/testdata/sf0.01"
+    // recall-law gates need non-thin denominators (r13/r14 verdicts: 6/7
+    // qualifying pairs at sf0.001 is statistically vacuous) — they run on
+    // the largest driver corpus (sf0.1: 2000 vectors); identity gates
+    // stay at their spec corpora (identity is binary, thin is fine)
+    val sf3 = "/root/testdata/sf0.1"
 
     // id-column names follow each operator's contract: document pairs are
     // (d1, d2), embedding-vector pairs are (v1, v2)
@@ -57,14 +62,16 @@ object TwinGates {
         a.nonEmpty && jac == 1.0)
     }
 
-    // q34_lsh: subset-of-exact + recall floor
+    // q34_lsh: subset-of-exact + recall floor (sf0.1: the exact answer
+    // there is a 100+-pair denominator, not sf0.001's 7)
     {
-      val exact = pairSet(Dedup.embeddingCosinePairs(spark, sf1), "v1", "v2")
-      val lsh = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf1), "v1", "v2")
+      val exact = pairSet(Dedup.embeddingCosinePairs(spark, sf3), "v1", "v2")
+      val lsh = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf3), "v1", "v2")
       val recall = if (exact.isEmpty) 0.0 else (exact & lsh).size.toDouble / exact.size
-      gates += Gate("q34_lsh_embedding_pairs", "q34_embedding_cosine_pairs", "sf0.001",
+      gates += Gate("q34_lsh_embedding_pairs", "q34_embedding_cosine_pairs", "sf0.1",
         "lsh pairs subset of exact AND recall >= 0.6", recall,
-        exact.nonEmpty && (lsh -- exact).isEmpty && recall >= 0.6)
+        exact.size >= 100 && (lsh -- exact).isEmpty && recall >= 0.6,
+        denom = exact.size)
     }
 
     // q34_lsh_auto: at gate n (<= 2000 vectors) auto must resolve to the
@@ -78,25 +85,28 @@ object TwinGates {
         fixed.nonEmpty && jac == 1.0)
     }
 
-    // q43_ann_ivf: recall floor vs brute force (spec parameters)
+    // q43_ann_ivf: recall floor vs brute force — 100 queries x top-5 on
+    // the 2000-vector corpus = a 500-pair denominator (spec's 10-query
+    // sf0.001 point kept there as the fast smoke; this is the gate)
     {
-      val brute = Similarity.bruteForceTopK(spark, sf1, nQueries = 10, k = 5)
+      val brute = Similarity.bruteForceTopK(spark, sf3, nQueries = 100, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      val ivf = Similarity.ivfTopK(spark, sf1, nQueries = 10, k = 5,
+      val ivf = Similarity.ivfTopK(spark, sf3, nQueries = 100, k = 5,
         nlist = 8, nprobe = 3, iters = 3)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = if (brute.isEmpty) 0.0 else (brute & ivf).size.toDouble / brute.size
-      gates += Gate("q43_ann_ivf", "q43_ann_topk (brute force)", "sf0.001",
+      gates += Gate("q43_ann_ivf", "q43_ann_topk (brute force)", "sf0.1",
         "IVF top-k recall vs brute force >= 0.6, size <= brute", recall,
-        brute.nonEmpty && recall >= 0.6 && ivf.size <= brute.size)
+        brute.size >= 100 && recall >= 0.6 && ivf.size <= brute.size,
+        denom = brute.size)
     }
 
     // q45_lsh: every LSH cluster sits inside ONE exact cluster
     // (refinement) + membership recall floor
     {
-      val lsh = Dedup.embeddingClustersLsh(spark, sf1)
+      val lsh = Dedup.embeddingClustersLsh(spark, sf3)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val exactCluster = Dedup.embeddingClusters(spark, sf1)
+      val exactCluster = Dedup.embeddingClusters(spark, sf3)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val refinementOk = lsh.groupBy(_._2).forall { case (_, rows) =>
         val parents = rows.map(r => exactCluster.get(r._1)).toSet
@@ -105,9 +115,10 @@ object TwinGates {
       val clustered = exactCluster.keySet
       val memRecall = if (clustered.isEmpty) 0.0
         else (clustered & lsh.map(_._1).toSet).size.toDouble / clustered.size
-      gates += Gate("q45_lsh_embedding_clusters", "q45_embedding_clusters", "sf0.001",
+      gates += Gate("q45_lsh_embedding_clusters", "q45_embedding_clusters", "sf0.1",
         "LSH clustering refines exact clustering AND membership recall >= 0.6",
-        memRecall, lsh.nonEmpty && refinementOk && memRecall >= 0.6)
+        memRecall, clustered.size >= 100 && refinementOk && memRecall >= 0.6,
+        denom = clustered.size)
     }
 
     // q45_lsh_auto: identity with the fixed twin at gate n
@@ -191,12 +202,15 @@ object TwinGates {
     val json = rows.map { g =>
       s"""{"twin":"${g.twin}","anchor":"${g.anchor}","sf":"${g.sf}",""" +
         s""""law":"${g.law}","value":${math.round(g.value * 10000) / 10000.0},""" +
+        (if (g.denom >= 0) s""""denominator":${g.denom},""" else "") +
         s""""pass":${g.pass}}"""
     }.mkString(",")
     val allPass = rows.forall(_.pass)
     val out = s"""{"metric":"twin_gates","gates":[$json],"all_pass":$allPass,""" +
       s""""_note":"Laws mirror the ScalaTest twin gates (OperatorsSpec) """ +
-      "verbatim; this artifact makes them driver-visible per round. A " +
+      "in shape; recall-law gates run on the sf0.1 corpus with their " +
+      "denominators recorded (a 6/7-pair recall is vacuous — r13 verdict), " +
+      "identity gates at their spec corpora. A " +
       "no_oracle row in CORRECTNESS is by design iff its twin appears " +
       "here with pass=true.\"}"
     println(out)
