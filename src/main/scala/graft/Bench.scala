@@ -25,7 +25,16 @@ object Bench {
     def reset(): Unit = { spillMem = 0L; spillDisk = 0L; shuffleWrite = 0L; peakExecMem = 0L }
   }
 
+  /** 1-minute system load average, or -1 where the JVM can't read it —
+    * stamped into the artifact so a noisy refresh (loaded sandbox) is
+    * distinguishable from a real regression without an A/B re-run. */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg
+    val startedAt = java.time.Instant.now().toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -88,6 +97,16 @@ object Bench {
       "q22_lsh_match_score", "q31_dedup_ngram_jaccard", "q31_capped_ngram_jaccard",
       "q32_dedup_minhash_lsh", "q42_neardup_clusters", "q45_embedding_clusters",
       "q45_lsh_embedding_clusters")
+    // Materialize the query's OWN executed plan and count its rows —
+    // NOT df.count(): count() plans a fresh Aggregate over the query and
+    // Catalyst then prunes every column the count doesn't need, which for
+    // q61 (a unique-key left join feeding only the row count) eliminated
+    // the ENTIRE operator — the bench measured a parquet footer count
+    // (r15 finding). executedPlan.execute() computes every output column
+    // of every row with no driver-side collection, the same idiom the
+    // ScaleBench IVF probe uses.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.execute().count()
     // deterministic name order: Map iteration is hash-ordered, and a
     // query's wall time must not depend on which queries ran before it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -96,7 +115,7 @@ object Bench {
         clearStorage()
         listener.reset()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // stage events arrive async; attribute them to THIS query's window
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
@@ -129,13 +148,21 @@ object Bench {
         clearStorage()
         val tp = System.nanoTime()
         try {
-          graft.operators.DocumentPipeline.curate(spark, sfDir).count()
+          materialize(graft.operators.DocumentPipeline.curate(spark, sfDir))
           (System.nanoTime() - tp) / 1e9
         } catch { case _: Throwable => -1.0 }
       }
       ts.sorted.apply(1) // median of 3
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir"}"""
+    // run-environment provenance: the r14 lesson — a byte-identical jar
+    // benched 74.1s vs 99.0s across rounds on sandbox load alone; without
+    // these fields the canonical artifact can't distinguish noise from a
+    // regression (load > ~1 per used core means the numbers are suspect)
+    val env = s""""env":{"started_at":"$startedAt","load_avg_start":$loadStart,""" +
+      s""""load_avg_end":$loadAvg,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""local_threads":$cpus,"heap_max_bytes":${Runtime.getRuntime.maxMemory}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir",""" +
+      s""""harness":"executed-plan-materialize (r15: a count() harness let Catalyst prune count-irrelevant work — q61's unique-key left join was eliminated entirely; totals before r15 are count-harness)",$env}"""
     println(line)
     // the driver's committed BENCH artifact truncates to the output tail;
     // persist the full line so per-query numbers survive the round. The

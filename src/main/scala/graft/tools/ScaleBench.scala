@@ -137,6 +137,12 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    // partial re-measure support: SPARK_GRAFT_OPS=q61_substring_dedup,...
+    // runs only the named chain ops (and skips the ivf/q22x100 sections
+    // unless named 'ivf_index'), so one fixed rung doesn't cost a full
+    // 2.5 h ladder re-run; the merged artifact's _note names invocations
+    val opsFilter: Set[String] = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     // cpus is interpolated unquoted into the JSON artifact below — fail
     // fast on non-numeric values (e.g. "*"), zero (local[0] would only
     // fail later at session build), and strings too long to parse as Int
@@ -279,13 +285,21 @@ object ScaleBench {
       graft.curation.CurationBench.syntheticRecords(spark, 10000 * f, partial = false)
         .repartition(math.max(8, math.min(64, 8 * f)))
         .write.mode("overwrite").parquet(s"$dir/records.parquet")
-      val rows = chain.filter(_._3 >= f).map { case (name, fn, _) =>
+      val rows = chain.filter(_._3 >= f)
+        .filter(c => opsFilter.isEmpty || opsFilter.contains(c._1))
+        .map { case (name, fn, _) =>
         clearStorage()
         listener.reset()
         val baseFree = sampler.mark()
         val t0 = System.nanoTime()
-        val n = try fn(spark, dir).count() catch { case e: Throwable =>
-          System.err.println(s"[scale] $name at x$f failed: $e"); -1L }
+        // materialize the op's OWN executed plan (all columns, no
+        // driver collection) — df.count() lets Catalyst prune every
+        // column the count doesn't need, which eliminated q61's
+        // unique-key left join ENTIRELY (r15 finding: the rung measured
+        // a parquet footer count)
+        val n = try fn(spark, dir).queryExecution.executedPlan.execute().count()
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name at x$f failed: $e"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
         (name, sec, n, listener.spillDisk, listener.shuffleWrite,
@@ -308,7 +322,7 @@ object ScaleBench {
     // This measures all three phases at the top rung and captures the
     // executed probe plan's dynamic-pruning receipt (PlanProbe's check,
     // as a committed number instead of an eyeballed plan dump).
-    {
+    if (opsFilter.isEmpty || opsFilter.contains("ivf_index")) {
       import org.apache.spark.sql.functions._
       import graft.operators.{IvfIndex, Similarity}
       val fMax = factors.last
@@ -392,7 +406,8 @@ object ScaleBench {
     // per-slice disk profile IS the claim; the truncated pair union is
     // explicitly NOT the full answer. 0 (default) skips the section.
     val q22x100Slices = sys.env.getOrElse("SPARK_GRAFT_Q22X100_SLICES", "0").toInt
-    val q22x100Json: String = if (q22x100Slices > 0 && factors.contains(100)) {
+    val q22x100Json: String = if (q22x100Slices > 0 && factors.contains(100) &&
+        (opsFilter.isEmpty || opsFilter.contains("q22_lsh_match_score_auto"))) {
       import graft.operators.Dedup
       val dir100 = s"/tmp/graft_scale/x100"
       val receipts = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double, Long, Long)]
@@ -442,7 +457,7 @@ object ScaleBench {
     out ++= s""""data_ratio":${factors.last.toDouble / factors.head},"time_ratio":{"""
     out ++= chain.map(_._1).flatMap { name =>
       val ran = perScale.filter(_._2.exists(_._1 == name))
-      if (ran.size < 2 || first(name) <= 0) None
+      if (ran.size < 2 || first.getOrElse(name, 0.0) <= 0) None
       else {
         val (lastF, lastRows) = ran.last
         val r = lastRows.find(_._1 == name).get._2 / first(name)
@@ -455,6 +470,11 @@ object ScaleBench {
       "(initialPartitionNum=16*cpus). peak_disk_used = per-op peak bytes " +
       "held on the shuffle volume (500ms free-space sampler watermark) — " +
       "the number that certifies the sliced band join's disk bound. " +
+      "Op timing = full materialization of the op's executed plan " +
+      "(executedPlan.execute().count()): a df.count() harness lets " +
+      "Catalyst prune count-irrelevant work, and for q61 (unique-key " +
+      "left join feeding only the row count) it eliminated the operator " +
+      "entirely — the r15 rung first measured a parquet footer count. " +
       "Per-op max factors: fixed-parameter gate " +
       "anchors (q34_lsh, q45_lsh, q22 fixed) stop at 10x by design (candidate " +
       "mass ~n^2/2^bits is the measured blowup they anchor). q22_auto's full " +
