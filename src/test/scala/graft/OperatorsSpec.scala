@@ -921,4 +921,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == ((10L, 6L)))
     assert(got(6L) == ((10L, 0L)))
   }
+
+  test("bench harness materializes the full plan — count() would eliminate q61's join") {
+    // r15 finding: timing `df.count()` lets Catalyst prune everything the
+    // count doesn't need; for q61 (unique-key left join feeding only the
+    // row count) the WHOLE operator optimized away and the bench measured
+    // a parquet footer count (0.4s/15KB shuffle at 500k docs vs the
+    // honest 15s/599MB). Bench/ScaleBench therefore time
+    // executedPlan.execute().count() — this guard pins that the harness
+    // plan retains the operator's window + join.
+    val df = Dedup.substringDedup(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "harness plan lost the frequency window")
+    assert(plan.toLowerCase.contains("join"), "harness plan lost the final join")
+    // and the pitfall is real on this Spark: the same frame under a bare
+    // count optimizes the window/join away entirely
+    val countPlan = df.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(!countPlan.contains("Window"),
+      "count() no longer prunes the plan — harness comment is stale")
+  }
 }
