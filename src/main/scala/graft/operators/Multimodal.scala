@@ -209,12 +209,17 @@ object Multimodal {
 
   /** Real bilinear resample + PNG re-encode for a JDK-decodable image
     * payload at the planned output geometry; payloads ImageIO cannot open
-    * (or that are already at target size) pass through unchanged. */
+    * (or that are already at target size) pass through unchanged. The
+    * destination raster keeps the source's alpha channel (ARGB in, ARGB
+    * out) — an RGB-only destination would silently flatten transparency
+    * onto black. */
   private[graft] def resamplePayload(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] =
     decodeImage(payload) match {
       case Some(img) if outW > 0 && outH > 0 &&
           (outW != img.getWidth || outH != img.getHeight) =>
-        val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+        val dstType = if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+          else BufferedImage.TYPE_INT_RGB
+        val dst = new BufferedImage(outW, outH, dstType)
         val g = dst.createGraphics()
         try {
           g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,

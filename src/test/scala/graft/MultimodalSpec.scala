@@ -75,6 +75,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resample preserves the alpha channel for transparent sources") {
+    val src = new java.awt.image.BufferedImage(40, 40, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = src.createGraphics()
+    g.setColor(new java.awt.Color(200, 40, 40, 128)) // half-transparent red
+    g.fillRect(0, 0, 40, 40); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val out = Multimodal.resamplePayload(bos.toByteArray, 20, 20)
+    val dec = Multimodal.decodeImage(out).get
+    assert(dec.getWidth == 20 && dec.getHeight == 20)
+    assert(dec.getColorModel.hasAlpha, "alpha channel lost in resample")
+    val argb = dec.getRGB(10, 10)
+    assert(((argb >> 24) & 0xff) == 128, "alpha value not preserved")
+    // opaque sources stay alpha-free (no spurious channel growth)
+    val opaque = Multimodal.resamplePayload(Multimodal.makePng(40, 40, 1), 20, 20)
+    assert(!Multimodal.decodeImage(opaque).get.getColorModel.hasAlpha)
+  }
+
   test("feature extraction preserves ids, emits fixed-dim vectors, is deterministic") {
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
     assert(feats.length == media.count())
