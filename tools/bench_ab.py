@@ -71,8 +71,18 @@ def main():
     tot_a = round(sum(v[label_a] for v in med.values()), 2)
     tot_b = round(sum(v[label_b] for v in med.values()), 2)
     worst = max(common, key=lambda q: med[q][label_b] - med[q][label_a])
+
+    def commit_of(tree):
+        try:
+            return subprocess.run(["git", "-C", tree, "rev-parse", "--short", "HEAD"],
+                                  capture_output=True, text=True, timeout=10
+                                  ).stdout.strip() or "unknown"
+        except Exception:
+            return "unknown"
     out = {
         "metric": "bench_ab",
+        f"{label_a}_commit": commit_of(tree_a),
+        f"{label_b}_commit": commit_of(tree_b),
         "method": (f"interleaved A/B: {label_a} and {label_b} trees run "
                    f"alternately {reps}x each in one session, identical JVM "
                    "flags (JDK17 add-opens, -Xmx8g, local[32], "
