@@ -51,7 +51,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's capture is byte-capped from the TOP,
+    // so every pre-line WARN (cache-already-cached etc.) eats budget the
+    // final contract line needs
+    spark.sparkContext.setLogLevel("ERROR")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     // Warmup outside the timed region: one trivial count per input table
@@ -115,14 +118,21 @@ object Bench {
         clearStorage()
         listener.reset()
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        // a throwing query is NOT silently folded into the totals: its
+        // wall time still reports (the failure cost real seconds) but the
+        // name lands in the artifact's `failed` list so bench_ab.py and
+        // round-over-round diffs can exclude it — a fast crash otherwise
+        // reads as a speedup (ADVICE r15)
+        val ok = try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false }
         val sec = (System.nanoTime() - t0) / 1e9
         // stage events arrive async; attribute them to THIS query's window
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
         // storage was empty at trial start, so what is resident now is the
         // query's OWN cache()/localCheckpoint footprint
         val cached = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-        (sec, Map(
+        (sec, ok, Map(
           "spill_mem" -> listener.spillMem, "spill_disk" -> listener.spillDisk,
           "shuffle_write" -> listener.shuffleWrite,
           "peak_exec_mem" -> listener.peakExecMem, "cached_bytes" -> cached))
@@ -130,12 +140,13 @@ object Bench {
       // the reported time AND metrics come from the SAME (median) trial,
       // so a variance investigation never pairs a clean median time with
       // an outlier trial's spill profile
-      val (sec, metrics) = runs.sortBy(_._1).apply(runs.length / 2)
-      (name, sec, metrics)
+      val (sec, _, metrics) = runs.sortBy(_._1).apply(runs.length / 2)
+      (name, sec, runs.forall(_._2), metrics)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (name, _, false, _) => name }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val ms = results.map { case (k, _, m) =>
+    val ms = results.map { case (k, _, _, m) =>
       s"\"" + k + "\":" + m.toSeq.sortBy(_._1)
         .map { case (mk, mv) => s"\"$mk\":$mv" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
@@ -161,9 +172,19 @@ object Bench {
     val env = s""""env":{"started_at":"$startedAt","load_avg_start":$loadStart,""" +
       s""""load_avg_end":$loadAvg,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""local_threads":$cpus,"heap_max_bytes":${Runtime.getRuntime.maxMemory}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"sf":"$sfDir",""" +
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"failed":$failedJson,"sf":"$sfDir",""" +
       s""""harness":"executed-plan-materialize (r15: a count() harness let Catalyst prune count-irrelevant work — q61's unique-key left join was eliminated entirely; totals before r15 are count-harness)",$env}"""
-    println(line)
+    // COMPACT stdout line: the driver's output capture is byte-capped and
+    // every BENCH_rN since r10 shows the ~10 KB full line truncated
+    // mid-token inside its 2000-byte tail window (parsed:null). Per-query
+    // seconds rounded to ms, no metrics blob → ~1.9 KB, inside the window;
+    // the full-precision line persists via BENCH_FULL.json below.
+    def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val compact = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":""" +
+      results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms3(v) }
+        .mkString("{", ",", "}") +
+      s""","pipeline_sec":${ms3(pipelineSec)},"failed":$failedJson,"sf":"$sfDir"}"""
     // the driver's committed BENCH artifact truncates to the output tail;
     // persist the full line so per-query numbers survive the round. The
     // destination resolves via SPARK_GRAFT_BENCH_OUT so a run launched
@@ -184,6 +205,9 @@ object Bench {
       System.err.println(s"[bench] full artifact written to $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write to $outPath FAILED: $e") }
+    // stop BEFORE the contract line so no Spark shutdown output can land
+    // after it — the compact line must be the process's final stdout line
     spark.stop()
+    println(compact)
   }
 }

@@ -269,6 +269,19 @@ object Dedup {
         // take the shuffle-hash arm (conservative direction)
         statsAreMeasured(sets) && measuredBytes(sets) <= VerifyBroadcastMaxBytes)
 
+  /** Bytes to CHARGE against a caller's shared broadcast budget for the
+    * verify-side broadcast [[jaccardVerify]] will make: the measured
+    * cache size when the stats really are a measurement, otherwise the
+    * broadcast ceiling itself. [[verifyWillBroadcast]]'s small-docs arm
+    * fires without [[statsAreMeasured]], and charging Catalyst's
+    * estimate there is the severe-underestimate direction
+    * [[measuredBytes]]'s own doc warns against (ADVICE r15) — the
+    * ceiling is the conservative worst case the broadcast can reach. */
+  private[operators] def verifyBroadcastCharge(sets: DataFrame, nDocs: Long): BigInt =
+    if (!verifyWillBroadcast(sets, nDocs)) BigInt(0)
+    else if (statsAreMeasured(sets)) measuredBytes(sets)
+    else BigInt(VerifyBroadcastMaxBytes)
+
   /** @param sorted emit pairs ordered by (d1, d2) — callers that register
     *   the pair set directly need the deterministic order; funnel callers
     *   (q22) that keep joining/re-sorting downstream pass false and skip
@@ -802,6 +815,23 @@ object Dedup {
     * multi-hour single-node job. Production paths never set it. */
   @volatile private[graft] var sliceLimitForReceipts: Int = Int.MaxValue
 
+  /** Persistent slice directory for RESUMABLE scale runs (tooling only,
+    * like the two knobs above): when non-null the sliced loop writes its
+    * per-slice answer parquet under this path instead of an ephemeral
+    * temp dir, skips any slice whose parquet already committed (its
+    * `_SUCCESS` marker exists), and leaves the directory on disk when it
+    * returns — so a multi-hour past-envelope rung that dies (or is
+    * time-boxed) resumes at the first unfinished slice instead of
+    * re-paying the finished ones. A `manifest` file pins the slicing
+    * geometry (bands, rows, bandsPerSlice, nDocs): bandsPerSlice derives
+    * from MEASURED free disk, which changes between invocations as the
+    * accumulated answer parquet itself consumes space, so a resume
+    * recomputes different slice boundaries unless the first run's
+    * geometry is authoritative. A manifest that disagrees on
+    * bands/rows/nDocs fails fast — mixing boundaries would silently
+    * drop or duplicate band ranges. Production paths never set this. */
+  @volatile private[graft] var slicePersistDir: String = null
+
   /** ONE band-group slice's candidate pairs, computed independently of
     * every other slice: banded signatures for bands [lo, hi) (with the
     * run-start suppression predicate evaluated against the GLOBAL band
@@ -849,12 +879,39 @@ object Dedup {
     } else {
       val spark = sets.sparkSession
       val sc = spark.sparkContext
-      val bandsPerSlice = math.max(1, (maxBandedRows / math.max(1L, nDocs)).toInt)
+      val persist = slicePersistDir
+      val spillDir = if (persist != null) {
+        val p = java.nio.file.Paths.get(persist).toAbsolutePath
+        java.nio.file.Files.createDirectories(p)
+        p
+      } else java.nio.file.Files
+        .createTempDirectory("graft-lsh-slices-").toAbsolutePath
+      // geometry: from the manifest when resuming a persistent run (the
+      // first invocation's measured-disk envelope is authoritative — see
+      // slicePersistDir), freshly derived otherwise
+      val manifestPath = spillDir.resolve("manifest")
+      val bandsPerSlice: Int =
+        if (persist != null && java.nio.file.Files.exists(manifestPath)) {
+          val kv = java.nio.file.Files.readAllLines(manifestPath)
+            .toArray(Array.empty[String])
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }
+            .toMap
+          require(kv("bands") == bands && kv("rows") == rows &&
+              kv("nDocs") == nDocs,
+            s"slice manifest at $manifestPath pins geometry " +
+              s"(bands=${kv("bands")},rows=${kv("rows")},nDocs=${kv("nDocs")}) " +
+              s"incompatible with this run (bands=$bands,rows=$rows,nDocs=$nDocs)")
+          kv("bandsPerSlice").toInt
+        } else {
+          val bps = math.max(1, (maxBandedRows / math.max(1L, nDocs)).toInt)
+          if (persist != null)
+            java.nio.file.Files.writeString(manifestPath,
+              s"bands=$bands\nrows=$rows\nbandsPerSlice=$bps\nnDocs=$nDocs\n")
+          bps
+        }
       val sliceRows = nDocs * bandsPerSlice
       val parts = math.max(sc.defaultParallelism,
         math.min(4096, (sliceRows / BandJoinRowsPerPartition).toInt + 1))
-      val spillDir = java.nio.file.Files
-        .createTempDirectory("graft-lsh-slices-").toAbsolutePath
       val sliceStarts = (0 until bands by bandsPerSlice).toSeq
       // ids "seen" stay seen after their cleanup — Spark never reuses a
       // shuffle id, so the running snapshot is monotone
@@ -890,24 +947,36 @@ object Dedup {
         sliceStarts.take(if (hook != null) sliceLimitForReceipts else Int.MaxValue)
           .foreach { lo =>
             val hi = math.min(bands, lo + bandsPerSlice)
-            val t0 = System.nanoTime()
-            val sliceDistinct =
-              sliceCandidatePairsOnce(sets, bands, rows, lo, hi, parts, refine)
-            val fresh = if (nSlices == 0) sliceDistinct
-              else sliceDistinct.join(
-                spark.read.parquet(seenPaths: _*).select($"d1", $"d2"),
-                Seq("d1", "d2"), "left_anti")
-            fresh.write.mode("overwrite") // the slice executes HERE, bounded
-              .parquet(s"$seenDir/s$nSlices")
-            nSlices += 1
-            if (hook != null)
-              hook(nSlices, sliceStarts.size, (System.nanoTime() - t0) / 1e9,
-                spark.read.parquet(s"$seenDir/s${nSlices - 1}").count())
-            // the slice's shuffles are dead (its only product is now
-            // parquet) — release their files before the next slice writes
-            val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
-            org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
-            seen ++= now
+            // a slice already committed by a prior invocation of a
+            // persistent run (parquet _SUCCESS marker) is reused as-is:
+            // its content depends only on the manifest-pinned geometry
+            // and the deterministic band range [lo, hi), both identical
+            // across invocations. No receipt fires for it — its timing
+            // belongs to the run that paid it.
+            val resumed = persist != null && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$seenDir/s$nSlices", "_SUCCESS"))
+            if (resumed) {
+              nSlices += 1
+            } else {
+              val t0 = System.nanoTime()
+              val sliceDistinct =
+                sliceCandidatePairsOnce(sets, bands, rows, lo, hi, parts, refine)
+              val fresh = if (nSlices == 0) sliceDistinct
+                else sliceDistinct.join(
+                  spark.read.parquet(seenPaths: _*).select($"d1", $"d2"),
+                  Seq("d1", "d2"), "left_anti")
+              fresh.write.mode("overwrite") // the slice executes HERE, bounded
+                .parquet(s"$seenDir/s$nSlices")
+              nSlices += 1
+              if (hook != null)
+                hook(nSlices, sliceStarts.size, (System.nanoTime() - t0) / 1e9,
+                  spark.read.parquet(s"$seenDir/s${nSlices - 1}").count())
+              // the slice's shuffles are dead (its only product is now
+              // parquet) — release their files before the next slice writes
+              val now = org.apache.spark.GraftSparkInternals.registeredShuffleIds(sc)
+              org.apache.spark.GraftSparkInternals.cleanupShufflesBlocking(sc, now -- seen)
+              seen ++= now
+            }
           }
         // the seen directory is globally distinct by construction; eager
         // checkpoint so the spill dir can be deleted before returning
@@ -917,7 +986,9 @@ object Dedup {
         all
       } finally {
         // best-effort recursive delete; the final pair set no longer
-        // reads from here (checkpointed above)
+        // reads from here (checkpointed above). Persistent runs keep the
+        // directory — resumability is its whole point; the tooling that
+        // set slicePersistDir owns the cleanup.
         def rm(p: java.nio.file.Path): Unit = {
           if (java.nio.file.Files.isDirectory(p)) {
             val s = java.nio.file.Files.list(p)
@@ -926,7 +997,7 @@ object Dedup {
           try java.nio.file.Files.deleteIfExists(p)
           catch { case _: java.io.IOException => () }
         }
-        rm(spillDir)
+        if (persist == null) rm(spillDir)
       }
     }
   }

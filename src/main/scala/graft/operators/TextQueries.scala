@@ -405,9 +405,10 @@ object TextQueries {
     // its measured-size arm fires inside the funnel slices — at -Xmx8g
     // three independently-budgeted 800 MB relations would OOM the build.
     val budget = BigInt(800L * 1024 * 1024)
-    val verifyBytes =
-      if (Dedup.verifyWillBroadcast(sets, nRecords)) Dedup.measuredBytes(sets)
-      else BigInt(0)
+    // charge = measured size only when the stats ARE a measurement; the
+    // small-docs broadcast arm fires on unmeasured frames, where the
+    // charge is the broadcast ceiling (Dedup.verifyBroadcastCharge)
+    val verifyBytes = Dedup.verifyBroadcastCharge(sets, nRecords)
     val mBytes =
       if (Dedup.statsAreMeasured(m)) Dedup.measuredBytes(m)
       else BigInt(Long.MaxValue) // unmeasured cache: never trust-broadcast

@@ -110,15 +110,26 @@ object ScaleBench {
     * WRITTEN cumulatively, not what's simultaneously live). */
   private class DiskSampler(dir: java.io.File) extends Thread {
     @volatile var minFree: Long = Long.MaxValue
+    // SEPARATE per-slice watermark: the q22x100 hook needs a per-slice
+    // peak without resetting the section-level one (r15 bug: the hook
+    // called peakUsed(mark()), which both reported identically 0 for
+    // every slice AND reset the shared watermark so the section peak
+    // only saw dips after the last hook)
+    @volatile var minFreeSlice: Long = Long.MaxValue
     @volatile private var live = true
     setDaemon(true)
     override def run(): Unit = while (live) {
-      minFree = math.min(minFree, dir.getUsableSpace)
+      val f = dir.getUsableSpace
+      minFree = math.min(minFree, f)
+      minFreeSlice = math.min(minFreeSlice, f)
       Thread.sleep(500)
     }
     /** Reset the watermark; returns free space now. */
     def mark(): Long = { val f = dir.getUsableSpace; minFree = f; f }
     def peakUsed(base: Long): Long = math.max(0L, base - minFree)
+    /** Reset ONLY the slice watermark; returns free space now. */
+    def markSlice(): Long = { val f = dir.getUsableSpace; minFreeSlice = f; f }
+    def peakUsedSlice(base: Long): Long = math.max(0L, base - minFreeSlice)
     def shutdown(): Unit = live = false
   }
 
@@ -270,21 +281,33 @@ object ScaleBench {
 
     val out = new StringBuilder
     out ++= s"""{"metric":"scale_bench","cpus":$cpus,"scales":{"""
+    // generators are seed-fixed, so a rung's input corpus is reusable
+    // byte-for-byte across invocations — SPARK_GRAFT_REUSE_DATA=1 skips
+    // regeneration when every table already committed (a resumed x100
+    // invocation must NOT regenerate: identical content, but fresh files
+    // would waste ~10 min of driver-side generation per rung)
+    val reuseData = sys.env.getOrElse("SPARK_GRAFT_REUSE_DATA", "0") == "1"
+    def committed(path: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     val perScale = factors.map { f =>
       val dir = s"/tmp/graft_scale/x$f"
-      genDocuments(spark, 5000 * f).write.mode("overwrite")
-        .parquet(s"$dir/documents.parquet")
-      genEmbeddings(spark, 2000 * f).write.mode("overwrite")
-        .parquet(s"$dir/embeddings.parquet")
-      genPart(spark, 20000 * f, parts = math.max(8, math.min(64, 8 * f)))
-        .write.mode("overwrite").parquet(s"$dir/part.parquet")
-      // bibliographic records for the curation rung — driver-side
-      // generation (seed-fixed, mirrors the reference harness), written
-      // out so generation cost stays outside the timed region and the
-      // curation job starts from a parquet scan like every other op
-      graft.curation.CurationBench.syntheticRecords(spark, 10000 * f, partial = false)
-        .repartition(math.max(8, math.min(64, 8 * f)))
-        .write.mode("overwrite").parquet(s"$dir/records.parquet")
+      val tables = Seq("documents.parquet", "embeddings.parquet",
+        "part.parquet", "records.parquet").map(t => s"$dir/$t")
+      if (!(reuseData && tables.forall(committed))) {
+        genDocuments(spark, 5000 * f).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, 2000 * f).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+        genPart(spark, 20000 * f, parts = math.max(8, math.min(64, 8 * f)))
+          .write.mode("overwrite").parquet(s"$dir/part.parquet")
+        // bibliographic records for the curation rung — driver-side
+        // generation (seed-fixed, mirrors the reference harness), written
+        // out so generation cost stays outside the timed region and the
+        // curation job starts from a parquet scan like every other op
+        graft.curation.CurationBench.syntheticRecords(spark, 10000 * f, partial = false)
+          .repartition(math.max(8, math.min(64, 8 * f)))
+          .write.mode("overwrite").parquet(s"$dir/records.parquet")
+      }
       val rows = chain.filter(_._3 >= f)
         .filter(c => opsFilter.isEmpty || opsFilter.contains(c._1))
         .map { case (name, fn, _) =>
@@ -396,16 +419,21 @@ object ScaleBench {
         s""""append_sec":$appendSec},"""
     }
 
-    // ---- q22_auto past-envelope receipt (TIME-BOXED) -------------------
-    // The x100 fuzzy-match rung is a measured ~2h+ single-node job
+    // ---- q22_auto past-envelope receipt (x100) -------------------------
+    // The x100 fuzzy-match rung is a measured ~2.5h+ single-node job
     // (quadratic answer mass — see q22_auto_account below), so the full
     // ladder stops it at x30. This section runs the FIRST
     // SPARK_GRAFT_Q22X100_SLICES band-group slices of the x100 point
     // under the shipped code and records each slice's wall-time, fresh
-    // (post cross-slice dedup) pair count, and peak disk — the flat
-    // per-slice disk profile IS the claim; the truncated pair union is
-    // explicitly NOT the full answer. 0 (default) skips the section.
+    // (post cross-slice dedup) pair count, and peak disk. When the slice
+    // budget covers every slice and the run finishes, the receipt is the
+    // COMPLETE measured rung (timeboxed:false) and the projection object
+    // is dropped from the account — measured replaces projected. With
+    // SPARK_GRAFT_SLICE_DIR set, the per-slice parquet persists there and
+    // a re-invocation resumes at the first unfinished slice
+    // (Dedup.slicePersistDir). 0 (default) skips the section.
     val q22x100Slices = sys.env.getOrElse("SPARK_GRAFT_Q22X100_SLICES", "0").toInt
+    var q22x100Complete = false
     val q22x100Json: String = if (q22x100Slices > 0 && factors.contains(100) &&
         (opsFilter.isEmpty || opsFilter.contains("q22_lsh_match_score_auto"))) {
       import graft.operators.Dedup
@@ -413,42 +441,59 @@ object ScaleBench {
       val receipts = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double, Long, Long)]
       clearStorage(); listener.reset()
       val baseFree = sampler.mark()
+      var sliceBase = sampler.markSlice()
       Dedup.sliceReceiptHook = (idx, total, sec, fresh) => {
-        val peak = sampler.peakUsed(sampler.mark())
+        // per-slice peak from the SLICE watermark (leaves the section
+        // watermark alone — the r15 hook zeroed both receipts, ADVICE r15)
+        val peak = sampler.peakUsedSlice(sliceBase)
+        sliceBase = sampler.markSlice()
         receipts += ((idx, total, sec, fresh, peak))
         System.err.println(s"[scale] q22x100 slice $idx/$total: ${sec}s, $fresh fresh pairs")
       }
       Dedup.sliceLimitForReceipts = q22x100Slices
+      Dedup.slicePersistDir = sys.env.getOrElse("SPARK_GRAFT_SLICE_DIR", null)
       val t0 = System.nanoTime()
-      val truncRows = try
+      val rows = try
         graft.operators.TextQueries.q22LshMatchScoreAuto(spark, dir100).count()
       catch { case e: Throwable =>
-        System.err.println(s"[scale] q22x100 timeboxed failed: $e"); -1L
+        System.err.println(s"[scale] q22x100 sliced run failed: $e"); -1L
       } finally {
         Dedup.sliceReceiptHook = null
         Dedup.sliceLimitForReceipts = Int.MaxValue
+        Dedup.slicePersistDir = null
       }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+      // complete iff the run returned AND the final slice was computed in
+      // SOME invocation: either this run's last receipt is slice N/N, or
+      // this run resumed past it (no receipts but the loop finished under
+      // a budget covering every slice)
+      q22x100Complete = rows >= 0 &&
+        (receipts.lastOption.exists(r => r._1 == r._2) ||
+          (receipts.isEmpty && q22x100Slices >= 999))
       val perSlice = receipts.map { case (i, tot, s, fr, pk) =>
         s"""{"slice":$i,"of":$tot,"sec":$s,"fresh_pairs":$fr,"peak_disk_used":$pk}"""
       }.mkString(",")
-      s""""x100_timeboxed":{"timeboxed":true,"slices_completed":${receipts.size},""" +
+      s""""x100_sliced":{"timeboxed":${!q22x100Complete},""" +
+        s""""slices_computed_this_run":${receipts.size},""" +
         s""""slices_total":${receipts.headOption.map(_._2).getOrElse(-1)},""" +
-        s""""total_sec":$sec,"rows_from_completed_slices":$truncRows,""" +
+        s""""total_sec":$sec,"rows":$rows,""" +
         s""""spill_disk":${listener.spillDisk},""" +
         s""""peak_disk_used":${sampler.peakUsed(baseFree)},""" +
         s""""per_slice":[$perSlice]},"""
     } else ""
 
     // structured q22_auto account (r15: was _note prose) — the numbers a
-    // round-over-round diff needs, machine-readable
+    // round-over-round diff needs, machine-readable. The x100 projection
+    // exists only until a completed x100_sliced receipt replaces it.
+    val projection = if (q22x100Complete) "" else
+      """"x100_projection":{"scored_pairs":460000000,"bands":1082,""" +
+      """"raw_candidate_occurrences":20500000000,"verified_emissions_per_sec":4000000,""" +
+      """"single_node_estimate_sec":7200},"""
     out ++= s""""q22_auto_account":{$q22x100Json""" +
       """"answer_pairs_measured":{"x1":45861,"x10":4588720,"x30":41235016},""" +
       """"answer_growth":"quadratic in corpus (generator's fuzzy answer mass)",""" +
-      """"x100_projection":{"scored_pairs":460000000,"bands":1082,""" +
-      """"raw_candidate_occurrences":20500000000,"verified_emissions_per_sec":4000000,""" +
-      """"single_node_estimate_sec":7200},""" +
+      projection +
       """"slices_are_independent_jobs":"certified: union-distinct of standalone per-slice jobs equals the sequential sliced result (OperatorsSpec 'band slices are independent jobs'); the shipped single-node loop runs them as sequential bounded rounds with an incremental anti-join so peak disk stays one slice's exchange + the answer exactly once"},"""
     // growth factors between the first scale and the LAST scale each op
     // actually ran at (capped gate anchors stop early) — recorded as

@@ -59,7 +59,21 @@ def main():
             print(f"[ab] {label} rep {i + 1}/{reps}: total {d['value']:.1f}s "
                   f"load_end={d.get('env', {}).get('load_avg_end', -1)}",
                   flush=True)
-    common = set(runs[label_a][0]["queries"]) & set(runs[label_b][0]["queries"])
+    qs_a = set(runs[label_a][0]["queries"])
+    qs_b = set(runs[label_b][0]["queries"])
+    # queries that FAILED in any rep of a tree are excluded from that
+    # comparison: a fast crash otherwise reads as a speedup (the Bench
+    # artifact records failures explicitly since r16)
+    failed = {q for lab in runs for r in runs[lab] for q in r.get("failed", [])}
+    common = (qs_a & qs_b) - failed
+    # queries present in only one tree (renames, new operators) are not
+    # silently dropped — they are listed so a one-sided regression is
+    # visible in the artifact even though it cannot enter the ratio
+    only = sorted(qs_a ^ qs_b)
+    if not common:
+        raise SystemExit(
+            f"no common non-failed queries between trees (failed={sorted(failed)}, "
+            f"one-sided={only}) — nothing to compare")
     med = {}
     for q in sorted(common):
         med[q] = {
@@ -89,6 +103,8 @@ def main():
                    "shuffle.partitions=32), sf0.1, per-query value = median "
                    f"of {reps}; env stamps per rep recorded"),
         "common_queries": len(common),
+        "excluded_failed": sorted(failed),
+        "one_sided_queries": only,
         f"{label_a}_total_sec": tot_a,
         f"{label_b}_total_sec": tot_b,
         f"ratio_{label_b}_over_{label_a}": round(tot_b / tot_a, 4),
