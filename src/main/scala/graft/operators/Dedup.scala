@@ -1332,25 +1332,37 @@ object Dedup {
     *   1. positional k-gram frame — posexplode over a transform(sequence)
     *      projection, one xxhash64 per start position (no string
     *      materialization past the scan);
-    *   2. corpus frequency — a count(*) window over the gram key
-    *      (partition-only, no ORDER BY, so the frame is the whole group
-    *      and WindowExec just sorts by gh within each exchange output),
-    *      keep starts with count >= 2. One exchange, one evaluation of
-    *      the positional frame — the groupBy+LEFT SEMI alternative costs
-    *      a second full positional exchange AND evaluates the gram
-    *      projection twice (or pins an O(corpus tokens) cache);
+    *   2. corpus frequency — a TWO-LEVEL count (r16; the r15 shape was a
+    *      count(*) window over gh, which put a hot gram's every
+    *      occurrence into ONE WindowExec group's buffered sort — a
+    *      degenerate boilerplate gram at 100 TB would sort/spill
+    *      billions of rows in one task): `groupBy(gh).count()` partial-
+    *      aggregates map-side, so the hot gram crosses the exchange as
+    *      one 16 B (gh, cnt) row per map partition, and the exchange
+    *      carries partial counts, never positions. The duplicated-gram
+    *      set (answer-shaped: grams with corpus count >= 2) then rejoins
+    *      the positional stream as a LEFT SEMI — broadcast under the
+    *      row-count gate below, so the positional frame's ONLY exchange
+    *      is the doc_id one it needs anyway; past the gate, shuffle-hash
+    *      (streaming probe, build = the dup set) — either way no
+    *      operator buffers a gram's occurrence list;
     *   3. interval merge — the classic gaps-and-islands: per-doc window
     *      ordered by position, a break whenever the gap exceeds k (fixed
     *      k-length intervals mean the running max end is always
     *      prev_p + k), islands summed as max(p)+k-min(p). The window is
     *      doc-partitioned — no global sort, no driver state.
-    * Nothing is cached: the tokenized docs projection is consumed by two
-    * branches, and at corpus scale re-scanning the pushed-down text
-    * column twice is strictly cheaper than pinning the token-array frame
-    * in executor memory for the session (the cache also never had a safe
-    * unpersist point — the returned plan is lazy). Hot grams put their
-    * positions in one window group — the same skew exposure the semi
-    * join's probe-side exchange had. */
+    * The token-array frame is NOT cached — it is consumed by three
+    * passes (frequency agg, semi probe, per-doc token counts), and at
+    * corpus scale re-scanning the pushed-down text column is strictly
+    * cheaper than pinning an O(corpus tokens) frame in executor memory
+    * for the session (the cache also never had a safe unpersist point —
+    * the returned plan is lazy). The one pinned frame is the
+    * answer-shaped dup-gram SET (localCheckpoint): eager so the
+    * broadcast-vs-shuffle gate reads a real count, small by the same
+    * argument that makes the operator useful (Lee et al. corpora carry
+    * a few percent duplicated-gram mass). */
+  private val DupGramBroadcastMaxRows = 10000000L // ~10M longs ≈ low-hundreds MB built
+
   def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
     val toks = filter(split($"text", " "), t => length(t) > lit(0))
@@ -1361,11 +1373,15 @@ object Dedup {
       .select($"doc_id", posexplode(transform(sequence(lit(0), size($"t") - k),
         i => xxhash64(concat_ws(" ", slice($"t", i + 1, lit(k)))))))
       .toDF("doc_id", "p", "gh")
-    val wG = org.apache.spark.sql.expressions.Window.partitionBy($"gh")
-    val dupStarts = grams
-      .withColumn("cnt", count(lit(1)).over(wG))
-      .filter($"cnt" >= 2)
-      .select($"doc_id", $"p")
+    val dupGrams = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"gh")
+      .localCheckpoint() // eager: the gate below needs the real row count
+    val dupStarts = (
+      if (dupGrams.count() <= DupGramBroadcastMaxRows)
+        grams.join(broadcast(dupGrams), Seq("gh"), "left_semi")
+      else grams.hint("shuffle_hash").join(dupGrams, Seq("gh"), "left_semi")
+    ).select($"doc_id", $"p")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
     val islands = dupStarts

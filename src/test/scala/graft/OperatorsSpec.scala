@@ -989,6 +989,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6L) == ((10L, 0L)))
   }
 
+  test("q61 hot gram never lands in a buffered window group (two-level count shape)") {
+    import spark.implicits._
+    // degenerate corpus: ONE 8-gram with ~10k corpus occurrences (50 docs
+    // of a single repeated token). The r15 shape (count(*) window over
+    // gh) buffered a hot gram's whole occurrence list in one WindowExec
+    // group — at 100 TB a boilerplate gram is billions of rows in one
+    // task's sort. The r16 two-level count must (a) stay exact here and
+    // (b) plan NO window over the gram key: the only window in the plan
+    // is the per-doc island merge, partitioned by doc_id.
+    val hot = (1 to 50).map(d => (d.toLong, Array.fill(200)("h").mkString(" ")))
+    val clean = (51 to 60).map(d =>
+      (d.toLong, (1 to 200).map(i => s"c${d}_$i").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("q61hotspec").toString
+    (hot ++ clean).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = Dedup.substringDedup(spark, tmp)
+    // traverse THROUGH AdaptiveSparkPlanExec — a bare collect stops at
+    // the AQE wrapper and sees no window at all
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val expanded = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      expanded +: expanded.children.flatMap(allNodes)
+    }
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "the island merge is still a window")
+    assert(windows.forall(_.partitionSpec.forall(
+        _.references.map(_.name).toSeq == Seq("doc_id"))),
+      s"no window may partition by the gram key: " +
+        windows.map(_.partitionSpec).mkString("; "))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    hot.foreach { case (d, _) => assert(got(d) == ((200L, 200L, 0.0))) }
+    clean.foreach { case (d, _) => assert(got(d) == ((200L, 0L, 1.0))) }
+  }
+
   test("bench harness materializes the full plan — count() would eliminate q61's join") {
     // r15 finding: timing `df.count()` lets Catalyst prune everything the
     // count doesn't need; for q61 (unique-key left join feeding only the
