@@ -49,6 +49,39 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** Image formats THIS JVM's ImageIO service registry can decode,
+    * lowercased. [[decodeImage]] dispatches through the registry, so a
+    * reader plugin on the executor classpath (a TwelveMonkeys-style
+    * WebP/PSD jar) extends decode coverage with NO code change here —
+    * this probe makes the coverage observable instead of silently
+    * deployment-dependent. Stock JDK 17: bmp, gif, jpg/jpeg, png, tiff,
+    * wbmp. */
+  private[graft] def decodableImageFormats(): Set[String] =
+    ImageIO.getReaderFormatNames.map(_.toLowerCase).toSet
+
+  /** Audio file types THIS JVM's sampled-audio stack can open (stock
+    * JDK: wave, aiff, au/snd); same plugin-extensibility story via the
+    * javax.sound SPI. */
+  private[graft] def decodableAudioFormats(): Set[String] =
+    AudioSystem.getAudioFileTypes.map(_.getExtension.toLowerCase).toSet
+
+  /** Capability probe as a QUERY: one (kind, format) row per media
+    * format decodable on the executors — run before a decode job to see
+    * what this deployment actually decodes (executor classpaths, not the
+    * driver's, are what matter; the probe executes ON the executors via
+    * mapPartitions, one registry scan per partition). */
+  def mediaCapabilities(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(s.sparkContext.defaultParallelism)
+      .mapPartitions { _ =>
+        decodableImageFormats().iterator.map(("image", _)) ++
+          decodableAudioFormats().iterator.map(("audio", _))
+      }
+      .toDF("kind", "format")
+      .distinct()
+      .orderBy("kind", "format")
+  }
+
   /** Real pixel feature: mean luminance (Rec. 601 weights) per vertical
     * strip, `dim` strips across the image width, each in [0,1]. Row-bulk
     * getRGB keeps the per-pixel cost at one int read. */

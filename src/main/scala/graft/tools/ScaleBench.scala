@@ -224,7 +224,10 @@ object ScaleBench {
       // (one positional exchange, one gram-frame evaluation, no caches)
       // holds its disk profile up the ladder.
       ("q61_substring_dedup", (s: SparkSession, d: String) => Dedup.substringDedup(s, d), 100),
-      ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScore(s, d), 10),
+      // the FIXED 128x3 parameterization — the measured-blowup gate
+      // anchor (since r16 the registered q22 defaults to auto banding,
+      // so the anchor is pinned here explicitly)
+      ("q22_lsh_match_score", (s: SparkSession, d: String) => TextQueries.q22LshMatchScoreFixed(s, d), 10),
       // q22_auto (r12): the ~1082-band banded frame at n = 2 M (~35 GB,
       // past one node's envelope in one piece) is now generated and
       // joined in bounded band-group slices (Dedup.MaxBandedRowsPerPass,

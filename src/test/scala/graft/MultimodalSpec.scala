@@ -170,4 +170,27 @@ class MultimodalSpec extends AnyFunSuite {
         origs(r.getAs[Long]("media_id")).toSeq)
     }
   }
+
+  test("capability probe reports the executor registry; undecodable formats fall back") {
+    val caps = Multimodal.mediaCapabilities(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // stock JDK floor — the probe runs on executors, where decode happens
+    assert(Set(("image", "png"), ("image", "jpeg"), ("image", "bmp"),
+      ("image", "gif")).subsetOf(caps), s"got $caps")
+    assert(caps.exists { case (k, f) => k == "audio" && f.startsWith("wav") },
+      s"got $caps")
+    // honesty contract, asserted DYNAMICALLY: a format absent from the
+    // probe (WebP on a stock JDK) must decode to None (byte-feature
+    // fallback) — if a deployment adds a WebP reader plugin, the probe
+    // reports it and this assertion steps aside, because decodeImage's
+    // registry dispatch really would decode it then
+    val imageFormats = caps.collect { case ("image", f) => f }
+    if (!imageFormats.contains("webp")) {
+      // minimal RIFF/WEBP container header + noise
+      val fakeWebp = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+        "WEBPVP8 ".getBytes ++ Array.fill[Byte](32)(7)
+      assert(Multimodal.decodeImage(fakeWebp).isEmpty,
+        "a format outside the probed registry must take the fallback path")
+    }
+  }
 }

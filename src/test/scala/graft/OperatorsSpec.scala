@@ -422,7 +422,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("q22 auto operating point equals the fixed anchor at the gate corpus") {
     // at n <= 2000 lshAutoParams resolves to (128, 3), so the auto funnel
     // must be row-identical to the anchor (and both hash-match q22Sql)
-    val anchor = graft.operators.TextQueries.q22LshMatchScore(spark, dir)
+    val anchor = graft.operators.TextQueries.q22LshMatchScoreFixed(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     val auto = graft.operators.TextQueries.q22LshMatchScoreAuto(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
