@@ -306,19 +306,44 @@ object Similarity {
     * re-expressed as a partitioned table + equi-join). Recall is checked
     * against [[bruteForceTopK]] in the spec (approximate op — no SQL
     * oracle; registered rows-only). */
+  /** Default IVF operating point, derived from the corpus size (r16 —
+    * the old fixed (nlist=8, nprobe=3) default probed 37.5% of the
+    * corpus for a measured 0.638 recall at sf0.1, a thin margin over
+    * the 0.6 gate): nlist grows ~sqrt(n) (canonical IVF sizing — cell
+    * size and cell count balance, so probe cost per query is
+    * O(sqrt n * d) either way), nprobe probes [[IvfDefaultProbeFraction]]
+    * of the cells. The fraction is grounded by the committed
+    * recall-vs-probed-fraction curve in TWIN_GATES.json (100-query
+    * sweep vs brute force at sf0.1); the gate there holds the default's
+    * recall >= 0.7. Floors keep tiny spec corpora (tens of vectors)
+    * from degenerating below the k-means' seed count. */
+  val IvfDefaultProbeFraction = 0.355 // sf0.1 sweep: (45,16) = recall 0.746,
+  // STRICTLY dominating the old (8,3) point (0.638 recall at 0.375 probed)
+  def ivfDefaults(n: Long): (Int, Int) = {
+    val nlist = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(3, math.ceil(nlist * IvfDefaultProbeFraction).toInt)
+    (nlist, math.min(nlist, nprobe))
+  }
+
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-      nlist: Int = 8, nprobe: Int = 3, iters: Int = 3): DataFrame = {
+      nlist: Int = -1, nprobe: Int = -1, iters: Int = 3): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
       .localCheckpoint()
-    val cents = trainCentroids(e, nlist, iters)
+    // -1 = scale-aware default from the materialized corpus count (the
+    // localCheckpoint above is eager, so this is a cached-block count)
+    val derived = if (nlist > 0 && nprobe > 0) (nlist, nprobe)
+      else ivfDefaults(e.count())
+    val (nl, np) = (if (nlist > 0) nlist else derived._1,
+      if (nprobe > 0) nprobe else derived._2)
+    val cents = trainCentroids(e, nl, iters)
     val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
     // per-query probe list: nprobe highest-cosine centroids
     val probed = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"nv".as("qv"))
       .select($"query_id", $"qv",
-        explode(centroidProbes($"qv", cents, nprobe, rounded = false)).as("cluster"))
+        explode(centroidProbes($"qv", cents, np, rounded = false)).as("cluster"))
     val scored = corpus.join(broadcast(probed), Seq("cluster"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("cos", round(dot($"nv", $"qv"), 6))

@@ -22,7 +22,8 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object TwinGates {
 
   private case class Gate(twin: String, anchor: String, sf: String,
-      law: String, value: Double, pass: Boolean, denom: Long = -1L)
+      law: String, value: Double, pass: Boolean, denom: Long = -1L,
+      extra: String = "") // pre-rendered JSON fragment ("key":value,)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -87,18 +88,41 @@ object TwinGates {
 
     // q43_ann_ivf: recall floor vs brute force — 100 queries x top-5 on
     // the 2000-vector corpus = a 500-pair denominator (spec's 10-query
-    // sf0.001 point kept there as the fast smoke; this is the gate)
+    // sf0.001 point kept there as the fast smoke; this is the gate).
+    // r16: the gate moved 0.6 -> 0.7 (r15 verdict: 0.638 over a 0.6
+    // floor was a thin margin for the one production ANN path) and the
+    // recall-vs-cost CURVE is committed alongside: each point records
+    // probed_fraction = nprobe/nlist, the IVF cost model's scan share,
+    // so the default's position on the tradeoff is a number, not a
+    // belief. The registered default is gated; the sweep documents why.
     {
       val brute = Similarity.bruteForceTopK(spark, sf3, nQueries = 100, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      val ivf = Similarity.ivfTopK(spark, sf3, nQueries = 100, k = 5,
-        nlist = 8, nprobe = 3, iters = 3)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-      val recall = if (brute.isEmpty) 0.0 else (brute & ivf).size.toDouble / brute.size
+      var ivfSize = 0
+      def recallAt(nlist: Int, nprobe: Int): Double = {
+        val ivf = Similarity.ivfTopK(spark, sf3, nQueries = 100, k = 5,
+          nlist = nlist, nprobe = nprobe, iters = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        ivfSize = ivf.size
+        if (brute.isEmpty) 0.0 else (brute & ivf).size.toDouble / brute.size
+      }
+      val default = Similarity.ivfDefaults(
+        graft.Tables.embeddings(spark, sf3).count())
+      val sweep = (Seq((8, 3), (8, 4), (45, 8), (45, 12), (45, 16)) :+ default)
+        .distinct
+      val curve = sweep.map { case (nl, np) => (nl, np, recallAt(nl, np)) }
+      val curveJson = curve.map { case (nl, np, r) =>
+        s"""{"nlist":$nl,"nprobe":$np,""" +
+          s""""probed_fraction":${math.round(np.toDouble / nl * 1000) / 1000.0},""" +
+          s""""recall":${math.round(r * 10000) / 10000.0}}"""
+      }.mkString("[", ",", "]")
+      val defRecall = recallAt(default._1, default._2)
       gates += Gate("q43_ann_ivf", "q43_ann_topk (brute force)", "sf0.1",
-        "IVF top-k recall vs brute force >= 0.6, size <= brute", recall,
-        brute.size >= 100 && recall >= 0.6 && ivf.size <= brute.size,
-        denom = brute.size)
+        s"IVF top-k recall vs brute force >= 0.7 at the registered default " +
+          s"(nlist=${default._1}, nprobe=${default._2}), size <= brute; " +
+          "recall-vs-probed-fraction curve committed", defRecall,
+        brute.size >= 100 && defRecall >= 0.7 && ivfSize <= brute.size,
+        denom = brute.size, extra = s""""curve":$curveJson,""")
     }
 
     // q45_lsh: every LSH cluster sits inside ONE exact cluster
@@ -203,6 +227,7 @@ object TwinGates {
       s"""{"twin":"${g.twin}","anchor":"${g.anchor}","sf":"${g.sf}",""" +
         s""""law":"${g.law}","value":${math.round(g.value * 10000) / 10000.0},""" +
         (if (g.denom >= 0) s""""denominator":${g.denom},""" else "") +
+        g.extra +
         s""""pass":${g.pass}}"""
     }.mkString(",")
     val allPass = rows.forall(_.pass)

@@ -325,6 +325,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.size <= brute.size)
   }
 
+  test("IVF defaults derive sqrt(n) cells and the gated probe fraction") {
+    // the registered q43 point: TWIN_GATES' sf0.1 sweep gates recall
+    // >= 0.7 at exactly ivfDefaults(2000) = (45, 16); floors keep tiny
+    // spec corpora above the k-means seed count
+    assert(Similarity.ivfDefaults(2000) == ((45, 16)))
+    assert(Similarity.ivfDefaults(20) == ((8, 3)))
+    val (nl, np) = Similarity.ivfDefaults(200)
+    assert(nl == 14 && np == 5)
+    // nprobe never exceeds nlist
+    assert(Similarity.ivfDefaults(1)._2 <= Similarity.ivfDefaults(1)._1)
+  }
+
   test("exact-seed IVF (q43_exact) is deterministic, ranked, and decent-recall") {
     val e1 = Similarity.ivfTopKExact(spark, dir, nQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
