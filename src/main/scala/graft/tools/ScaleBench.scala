@@ -497,7 +497,7 @@ object ScaleBench {
       """"answer_pairs_measured":{"x1":45861,"x10":4588720,"x30":41235016},""" +
       """"answer_growth":"quadratic in corpus (generator's fuzzy answer mass)",""" +
       projection +
-      """"slices_are_independent_jobs":"certified: union-distinct of standalone per-slice jobs equals the sequential sliced result (OperatorsSpec 'band slices are independent jobs'); the shipped single-node loop runs them as sequential bounded rounds with an incremental anti-join so peak disk stays one slice's exchange + the answer exactly once"},"""
+      """"slices_are_independent_jobs":"certified TWICE: in-JVM (OperatorsSpec 'band slices are independent jobs') and across two SEPARATE concurrent JVMs (SLICE_JOBS.json — distinct pids, no shared SparkSession, union-distinct == sequential in both directions, 0 missing / 0 spurious); the shipped single-node loop runs them as sequential bounded rounds with an incremental anti-join so peak disk stays one slice's exchange + the answer exactly once"},"""
     // growth factors between the first scale and the LAST scale each op
     // actually ran at (capped gate anchors stop early) — recorded as
     // {"ratio": t_last/t_first, "at": data_ratio_for_that_op}
