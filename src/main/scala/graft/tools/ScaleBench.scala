@@ -494,7 +494,7 @@ object ScaleBench {
       """"raw_candidate_occurrences":20500000000,"verified_emissions_per_sec":4000000,""" +
       """"single_node_estimate_sec":7200},"""
     out ++= s""""q22_auto_account":{$q22x100Json""" +
-      """"answer_pairs_measured":{"x1":45861,"x10":4588720,"x30":41235016},""" +
+      """"answer_pairs_measured":{"x1":45861,"x10":4588720,"x30":41235016,"x100":458673104},""" +
       """"answer_growth":"quadratic in corpus (generator's fuzzy answer mass)",""" +
       projection +
       """"slices_are_independent_jobs":"certified TWICE: in-JVM (OperatorsSpec 'band slices are independent jobs') and across two SEPARATE concurrent JVMs (SLICE_JOBS.json — distinct pids, no shared SparkSession, union-distinct == sequential in both directions, 0 missing / 0 spurious); the shipped single-node loop runs them as sequential bounded rounds with an incremental anti-join so peak disk stays one slice's exchange + the answer exactly once"},"""
@@ -531,9 +531,10 @@ object ScaleBench {
       "first-collision suppression + in-slice broadcast Jaccard verify + " +
       "incremental cross-slice anti-join + synchronous shuffle reclamation " +
       "keep each slice answer-shaped, and the pair set is exact by the " +
-      "per-band union law) — the x100 account, the measured answer-mass " +
-      "growth curve, and the time-boxed x100 per-slice receipt are the " +
-      "STRUCTURED q22_auto_account object, not prose. " +
+      "per-band union law) — the x100 rung itself is the COMPLETED " +
+      "9/9-slice receipt in q22_auto_account.x100_sliced (r16: 7010.8s, " +
+      "458.7M scored pairs, zero spill, measured per-slice peaks), run " +
+      "via the resumable persistent slice dir. " +
       "q34_lsh_auto/q45_lsh_auto run the full ladder zero-spill since r11, " +
       "via three staged-verify fixes: (1) Hamming prune on a 128 B packed " +
       "sign signature INSIDE the band join (r10 fetched full vectors per " +
