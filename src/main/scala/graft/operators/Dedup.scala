@@ -159,18 +159,29 @@ object Dedup {
       .orderBy($"text_md5")
   }
 
+  /** Fan a scan out to the session's core count ONLY when the scan
+    * itself provides fewer partitions. A single small parquet file scans
+    * as ONE partition, serializing per-row kernels (shingle/minhash/
+    * gram projections) onto one core — measured 3.2 s single-threaded
+    * set build at sf0.1. But an UNCONDITIONAL `repartition()` here is a
+    * round-robin exchange of the ENTIRE text column no matter how the
+    * scan is split (r16 audit: the old comment claimed it was a no-op
+    * at scale; it is not) — at 100 TB that is the corpus through one
+    * needless full shuffle. File splits already give the parallelism on
+    * real corpora, so the exchange is paid exactly when it buys cores.
+    * Reading `.rdd.getNumPartitions` plans the frame (file listing),
+    * runs no job. */
+  private[graft] def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Hashed shingle-set frame: (doc_id, hv sorted array<long>). Reused by
-    * the exact and LSH paths. The repartition BEFORE the shingle
-    * projection matters on small inputs: a single parquet file scans as
-    * ONE partition, which would serialize the per-doc shingle + minhash
-    * compute onto one core (measured: the q22 set build ran 3.2 s
-    * single-threaded at sf0.1); at cluster scale the scan is already
-    * many-partitioned and the exchange is a no-op-sized narrow shuffle of
-    * raw text. */
+    * the exact and LSH paths. See [[fanOutSmallScan]] for why the fan-out
+    * before the shingle projection is conditional. */
   private def shingleSets(s: SparkSession, dir: String, n: Int): DataFrame = {
     import s.implicits._
-    documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"), shingleHashes($"text", n).as("hv"))
       .filter(size($"hv") > 0)
   }
@@ -1282,8 +1293,7 @@ object Dedup {
     import s.implicits._
     val toks = filter(split($"text", " "), t => length(t) > lit(0))
     val nChunks = (size($"t") / k).cast("int")
-    val occ = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val occ = fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"), toks.as("t"))
       .filter(size($"t") >= k)
       .select($"doc_id", explode(transform(sequence(lit(0), nChunks - 1),
@@ -1366,8 +1376,7 @@ object Dedup {
   def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
     val toks = filter(split($"text", " "), t => length(t) > lit(0))
-    val docs = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"), toks.as("t"))
     val grams = docs.filter(size($"t") >= k)
       .select($"doc_id", posexplode(transform(sequence(lit(0), size($"t") - k),

@@ -62,8 +62,7 @@ object DocumentPipeline {
       (TextAnalysis.qualitySignals($"text", $"toks") ++
         TextAnalysis.repetitionSignals($"toks")) :+
         TextAnalysis.langBestStruct($"toks").as("lang_best")
-    val base = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val base = graft.operators.Dedup.fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"), $"source", $"text",
         TextAnalysis.tokens($"text").as("toks"))
       .select(($"doc_id" +: $"source" +: $"text" +: $"toks" +: rowLocal): _*)

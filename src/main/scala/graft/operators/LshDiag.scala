@@ -31,7 +31,7 @@ object LshDiag {
       concat(lit("y"), $"year"), concat(lit("v"), $"volume"),
       concat(lit("i"), $"issue"), concat(lit("sp"), $"start_page"),
       concat(lit("ep"), $"end_page"))
-    val sets = m.repartition(spark.sparkContext.defaultParallelism)
+    val sets = Dedup.fanOutSmallScan(m)
       .select($"p_partkey".cast("long").as("doc_id"),
         Dedup.shingleHashes(record, 2).as("hv"))
       .filter(size($"hv") > 0)
@@ -109,7 +109,7 @@ object SetGroupDiag {
       concat(lit("y"), $"year"), concat(lit("v"), $"volume"),
       concat(lit("i"), $"issue"), concat(lit("sp"), $"start_page"),
       concat(lit("ep"), $"end_page"))
-    val sets = m.repartition(spark.sparkContext.defaultParallelism)
+    val sets = Dedup.fanOutSmallScan(m)
       .select($"p_partkey".cast("long").as("doc_id"),
         Dedup.shingleHashes(record, 2).as("hv"))
       .filter(size($"hv") > 0)

@@ -383,10 +383,11 @@ object TextQueries {
       concat(lit("y"), $"year"), concat(lit("v"), $"volume"),
       concat(lit("i"), $"issue"), concat(lit("sp"), $"start_page"),
       concat(lit("ep"), $"end_page"))
-    // repartition before the shingle/minhash projection: a single-file
-    // scan is ONE partition, which would serialize the per-record set
-    // build onto one core (see Dedup.shingleSets).
-    val sets = m.repartition(s.sparkContext.defaultParallelism)
+    // conditional fan-out before the shingle/minhash projection: a
+    // single-file scan is ONE partition, which would serialize the
+    // per-record set build onto one core (see Dedup.fanOutSmallScan —
+    // no corpus-wide exchange when the scan is already split).
+    val sets = Dedup.fanOutSmallScan(m)
       .select($"p_partkey".cast("long").as("doc_id"),
         Dedup.shingleHashes(record, 2).as("hv"))
       .filter(size($"hv") > 0)

@@ -43,8 +43,8 @@ object SliceJobs {
     * projection in every process (doc_id, 5-token shingle hashes). */
   private def sets(spark: SparkSession, corpusDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$corpusDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.operators.Dedup.fanOutSmallScan(
+      spark.read.parquet(s"$corpusDir/documents.parquet"))
       .select($"doc_id".cast("long").as("doc_id"),
         graft.operators.Dedup.shingleHashes($"text", 5).as("hv"))
       .filter(size($"hv") > 0)
