@@ -92,6 +92,22 @@ class OperatorsSpec extends AnyFunSuite {
     sets.unpersist()
   }
 
+  test("fanOutSmallScan repartitions a starved scan and leaves a split one alone") {
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    // a coalesced single-partition frame must fan out to the core count
+    val one = spark.range(1000).toDF("id").coalesce(1)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(Dedup.fanOutSmallScan(one).rdd.getNumPartitions == target)
+    // an already-split frame must pass through UNCHANGED — the whole
+    // point is not paying a corpus-wide exchange when splits exist
+    val wide = spark.range(1000).toDF("id").repartition(target + 2, col("id"))
+    val out = Dedup.fanOutSmallScan(wide)
+    assert(out.rdd.getNumPartitions == target + 2)
+    assert(out.queryExecution.logical eq wide.queryExecution.logical,
+      "no new plan node may be added when the scan is already split")
+  }
+
   test("persistent slice dir: a time-boxed run resumes at the first unfinished slice") {
     import org.apache.spark.sql.functions._
     // certifies Dedup.slicePersistDir (the resumable-rung knob): phase 1
