@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench capture parses the process's FINAL stdout line as
+// JSON. Under sbt's default LoggedOutput every forked-run line arrives
+// "[info] "-prefixed and sbt appends a "[success] Total time" epilogue —
+// both defeat the parser (BENCH_r10..r16 all show parsed:null). Route the
+// forked JVM's stdout straight through and drop the epilogue so
+// `sbt "runMain graft.Bench"` ends with Bench's own compact contract line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lint
+// can't see that (verified: the [success] epilogue is gone from runMain)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
