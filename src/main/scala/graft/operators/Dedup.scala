@@ -843,6 +843,15 @@ object Dedup {
     * drop or duplicate band ranges. Production paths never set this. */
   @volatile private[graft] var slicePersistDir: String = null
 
+  /** (computed, resumed, total) slice counts of the LAST sliced run —
+    * written by [[lshCandidatePairsSliced]] when it takes the sliced
+    * branch (null when the envelope held and no slicing happened). Lets
+    * tooling (ScaleBench) decide rung completion from what the loop
+    * ACTUALLY did — a fully-resumed run has zero receipts but
+    * computed+resumed == total — instead of inferring it from the env
+    * slice budget (the r16 `>= 999` magic number, ADVICE r16). */
+  @volatile private[graft] var lastSliceRun: (Int, Int, Int) = null
+
   /** ONE band-group slice's candidate pairs, computed independently of
     * every other slice: banded signatures for bands [lo, hi) (with the
     * run-start suppression predicate evaluated against the GLOBAL band
@@ -873,6 +882,7 @@ object Dedup {
     // callers that already counted their cached sets pass it in —
     // re-counting here would be one extra cached-scan job per operator
     val nDocs = if (nDocsKnown >= 0L) nDocsKnown else sets.count()
+    lastSliceRun = null // stale state from a prior sliced run must not leak
     if (nDocs * bands <= maxBandedRows) {
       val banded = bandedSignatures(sets, bands, rows)
       // banded is localCheckpointed — the count is a cached-scan, not a
@@ -953,6 +963,7 @@ object Dedup {
         //      dedup exchange over the whole spill exists.
         val seenDir = s"$spillDir/seen"
         var nSlices = 0
+        var nResumed = 0
         def seenPaths: Seq[String] = (0 until nSlices).map(i => s"$seenDir/s$i")
         val hook = sliceReceiptHook
         sliceStarts.take(if (hook != null) sliceLimitForReceipts else Int.MaxValue)
@@ -968,6 +979,7 @@ object Dedup {
               java.nio.file.Paths.get(s"$seenDir/s$nSlices", "_SUCCESS"))
             if (resumed) {
               nSlices += 1
+              nResumed += 1
             } else {
               val t0 = System.nanoTime()
               val sliceDistinct =
@@ -989,6 +1001,7 @@ object Dedup {
               seen ++= now
             }
           }
+        lastSliceRun = (nSlices - nResumed, nResumed, sliceStarts.size)
         // the seen directory is globally distinct by construction; eager
         // checkpoint so the spill dir can be deleted before returning
         val all = spark.read.parquet(seenPaths: _*).localCheckpoint()
@@ -1366,12 +1379,13 @@ object Dedup {
     * corpus scale re-scanning the pushed-down text column is strictly
     * cheaper than pinning an O(corpus tokens) frame in executor memory
     * for the session (the cache also never had a safe unpersist point —
-    * the returned plan is lazy). The one pinned frame is the
-    * answer-shaped dup-gram SET (localCheckpoint): eager so the
-    * broadcast-vs-shuffle gate reads a real count, small by the same
-    * argument that makes the operator useful (Lee et al. corpora carry
-    * a few percent duplicated-gram mass). */
-  private val DupGramBroadcastMaxRows = 10000000L // ~10M longs ≈ low-hundreds MB built
+    * the returned plan is lazy). NOTHING is pinned (r17): the
+    * broadcast-vs-shuffle gate reads a bounded limit-probe, so the
+    * dup-gram set is never materialized to storage — it streams into
+    * whichever join arm the gate picks. */
+  // ~10M longs ≈ low-hundreds MB built. var: test seam so the past-gate
+  // shuffle-hash arm's PLAN is assertable at spec scale (Q61PlanSpec).
+  private[graft] var DupGramBroadcastMaxRows = 10000000
 
   def substringDedup(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
@@ -1385,11 +1399,23 @@ object Dedup {
     val dupGrams = grams.groupBy($"gh")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2).select($"gh")
-      .localCheckpoint() // eager: the gate below needs the real row count
+    // broadcast-vs-shuffle gate: a BOUNDED probe (limit gate+1, count),
+    // not localCheckpoint+count — the r16 shape pinned the full dup-gram
+    // set to executor storage just to read one number, an O(dup grams)
+    // storage hold at corpus scale (ADVICE/VERDICT r16). The probe's
+    // LocalLimit short-circuits partitions once gate+1 rows exist, and
+    // nothing stays resident; the agg recomputes once more inside the
+    // join below, which at scale is strictly cheaper than the pin.
+    val gateExceeded =
+      dupGrams.limit(DupGramBroadcastMaxRows + 1).count() > DupGramBroadcastMaxRows
     val dupStarts = (
-      if (dupGrams.count() <= DupGramBroadcastMaxRows)
+      if (!gateExceeded)
         grams.join(broadcast(dupGrams), Seq("gh"), "left_semi")
-      else grams.hint("shuffle_hash").join(dupGrams, Seq("gh"), "left_semi")
+      // LEFT SEMI can only build RIGHT — hint the BUILD side (the
+      // answer-shaped dup set), as in the embedding band join; a probe-
+      // side hint is silently ignored and the join would sort-merge,
+      // re-buffering the hot gram's positions in one sort (ADVICE r16)
+      else grams.join(dupGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
     ).select($"doc_id", $"p")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")

@@ -332,11 +332,15 @@ object Similarity {
       .select($"vec_id".cast("long").as("vec_id"), normalized($"embedding").as("nv"))
       .localCheckpoint()
     // -1 = scale-aware default from the materialized corpus count (the
-    // localCheckpoint above is eager, so this is a cached-block count)
-    val derived = if (nlist > 0 && nprobe > 0) (nlist, nprobe)
-      else ivfDefaults(e.count())
-    val (nl, np) = (if (nlist > 0) nlist else derived._1,
-      if (nprobe > 0) nprobe else derived._2)
+    // localCheckpoint above is eager, so this is a cached-block count).
+    // Resolve nl FIRST, then derive a defaulted np from the EFFECTIVE nl:
+    // the r16 shape paired a caller's nlist with a default nprobe computed
+    // for the sqrt(n) nlist — e.g. nlist=8, nprobe=-1 on a 2000-vector
+    // corpus yielded nprobe=16 > nlist, silently probing every cell and
+    // breaking the probe-fraction contract (ADVICE r16).
+    val nl = if (nlist > 0) nlist else ivfDefaults(e.count())._1
+    val np = if (nprobe > 0) nprobe
+      else math.min(nl, math.max(3, math.ceil(nl * IvfDefaultProbeFraction).toInt))
     val cents = trainCentroids(e, nl, iters)
     val corpus = e.withColumn("cluster", nearestCentroid($"nv", cents))
     // per-query probe list: nprobe highest-cosine centroids

@@ -94,6 +94,122 @@ class ExplainAuditSpec extends AnyFunSuite {
     assert(SparkEntry.queries.contains("q57_sqrtn_semantic_dedup"))
   }
 
+  /** [[allNodes]] plus descent into cached-relation plans AND query
+    * stages: the shingle/gram set frames are `.cache()`d, so the
+    * scan→projection pipeline (where a regressed unconditional fan-out
+    * exchange would sit) lives inside InMemoryRelation.cachedPlan — and
+    * once the cache has materialized, that plan is a FINALIZED adaptive
+    * plan whose exchanges are wrapped in leaf QueryStageExec nodes, so a
+    * children-only walk never reaches them. */
+  private def allNodesDeep(p: SparkPlan): Seq[SparkPlan] = {
+    val expanded = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val nested = expanded match {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(s.relation.cachedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case _ => Seq.empty
+    }
+    expanded +: (expanded.children ++ nested).flatMap(allNodesDeep)
+  }
+
+  private def roundRobinExchanges(p: SparkPlan): Seq[SparkPlan] =
+    allNodesDeep(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+
+  test("fan-out guard: a multi-partition scan reaches the gram kernels with no round-robin exchange") {
+    // Mechanizes the r16 latent-shuffle fix (Dedup.fanOutSmallScan): the
+    // conditional fan-out must stay a NO-OP when the file scan already
+    // offers >= defaultParallelism partitions — an unconditional
+    // repartition() here is a round-robin exchange of the entire text
+    // column at corpus scale. Build a deliberately multi-file twin of the
+    // sf0.001 tables and force per-file splits (tiny files otherwise pack
+    // into one partition via openCostInBytes), then assert every
+    // fanOutSmallScan-consuming operator plans with ZERO round-robin
+    // exchanges anywhere (their only no-column repartition IS the
+    // fan-out; all production repartitions are hash-by-key).
+    val split = java.nio.file.Files.createTempDirectory("graft-fanout-").toString
+    Seq("documents", "part").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").repartition(8)
+        .write.mode("overwrite").parquet(s"$split/$t.parquet")
+    }
+    val conf = spark.conf
+    val savedOpen = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    val savedMax = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val sites = Seq(
+        "q31 (shingleSets)" -> (() => operators.Dedup.ngramJaccardPairs(spark, split)),
+        "q32 (shingleSets)" -> (() => operators.Dedup.minhashLshPairs(spark, split)),
+        "q48 (shingleSets)" -> (() => operators.Dedup.decontaminationHits(spark, split)),
+        "q51 (chunk grams)" -> (() => operators.Dedup.crossDocDupFraction(spark, split)),
+        "q61 (positional grams)" -> (() => operators.Dedup.substringDedup(spark, split)),
+        "q22_auto (biblio shingles)" ->
+          (() => operators.TextQueries.q22LshMatchScoreAuto(spark, split)))
+      val offenders = sites.flatMap { case (name, mk) =>
+        roundRobinExchanges(mk().queryExecution.executedPlan)
+          .map(e => s"$name: ${e.nodeName}")
+      }
+      assert(offenders.isEmpty,
+        s"round-robin exchange above a multi-partition scan:\n${offenders.mkString("\n")}")
+      // positive control — over the SINGLE-file sf0.001 table the fan-out
+      // must engage (one partition would serialize the per-row kernels),
+      // so the guard above cannot pass vacuously with fanOutSmallScan
+      // deleted outright
+      conf.set("spark.sql.files.openCostInBytes", savedOpen)
+      conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+      val control = roundRobinExchanges(
+        operators.Dedup.ngramJaccardPairs(spark, dir).queryExecution.executedPlan)
+      assert(control.nonEmpty,
+        "expected the fan-out exchange on a single-file scan (positive control)")
+    } finally {
+      conf.set("spark.sql.files.openCostInBytes", savedOpen)
+      conf.set("spark.sql.files.maxPartitionBytes", savedMax)
+    }
+  }
+
+  test("q61 past-the-gate arm is a shuffled-hash semi join building the dup-gram side") {
+    // ADVICE r16: a LEFT SEMI join can only build RIGHT, so a probe-side
+    // shuffle_hash hint is silently ignored and the join sort-merges —
+    // re-buffering a hot gram's positions in one sort task, the exact
+    // skew the two-level count defused. The hint now sits on the build
+    // (dup-gram) side; assert the PLAN shape with the broadcast gate
+    // forced shut, and that both arms return identical rows.
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val saved = operators.Dedup.DupGramBroadcastMaxRows
+    val broadcastArm = operators.Dedup.substringDedup(spark, dir).collect()
+    try {
+      operators.Dedup.DupGramBroadcastMaxRows = 0
+      val df = operators.Dedup.substringDedup(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val semis = allNodesDeep(plan).collect {
+        case j: ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, "expected a shuffled-hash LEFT SEMI past the gate")
+      semis.foreach(j => assert(j.buildSide == BuildRight,
+        "the dup-gram (right) side must be the build side"))
+      val smjSemis = allNodesDeep(plan).collect {
+        case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(smjSemis.isEmpty,
+        "past-the-gate semi join regressed to sort-merge (hot-gram sort skew)")
+      assert(df.collect().toSeq == broadcastArm.toSeq,
+        "shuffle-hash arm result differs from the broadcast arm")
+    } finally {
+      operators.Dedup.DupGramBroadcastMaxRows = saved
+    }
+  }
+
   test("q53/q58 crossJoin exemption is structurally a 1-row broadcast") {
     // the exemption list above is by NAME — back it with the structural
     // fact it encodes: the NLJ's build side must be a GLOBAL aggregate
