@@ -12,8 +12,13 @@ clobber rungs it skipped. This script is that discipline as code:
   absent ones are left untouched (a partial run writes empty rungs).
 - time_ratio entries present in fresh replace committed ones.
 - q22_auto_account: replaced wholesale IF fresh ran the x100 section
-  (its x100_sliced/x100_timeboxed key present), else untouched.
+  (its x100_sliced/x100_timeboxed key present) — EXCEPT that a
+  timeboxed/partial fresh section never overwrites a committed COMPLETE
+  (timeboxed:false) receipt unless --force is passed: a later partial
+  invocation clobbering the 9/9 measured rung is the exact regression
+  the projection key caused once (ADVICE r16).
 - ivf_index: replaced if present in fresh.
+- embedding_auto_account: replaced if present in fresh.
 - The invocation note is appended to _merge_log (a list), so every
   number in the artifact can be traced to the run that produced it.
 """
@@ -22,7 +27,9 @@ import sys
 
 
 def main():
-    base_path, fresh_path, note = sys.argv[1], sys.argv[2], sys.argv[3]
+    force = "--force" in sys.argv
+    argv = [a for a in sys.argv if a != "--force"]
+    base_path, fresh_path, note = argv[1], argv[2], argv[3]
     with open(base_path) as f:
         base = json.load(f)
     with open(fresh_path) as f:
@@ -39,9 +46,22 @@ def main():
     # account — the projection key is emitted by every invocation and
     # must not match (it clobbered a completed receipt once)
     if "x100_sliced" in acct or "x100_timeboxed" in acct:
-        base["q22_auto_account"] = acct
+        base_complete = (
+            base.get("q22_auto_account", {})
+            .get("x100_sliced", {}).get("timeboxed") is False)
+        fresh_complete = acct.get("x100_sliced", {}).get("timeboxed") is False
+        if base_complete and not fresh_complete and not force:
+            print(
+                "REFUSED: base q22_auto_account holds a COMPLETE "
+                "(timeboxed:false) x100 receipt and fresh's is partial/"
+                "timeboxed — skipping the account merge (pass --force to "
+                "overwrite deliberately)", file=sys.stderr)
+        else:
+            base["q22_auto_account"] = acct
     if "ivf_index" in fresh:
         base["ivf_index"] = fresh["ivf_index"]
+    if "embedding_auto_account" in fresh:
+        base["embedding_auto_account"] = fresh["embedding_auto_account"]
     base.setdefault("_merge_log", []).append(note)
 
     with open(base_path, "w") as f:
