@@ -2,7 +2,8 @@ package graft.curation
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.rdf.{Provenance, StoreViews, TriplesEmitter, Vocab}
+import graft.rdf.{Provenance, Serialization, SparqlHttp, SparqlUpdate,
+  StoreViews, TriplesEmitter, Vocab}
 
 /** `run/meta_process.py` — the reference's primary entry point: process a
   * sorted queue of input CSVs against an EVOLVING store, with a done-cache
@@ -32,6 +33,82 @@ object MetaProcess {
       done: Set[String])
 
   val Empty: PipelineState = PipelineState(None, None, Map.empty, Set.empty)
+
+  /** Per-batch output sinks — the reference's `store_data_and_prov`
+    * lifecycle (`meta_process.py:399-461`: per batch, store the data and
+    * prov graphs as JSON-LD files, generate SPARQL update files, and
+    * upload them, deletes before inserts). Every piece existed standalone
+    * ([[Serialization.writeJsonLd]] S9, [[SparqlUpdate]]/[[SparqlHttp]]
+    * S5); this composes them into the per-file loop so one MetaProcessJob
+    * invocation runs the reference's whole cycle. All sinks are batch-
+    * scoped: the JSON-LD is the batch's touched graphs (data) and its
+    * new/changed snapshots (prov), the updates are the batch's exact
+    * triple delta — never a re-emission of the whole store.
+    *
+    * @param rdfDir      JSON-LD out: `<dir>/<file-stem>/{data,prov}/...`
+    * @param updatesDir  SPARQL update files: `<dir>/<file-stem>/{data,prov}/kind=...`
+    * @param endpoint    HTTP SPARQL UPDATE endpoint for the data delta
+    * @param provEndpoint endpoint for the prov delta (the reference keeps
+    *   a separate provenance triplestore URL)
+    * @param graph       named graph for the update batches */
+  final case class Sinks(
+      rdfDir: Option[String] = None,
+      updatesDir: Option[String] = None,
+      endpoint: Option[String] = None,
+      provEndpoint: Option[String] = None,
+      graph: String = Vocab.BaseIri + "/",
+      batchTriples: Int = 100) {
+    def enabled: Boolean =
+      rdfDir.nonEmpty || updatesDir.nonEmpty ||
+        endpoint.nonEmpty || provEndpoint.nonEmpty
+  }
+
+  private def fileStem(f: String): String = {
+    val base = f.substring(f.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  /** Fail the run when any update batch permanently failed — the
+    * reference raises on a non-zero uploader exit code. The push itself
+    * already retried transients ([[SparqlHttp.postOne]]). */
+  private def pushOrThrow(updates: DataFrame, endpoint: String,
+      what: String): Unit = {
+    val failed = SparqlHttp.push(updates, endpoint).filter(r => !r.ok).collect()
+    if (failed.nonEmpty)
+      throw new RuntimeException(
+        s"$what upload failed for ${failed.length} update batch(es) at " +
+          s"$endpoint: " + failed.take(3)
+            .map(r => s"${r.kind}@${r.code} ${r.error}").mkString("; "))
+  }
+
+  private def emitSinks(sinks: Sinks, name: String, dataGraphs: DataFrame,
+      adds: DataFrame, dels: DataFrame, provDelta: DataFrame): Unit = {
+    // eager: three consumers (JSON-LD, update files, push) must not each
+    // recompute the batch-scoped delta plans
+    val provT = Provenance.provTriples(provDelta).localCheckpoint()
+    sinks.rdfDir.foreach { d =>
+      Serialization.writeJsonLd(dataGraphs, s"$d/$name/data")
+      Serialization.writeJsonLd(provT, s"$d/$name/prov")
+    }
+    if (sinks.updatesDir.nonEmpty || sinks.endpoint.nonEmpty ||
+        sinks.provEndpoint.nonEmpty) {
+      val dataUpdates = SparqlUpdate
+        .updateStrings(adds, dels, sinks.graph, sinks.batchTriples)
+        .localCheckpoint()
+      // prov is SCD2 add-only: closing a snapshot ADDS its
+      // invalidatedAtTime triple, so the prov delta is pure INSERT
+      val provUpdates = SparqlUpdate
+        .updateStrings(provT, provT.limit(0), sinks.graph, sinks.batchTriples)
+        .localCheckpoint()
+      sinks.updatesDir.foreach { d =>
+        SparqlUpdate.writeStrings(dataUpdates, s"$d/$name/data")
+        SparqlUpdate.writeStrings(provUpdates, s"$d/$name/prov")
+      }
+      sinks.endpoint.foreach(pushOrThrow(dataUpdates, _, s"[$name] data"))
+      sinks.provEndpoint.foreach(pushOrThrow(provUpdates, _, s"[$name] provenance"))
+    }
+  }
 
   private def snapUri(entity: org.apache.spark.sql.Column,
       n: org.apache.spark.sql.Column) =
@@ -94,17 +171,21 @@ object MetaProcess {
     * from the last completed file, not from the start of the run. */
   def run(spark: SparkSession, files: Seq[String], generatedAt: String,
       state: PipelineState = Empty, prefix: String = "060",
-      persistTo: Option[String] = None): PipelineState = {
+      persistTo: Option[String] = None,
+      sinks: Option[Sinks] = None): PipelineState = {
     import spark.implicits._
+    val sink = sinks.filter(_.enabled)
     var st = state
     for (f <- files.sorted if !st.done.contains(f)) {
       val input = Curator.readInput(spark, f)
       st = (st.triples, st.prov) match {
         case (None, _) =>
           val b = Curator.curateFresh(input, prefix).checkpointed
-          PipelineState(
-            Some(TriplesEmitter.emit(b).localCheckpoint()),
-            Some(Provenance.freshSnapshots(b, generatedAt).localCheckpoint()),
+          val t = TriplesEmitter.emit(b).localCheckpoint()
+          val p = Provenance.freshSnapshots(b, generatedAt).localCheckpoint()
+          // fresh world: the whole batch is the delta (insert-only)
+          sink.foreach(emitSinks(_, fileStem(f), t, t, t.limit(0), p))
+          PipelineState(Some(t), Some(p),
             countersOf(b, prefix, st.counters),
             st.done + f)
         case (Some(oldTriples), Some(oldProv)) =>
@@ -148,6 +229,17 @@ object MetaProcess {
               agent.as("attributed_to"))
           val newProv = Provenance.upsert(oldProv,
             modified.unionByName(created), generatedAt).localCheckpoint()
+          sink.foreach { k =>
+            // batch-scoped deltas only — the store is never re-emitted:
+            // data = exact triple diff within the touched subjects' graphs,
+            // prov = the changed entities' new/reclosed snapshot rows
+            val provDelta = newProv
+              .join(changedEnts, Seq("entity"), "left_semi")
+              .exceptAll(oldProv.join(changedEnts, Seq("entity"), "left_semi"))
+            emitSinks(k, fileStem(f), delta,
+              delta.exceptAll(oldTouched), oldTouched.exceptAll(delta),
+              provDelta)
+          }
           PipelineState(Some(newTriples), Some(newProv),
             countersOf(b, prefix, st.counters), st.done + f)
         case _ =>
@@ -162,17 +254,30 @@ object MetaProcess {
 /** CLI wrapper with cross-process resume:
   *
   *   runMain graft.curation.MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt]
+  *       [--rdf-out=DIR] [--updates-out=DIR]
+  *       [--endpoint=URL] [--prov-endpoint=URL]
   *
   * Loads any state in `workDir`, processes the pending `*.csv` files of
-  * `inputDir` in sorted order, and persists the advanced state back. */
+  * `inputDir` in sorted order, and persists the advanced state back. The
+  * optional flags enable the reference's per-batch store_data_and_prov
+  * sinks (JSON-LD out, SPARQL update emission, HTTP push) — see
+  * [[MetaProcess.Sinks]]. */
 object MetaProcessJob {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt]")
-    val (inputDir, workDir) = (args(0), args(1))
-    val prefix = if (args.length > 2) args(2) else "060"
-    val generatedAt = if (args.length > 3) args(3)
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    def flag(name: String): Option[String] = flags.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.substring(name.length + 3)
+    }
+    require(pos.length >= 2,
+      "usage: MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt] " +
+        "[--rdf-out=DIR] [--updates-out=DIR] [--endpoint=URL] [--prov-endpoint=URL]")
+    val (inputDir, workDir) = (pos(0), pos(1))
+    val prefix = if (pos.length > 2) pos(2) else "060"
+    val generatedAt = if (pos.length > 3) pos(3)
       else java.time.format.DateTimeFormatter.ISO_INSTANT
         .format(java.time.Instant.now().truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
+    val sinks = MetaProcess.Sinks(flag("rdf-out"), flag("updates-out"),
+      flag("endpoint"), flag("prov-endpoint"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,7 +296,8 @@ object MetaProcessJob {
     // the last completed file; a no-op run writes nothing, so the loaded
     // frames never race their own backing files
     val st = MetaProcess.run(spark, files, generatedAt, st0, prefix,
-      persistTo = Some(workDir))
+      persistTo = Some(workDir),
+      sinks = if (sinks.enabled) Some(sinks) else None)
     val nTriples = st.triples.map(_.count()).getOrElse(0L)
     val nProv = st.prov.map(_.count()).getOrElse(0L)
     println(s"[meta_process] ${st.done.size - st0.done.size} file(s) processed, " +

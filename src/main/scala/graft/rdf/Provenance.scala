@@ -77,6 +77,38 @@ object Provenance {
       n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit(Vocab.BaseIri + "/"), entity, lit("/prov/se/"), n)
 
+  /** Render snapshot rows as PROV-O triples — the shape of the
+    * reference's prov JSON-LD documents (prov/se.json fixtures:
+    * prov:Entity type, specializationOf, generatedAtTime/
+    * invalidatedAtTime as xsd:dateTime, wasDerivedFrom per derivation,
+    * dcterms:description, wasAttributedTo). Feeds the same serializers
+    * as data triples ([[Serialization.writeJsonLd]], [[SparqlUpdate]]),
+    * so the prov side of the reference's store_data_and_prov lifecycle
+    * is one rendering away from the SCD2 table. One narrow projection
+    * per predicate, unioned — no shuffle at all (the consumer groups by
+    * subject where it needs to). */
+  def provTriples(prov: DataFrame): DataFrame = {
+    import prov.sparkSession.implicits._
+    val s = snapUri($"entity", $"snapshot_n")
+    val iri = lit(null).cast("string")
+    def row(p: String, o: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.Column) =
+      prov.select(s.as("s"), lit(p).as("p"), o.as("o"), dt.as("o_datatype"))
+    row(Vocab.RdfType, lit(Vocab.ProvEntity), iri)
+      .unionByName(row(Vocab.SpecializationOf,
+        concat(lit(Vocab.BaseIri + "/"), $"entity"), iri))
+      .unionByName(row(Vocab.GeneratedAtTime, $"generated_at",
+        lit(Vocab.XsdDateTime)))
+      .unionByName(prov.filter($"invalidated_at".isNotNull)
+        .select(s.as("s"), lit(Vocab.InvalidatedAtTime).as("p"),
+          $"invalidated_at".as("o"), lit(Vocab.XsdDateTime).as("o_datatype")))
+      .unionByName(prov
+        .select(s.as("s"), lit(Vocab.WasDerivedFrom).as("p"),
+          explode($"derived_from").as("o"), iri.as("o_datatype")))
+      .unionByName(row(Vocab.Description, $"description", lit(Vocab.XsdString)))
+      .unionByName(row(Vocab.WasAttributedTo, $"attributed_to", iri))
+  }
+
   /** Batch merge provenance (`run/merge/entities.py` + the oc_ocdm merge
     * snapshots its `check_merged_*_results.py` checkers expect):
     *  - the surviving entity gets a new open snapshot derived from its own

@@ -43,7 +43,7 @@ object SparqlHttp {
   case class PushResult(kind: String, updateHash: Long, attempts: Int,
       code: Int, ok: Boolean, error: String)
 
-  private[rdf] def contentHash(s: String): Long = {
+  private[graft] def contentHash(s: String): Long = {
     // FNV-1a 64 over chars — stable across JVMs (String.hashCode is 32
     // bit; MurmurHash3 seeds differ across Scala versions)
     var h = 0xcbf29ce484222325L

@@ -50,7 +50,12 @@ object SparqlUpdate {
     * apply all deletes first, like the reference's two-phase upload. */
   def writeUpdates(adds: DataFrame, dels: DataFrame, graph: String,
       outDir: String, batchTriples: Int = 100): Unit =
-    updateStrings(adds, dels, graph, batchTriples)
+    writeStrings(updateStrings(adds, dels, graph, batchTriples), outDir)
+
+  /** [[writeUpdates]] for an already-rendered [[updateStrings]] frame —
+    * callers that also push the same strings over HTTP render once. */
+  def writeStrings(updates: DataFrame, outDir: String): Unit =
+    updates
       .select($("kind"), $("update").as("value"))
       .write.mode("overwrite").partitionBy("kind").text(outDir)
 

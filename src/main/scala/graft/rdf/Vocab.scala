@@ -13,6 +13,16 @@ object Vocab {
   val IdentifierClass = Datacite + "Identifier"
   val HasLiteralValue = "http://www.essepuntato.it/2010/06/literalreification/hasLiteralValue"
   val Title = "http://purl.org/dc/terms/title"
+  val Description = "http://purl.org/dc/terms/description"
+  // PROV-O — the snapshot vocabulary the reference's prov JSON-LD uses
+  // (run/meta/check_rdf_files.py:67-68, run/find/merged_entities.py:23-24)
+  val Prov = "http://www.w3.org/ns/prov#"
+  val ProvEntity = Prov + "Entity"
+  val GeneratedAtTime = Prov + "generatedAtTime"
+  val InvalidatedAtTime = Prov + "invalidatedAtTime"
+  val SpecializationOf = Prov + "specializationOf"
+  val WasDerivedFrom = Prov + "wasDerivedFrom"
+  val WasAttributedTo = Prov + "wasAttributedTo"
   val Pro = "http://purl.org/spar/pro/"
   val IsDocumentContextFor = Pro + "isDocumentContextFor"
   val WithRole = Pro + "withRole"
@@ -41,6 +51,7 @@ object Vocab {
     * the tag survives the 4/5-column triples frame (rdflib parity: the
     * reference round-trips `"x"@en` as rdf:langString, not xsd:string). */
   val LangStringPrefix = RdfLangString + "@"
+  val XsdDateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
   val XsdGYear = "http://www.w3.org/2001/XMLSchema#gYear"
   val XsdGYearMonth = "http://www.w3.org/2001/XMLSchema#gYearMonth"
   val XsdDate = "http://www.w3.org/2001/XMLSchema#date"

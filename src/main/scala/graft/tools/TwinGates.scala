@@ -186,7 +186,10 @@ object TwinGates {
         "drops sound (real >=thr smaller-id mate) AND precision-vs-anchor >= 0.7 " +
           "AND drop count >= 0.3x anchor", precision,
         twin.size == vecs.length && dropped.nonEmpty && sound &&
-          precision >= 0.7 && dropped.size >= (0.3 * anchorDropped.size).toInt)
+          precision >= 0.7 && dropped.size >= (0.3 * anchorDropped.size).toInt,
+        // the precision ratio's denominator (twin drop count) — same
+        // thin-denominator hygiene as the recall gates (VERDICT r16 #7)
+        denom = dropped.size)
     }
 
     // q59_p32: the registered p32 point must match the packing model
