@@ -70,8 +70,12 @@ object SparqlPushBench {
       val code =
         if (failEvery > 0 && firstSight &&
             math.floorMod(h, failEvery.toLong) == 0L) {
-          // alternate the two transient families the retry policy covers
-          if (math.floorMod(h, 2L * failEvery) == 0L) {
+          // alternate the two transient families the retry policy covers.
+          // NOT the parity bit: FNV-1a parity is the xor of the body's
+          // char low bits, and bodies whose variable digits appear an
+          // even number of times (subject echoed in the object) all hash
+          // to one parity — bit 7 carries real mixing.
+          if (((h >>> 7) & 1L) == 0L) {
             injected429.incrementAndGet(); 429
           } else { injected503.incrementAndGet(); 503 }
         } else 200
@@ -79,11 +83,14 @@ object SparqlPushBench {
       ex.sendResponseHeaders(code, -1)
       ex.close()
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+    private val exec = java.util.concurrent.Executors.newFixedThreadPool(32)
+    server.setExecutor(exec)
     server.start()
     def endpoint: String =
       s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
-    def stop(): Unit = server.stop(0)
+    // shut the pool down too — HttpServer.stop leaves a custom executor's
+    // non-daemon threads alive, pinning the JVM open at exit
+    def stop(): Unit = { server.stop(0); exec.shutdown() }
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,6 +181,8 @@ object SparqlPushBench {
     } catch { case e: Throwable =>
       System.err.println(s"[push-bench] artifact write FAILED: $e") }
     spark.stop()
-    if (!ok) sys.exit(1)
+    // explicit: executor-side java.net.http clients keep non-daemon
+    // selector threads alive until GC — don't let them pin the process
+    sys.exit(if (ok) 0 else 1)
   }
 }
