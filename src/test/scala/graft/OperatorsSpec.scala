@@ -889,13 +889,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dropped > 0 && dropped == clusters.count { case (id, c) => id != c })
   }
 
-  test("q57 sqrt(n) twin: sound drops and agreement with the fixed-nlist anchor") {
+  test("q57 sqrt(n) twin: sound drops and justified-mass parity with the fixed-nlist anchor") {
     // sf0.01 (500 vecs) so the twin's nlist = ceil(sqrt(500)) = 23 really
     // differs from the anchor's fixed 8 — at sf0.001 both resolve to 8
     // and the comparison would be vacuous. threshold=0.4: the synthetic
     // embeddings carry no >=0.7 pairs (the registered 0.7 runs are
     // all-kept), and 0.4 yields 59 true pairs / 53 droppable vectors —
     // enough signal to exercise drops on both paths.
+    //
+    // LAW (reformulated r17): soundness vs the EXHAUSTIVE global mate set
+    // is the ground truth — every drop must have a real >=thr smaller-id
+    // mate. Mutual agreement with the anchor is NOT a law: both paths
+    // prune within quantizer cells only (SemDeDup semantics), so two
+    // SOUND prunings of a diffuse near-threshold graph legitimately
+    // disagree on WHICH justified vectors they catch (measured at sf0.1:
+    // twin 143 / anchor 235 drops, all 378 sound, overlap only 67). What
+    // must hold is mass parity: the finer sqrt-n cells may not collapse
+    // the caught share of justified drops.
     val dir01 = "/root/testdata/sf0.01"
     val thr = 0.4
     val twin = Dedup.semanticDedupSqrtN(spark, dir01, threshold = thr).collect()
@@ -921,18 +931,16 @@ class OperatorsSpec extends AnyFunSuite {
         j < id && math.round(cos(u, v) * 1e6) >= math.round(thr * 1e6) },
         s"twin dropped $id without any >=$thr smaller-id mate")
     }
-    // agreement: the twin's finer cells see fewer mates (recall-for-scale
-    // trade), but its DECISIONS must mostly coincide with the anchor's
-    // (measured: anchor 19, twin 10, overlap 8 at these parameters)
+    // mass parity: the twin's finer cells see fewer mates (the
+    // recall-for-scale trade), but the caught share must stay within a
+    // constant factor of the anchor's (measured: anchor 19, twin 10 at
+    // sf0.01; anchor 235, twin 143 at sf0.1 — ratios 0.53 / 0.61)
     val anchorDropped = Dedup.semanticDedup(spark, dir01, threshold = thr).collect()
       .filter(_.getLong(2) == 0L).map(_.getLong(0)).toSet
-    val precisionVsAnchor = (dropped & anchorDropped).size.toDouble / dropped.size
     info(s"twin dropped ${dropped.size}, anchor dropped ${anchorDropped.size}, " +
       s"overlap ${(dropped & anchorDropped).size}")
-    assert(precisionVsAnchor >= 0.7,
-      s"twin drops disagree with the anchor: precision $precisionVsAnchor")
-    assert(dropped.size >= (0.3 * anchorDropped.size).toInt,
-      s"twin recall collapsed: ${dropped.size} vs anchor ${anchorDropped.size}")
+    assert(dropped.size >= (0.45 * anchorDropped.size).toInt,
+      s"twin justified-drop mass collapsed: ${dropped.size} vs anchor ${anchorDropped.size}")
   }
 
   test("q59 packing semantics hold at shards in {8, 32, 64} (parallelism contract)") {
