@@ -82,4 +82,40 @@ class ProvenanceSpec extends AnyFunSuite {
     val pairs = after.filter(org.apache.spark.sql.functions.size($"derived_from") >= 2)
     assert(pairs.count() == 1)
   }
+
+  test("provTriples renders the reference's prov JSON-LD shape (PROV-O, exact per row)") {
+    import spark.implicits._
+    import graft.rdf.Vocab
+    // one closed snapshot with two derivations, one open underived one —
+    // every branch of the renderer in two rows
+    val prov = Seq(
+      ("br/0601", 1L, "2026-08-12T00:00:00Z", "2026-08-14T00:00:00Z",
+        Seq(s"${Vocab.BaseIri}/br/0601/prov/se/0", s"${Vocab.BaseIri}/br/0602/prov/se/3"),
+        "Entity merged with br/0602", "https://w3id.org/oc/meta/prov/pa/1"),
+      ("ra/0607", 1L, "2026-08-12T00:00:00Z", null,
+        Seq.empty[String], "Entity created", "https://w3id.org/oc/meta/prov/pa/1"))
+      .toDF("entity", "snapshot_n", "generated_at", "invalidated_at",
+        "derived_from", "description", "attributed_to")
+    val t = Provenance.provTriples(prov).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val s1 = s"${Vocab.BaseIri}/br/0601/prov/se/1"
+    val s2 = s"${Vocab.BaseIri}/ra/0607/prov/se/1"
+    val expected = Set(
+      // closed merge snapshot: full predicate set incl. invalidation + 2 derivations
+      (s1, Vocab.RdfType, Vocab.ProvEntity, null),
+      (s1, Vocab.SpecializationOf, s"${Vocab.BaseIri}/br/0601", null),
+      (s1, Vocab.GeneratedAtTime, "2026-08-12T00:00:00Z", Vocab.XsdDateTime),
+      (s1, Vocab.InvalidatedAtTime, "2026-08-14T00:00:00Z", Vocab.XsdDateTime),
+      (s1, Vocab.WasDerivedFrom, s"${Vocab.BaseIri}/br/0601/prov/se/0", null),
+      (s1, Vocab.WasDerivedFrom, s"${Vocab.BaseIri}/br/0602/prov/se/3", null),
+      (s1, Vocab.Description, "Entity merged with br/0602", Vocab.XsdString),
+      (s1, Vocab.WasAttributedTo, "https://w3id.org/oc/meta/prov/pa/1", null),
+      // open creation snapshot: no invalidatedAtTime, no wasDerivedFrom
+      (s2, Vocab.RdfType, Vocab.ProvEntity, null),
+      (s2, Vocab.SpecializationOf, s"${Vocab.BaseIri}/ra/0607", null),
+      (s2, Vocab.GeneratedAtTime, "2026-08-12T00:00:00Z", Vocab.XsdDateTime),
+      (s2, Vocab.Description, "Entity created", Vocab.XsdString),
+      (s2, Vocab.WasAttributedTo, "https://w3id.org/oc/meta/prov/pa/1", null))
+    assert(t.toSet == expected, "prov triple set must be exact — no extras, no misses")
+  }
 }
