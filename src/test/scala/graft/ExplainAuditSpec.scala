@@ -59,11 +59,14 @@ class ExplainAuditSpec extends AnyFunSuite {
   test("no cartesian/BNLJ outside the documented all-pairs anchors") {
     // static plans: AQE re-plans at runtime but the initial physical plan
     // is what this audit grades (and AQE never introduces a BNLJ that the
-    // static plan didn't already imply)
+    // static plan didn't already imply). DEEP walk (r17): cached
+    // relations and materialized query stages are descended into — a
+    // quadratic join hiding inside a .cache()'d sub-frame is the same
+    // scale incident as a surface one.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !quadraticAnchors(name) && !boundedBroadcastNlj(name) =>
         val plan = fn(spark, dir).queryExecution.executedPlan
-        val bad = allNodes(plan).collect {
+        val bad = allNodesDeep(plan).collect {
           case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
           case j if j.nodeName.contains("CartesianProduct") => "CartesianProduct"
         }
@@ -78,7 +81,7 @@ class ExplainAuditSpec extends AnyFunSuite {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan
-        allNodes(plan).collect {
+        allNodesDeep(plan).collect {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             s"$name: unpartitioned Window(${w.windowExpression.mkString(",").take(80)})"
         }
