@@ -660,6 +660,44 @@ object StoreCurator {
       .withColumn("type_label", when(nonBlank($"st_type"), $"st_type").otherwise($"type_label"))
       .drop("st_title", "st_date", "st_type")
 
+    // The re-emitted graph of an ADOPTED entity must be its full entity
+    // state, not just what this batch's rows restate — the reference
+    // loads the existing entity (finder prefetch) and updates it, so a
+    // field the row omits is KEPT, never retracted. Found r17 by the
+    // MetaProcess sinks receipt: an enrichment row with an empty venue
+    // cell produced a store update that DELETED the br's partOf edge,
+    // and an adopted agent lost its identifier edge — the equalizer had
+    // fixed the display CELLS but the emission frames still carried only
+    // the batch-side structures. Two completions, mirroring enrich():
+    //  - store id edges of adopted BRs and RAs re-enter entityIds (the
+    //    row id cell already unioned them; the edges must too). Equalizer
+    //    venues are deliberately NOT included — they are not re-emitted
+    //    as full subjects, so their store graphs must stay untouched.
+    //  - store partOf edges of adopted BRs win over any batch-side parent
+    //    edge (equalizer precedence: the store chain stands whether the
+    //    row omitted or disagreed on the venue); fresh edges survive only
+    //    for children with no store parent (a genuine venue ADDITION).
+    val entityIds2 = {
+      val adoptedIdOwners = adoptedStoreBrs.select($"br_meta".as("owner_meta"))
+        .unionByName(storeRaOwners).distinct()
+      val storeIdRows = store.entityIds
+        .join(adoptedIdOwners, Seq("owner_meta"), "left_semi")
+        .select($"owner_meta", $"id_meta",
+          substring_index($"literal", ":", 1).as("scheme"),
+          expr("substring(literal, instr(literal, ':') + 1)").as("value"))
+      remapCols(fresh.entityIds, Seq("owner_meta", "id_meta"))
+        .unionByName(storeIdRows).distinct()
+    }
+    val partOf2 = {
+      val storeParents = store.partOf
+        .join(adoptedStoreBrs.select($"br_meta".as("child_meta")),
+          Seq("child_meta"), "left_semi")
+      remapCols(fresh.partOf, Seq("child_meta", "parent_meta"))
+        .join(storeParents.select($"child_meta"), Seq("child_meta"), "left_anti")
+        .unionByName(storeParents)
+        .distinct()
+    }
+
     val batch2 = Curator.CuratedBatch(
       rows = rows2,
       indexIdBr = indexIdBr2,
@@ -668,11 +706,11 @@ object StoreCurator {
       reIndex = reIndex2,
       vviIndex = vviIndex2,
       entities = entities2,
-      entityIds = remapCols(fresh.entityIds, Seq("owner_meta", "id_meta")),
+      entityIds = entityIds2,
       roles = finalRoles,
       raNames = raDisplay.select($"ra_meta", $"name"),
       pages = pages2,
-      partOf = remapCols(fresh.partOf, Seq("child_meta", "parent_meta")),
+      partOf = partOf2,
       explicitRefs = remapCol(fresh.explicitRefs, "owner_meta"),
       rowProp = remapCol(fresh.rowProp, "br_meta"))
 

@@ -119,6 +119,38 @@ class MetaProcessSpec extends AnyFunSuite {
     assert(tset(MetaProcess.loadState(spark, pfDir).triples.get) == tset(triples))
   }
 
+  test("meta_process: enrichment is purely additive — omitted fields never erode the store (r17)") {
+    import spark.implicits._
+    // The reference loads the EXISTING entity and updates it (finder
+    // prefetch + creator), so a row that omits a field keeps the store's
+    // triples. Found r17 by the sinks receipt: f2's enrichment row has an
+    // EMPTY venue cell, and the pre-fix overlay retracted br/0601's
+    // partOf edge and an adopted agent's hasIdentifier edge (the
+    // emission frames carried only batch-side structures even though the
+    // equalizer had fixed the display cells). The law for an additive
+    // enrichment batch: the new store is a SUPERSET of the old one.
+    def tset(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val s1 = MetaProcess.run(spark, Seq(f1), T0)
+    val s2 = MetaProcess.run(spark, Seq(f1, f2), T0, state = s1)
+    val before = tset(s1.triples.get)
+    val after = tset(s2.triples.get)
+    val eroded = before -- after
+    assert(eroded.isEmpty,
+      s"enrichment retracted ${eroded.size} store triple(s), e.g. ${eroded.take(3)}")
+    // and the enrichment actually happened (superset is strict)
+    assert((after -- before).nonEmpty)
+    // the specific pre-fix victims, pinned: the venue edge and every
+    // agent identifier edge of batch 1 survive batch 2
+    val partOfBefore = before.filter(t => t._1.contains("/br/0601") &&
+      t._2 == graft.rdf.Vocab.PartOf)
+    assert(partOfBefore.nonEmpty && partOfBefore.subsetOf(after))
+    val raIdsBefore = before.filter(t => t._1.contains("/ra/") &&
+      t._2 == graft.rdf.Vocab.HasIdentifier)
+    assert(raIdsBefore.nonEmpty && raIdsBefore.subsetOf(after))
+  }
+
   test("meta_process: crash BETWEEN triples write and done write reprocesses idempotently") {
     import spark.implicits._
     // saveState writes triples -> prov -> done -> counters non-atomically
