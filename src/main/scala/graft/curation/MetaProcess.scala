@@ -69,6 +69,25 @@ object MetaProcess {
     if (dot > 0) base.substring(0, dot) else base
   }
 
+  /** Sink directory names per input file. Plain stems except when two
+    * queue files share a basename stem (possible via the run() API with
+    * files from different directories — ADVICE r17: same-stem batches
+    * overwrote each other's JSON-LD/update artifacts): colliding stems
+    * get a short full-path hash suffix, deterministic across resumes so
+    * a re-pushed batch still overwrites ITS OWN directory. */
+  private def sinkNames(files: Seq[String]): Map[String, String] = {
+    val byStem = files.groupBy(fileStem)
+    def pathHash(f: String): String = {
+      val c = new java.util.zip.CRC32
+      c.update(f.getBytes("UTF-8"))
+      f"${c.getValue}%08x"
+    }
+    files.map { f =>
+      val stem = fileStem(f)
+      f -> (if (byStem(stem).size == 1) stem else s"$stem-${pathHash(f)}")
+    }.toMap
+  }
+
   /** Fail the run when any update batch permanently failed — the
     * reference raises on a non-zero uploader exit code. The push itself
     * already retried transients ([[SparqlHttp.postOne]]). */
@@ -84,28 +103,35 @@ object MetaProcess {
 
   private def emitSinks(sinks: Sinks, name: String, dataGraphs: DataFrame,
       adds: DataFrame, dels: DataFrame, provDelta: DataFrame): Unit = {
-    // eager: three consumers (JSON-LD, update files, push) must not each
-    // recompute the batch-scoped delta plans
-    val provT = Provenance.provTriples(provDelta).localCheckpoint()
+    // Each rendering materializes (localCheckpoint: multiple consumers
+    // must not recompute the batch-scoped delta plans) — but ONLY when a
+    // configured sink actually consumes it (ADVICE r17: an endpoint-only
+    // config used to render and checkpoint the full prov update strings
+    // it never wrote or pushed, and vice versa).
+    val needProvT = sinks.rdfDir.nonEmpty || sinks.updatesDir.nonEmpty ||
+      sinks.provEndpoint.nonEmpty
+    val provT = if (needProvT)
+      Provenance.provTriples(provDelta).localCheckpoint() else null
     sinks.rdfDir.foreach { d =>
       Serialization.writeJsonLd(dataGraphs, s"$d/$name/data")
       Serialization.writeJsonLd(provT, s"$d/$name/prov")
     }
-    if (sinks.updatesDir.nonEmpty || sinks.endpoint.nonEmpty ||
-        sinks.provEndpoint.nonEmpty) {
+    if (sinks.updatesDir.nonEmpty || sinks.endpoint.nonEmpty) {
       val dataUpdates = SparqlUpdate
         .updateStrings(adds, dels, sinks.graph, sinks.batchTriples)
         .localCheckpoint()
+      sinks.updatesDir.foreach(d =>
+        SparqlUpdate.writeStrings(dataUpdates, s"$d/$name/data"))
+      sinks.endpoint.foreach(pushOrThrow(dataUpdates, _, s"[$name] data"))
+    }
+    if (sinks.updatesDir.nonEmpty || sinks.provEndpoint.nonEmpty) {
       // prov is SCD2 add-only: closing a snapshot ADDS its
       // invalidatedAtTime triple, so the prov delta is pure INSERT
       val provUpdates = SparqlUpdate
         .updateStrings(provT, provT.limit(0), sinks.graph, sinks.batchTriples)
         .localCheckpoint()
-      sinks.updatesDir.foreach { d =>
-        SparqlUpdate.writeStrings(dataUpdates, s"$d/$name/data")
-        SparqlUpdate.writeStrings(provUpdates, s"$d/$name/prov")
-      }
-      sinks.endpoint.foreach(pushOrThrow(dataUpdates, _, s"[$name] data"))
+      sinks.updatesDir.foreach(d =>
+        SparqlUpdate.writeStrings(provUpdates, s"$d/$name/prov"))
       sinks.provEndpoint.foreach(pushOrThrow(provUpdates, _, s"[$name] provenance"))
     }
   }
@@ -175,6 +201,7 @@ object MetaProcess {
       sinks: Option[Sinks] = None): PipelineState = {
     import spark.implicits._
     val sink = sinks.filter(_.enabled)
+    val sinkName = sinkNames(files)
     var st = state
     for (f <- files.sorted if !st.done.contains(f)) {
       val input = Curator.readInput(spark, f)
@@ -184,7 +211,7 @@ object MetaProcess {
           val t = TriplesEmitter.emit(b).localCheckpoint()
           val p = Provenance.freshSnapshots(b, generatedAt).localCheckpoint()
           // fresh world: the whole batch is the delta (insert-only)
-          sink.foreach(emitSinks(_, fileStem(f), t, t, t.limit(0), p))
+          sink.foreach(emitSinks(_, sinkName(f), t, t, t.limit(0), p))
           PipelineState(Some(t), Some(p),
             countersOf(b, prefix, st.counters),
             st.done + f)
@@ -236,7 +263,7 @@ object MetaProcess {
             val provDelta = newProv
               .join(changedEnts, Seq("entity"), "left_semi")
               .exceptAll(oldProv.join(changedEnts, Seq("entity"), "left_semi"))
-            emitSinks(k, fileStem(f), delta,
+            emitSinks(k, sinkName(f), delta,
               delta.exceptAll(oldTouched), oldTouched.exceptAll(delta),
               provDelta)
           }
@@ -268,6 +295,14 @@ object MetaProcessJob {
     def flag(name: String): Option[String] = flags.collectFirst {
       case a if a.startsWith(s"--$name=") => a.substring(name.length + 3)
     }
+    // fail on unknown flags (ADVICE r17): a typo like --end-point=URL
+    // used to silently disable the push while the run reported success
+    val knownFlags = Seq("rdf-out", "updates-out", "endpoint", "prov-endpoint")
+    val unknown = flags.filterNot(a =>
+      knownFlags.exists(k => a.startsWith(s"--$k=")))
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} — known: " +
+        knownFlags.map(k => s"--$k=...").mkString(", "))
     require(pos.length >= 2,
       "usage: MetaProcessJob <inputDir> <workDir> [prefix] [generatedAt] " +
         "[--rdf-out=DIR] [--updates-out=DIR] [--endpoint=URL] [--prov-endpoint=URL]")
