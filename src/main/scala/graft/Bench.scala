@@ -32,8 +32,27 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line; (-1,-1)
+    * where unreadable. Steal fraction over the bench window = hypervisor
+    * time stolen from this sandbox — with load_avg the two numbers that
+    * explain the ±15% round-to-round drift (VERDICT r17 #8). */
+  private def procStatSteal: (Long, Long) = try {
+    val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (cpu.length > 7) cpu(7) else 0L, cpu.sum)
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Mean "cpu MHz" across cores, or -1 — frequency scaling is the other
+    * sandbox-drift lever worth stamping. */
+  private def cpuMhz: Double = try {
+    val mhz = scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+      .filter(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble).toSeq
+    if (mhz.isEmpty) -1.0 else math.round(mhz.sum / mhz.size).toDouble
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg
+    val stealStart = procStatSteal
     val startedAt = java.time.Instant.now().toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -169,8 +188,17 @@ object Bench {
     // benched 74.1s vs 99.0s across rounds on sandbox load alone; without
     // these fields the canonical artifact can't distinguish noise from a
     // regression (load > ~1 per used core means the numbers are suspect)
+    val loadEnd = loadAvg
+    val stealEnd = procStatSteal
+    // steal over THIS bench's window as a fraction of all-cpu jiffies
+    val stealFrac =
+      if (stealStart._2 < 0 || stealEnd._2 <= stealStart._2) -1.0
+      else math.round((stealEnd._1 - stealStart._1).toDouble /
+        (stealEnd._2 - stealStart._2) * 10000) / 10000.0
+    val mhz = cpuMhz
     val env = s""""env":{"started_at":"$startedAt","load_avg_start":$loadStart,""" +
-      s""""load_avg_end":$loadAvg,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_avg_end":$loadEnd,"steal_frac":$stealFrac,"cpu_mhz":$mhz,""" +
+      s""""host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""local_threads":$cpus,"heap_max_bytes":${Runtime.getRuntime.maxMemory}}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"pipeline_sec":$pipelineSec,"failed":$failedJson,"sf":"$sfDir",""" +
@@ -178,13 +206,20 @@ object Bench {
     // COMPACT stdout line: the driver's output capture is byte-capped and
     // every BENCH_rN since r10 shows the ~10 KB full line truncated
     // mid-token inside its 2000-byte tail window (parsed:null). Per-query
-    // seconds rounded to ms, no metrics blob → ~1.9 KB, inside the window;
-    // the full-precision line persists via BENCH_FULL.json below.
+    // seconds rounded to 10 ms (full precision persists via
+    // BENCH_FULL.json below — the 2-decimal trim buys the bytes for the
+    // env stamp), no metrics blob → ~1.9 KB, inside the window. The env
+    // stamp (VERDICT r17 #8) puts load/steal/MHz NEXT TO the contract
+    // line so the driver can discount sandbox drift without a worktree
+    // A/B: r14's byte-identical jar measured 74.1 vs 99.0 s on load alone.
     def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def cs2(v: Double): Double = math.round(v * 100) / 100.0
+    val envCompact = s""""env":{"load":[${cs2(loadStart)},${cs2(loadEnd)}],""" +
+      s""""steal":$stealFrac,"mhz":${mhz.toLong}}"""
     val compact = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":""" +
-      results.map { case (k, v, _, _) => s"\"" + k + "\":" + ms3(v) }
+      results.map { case (k, v, _, _) => s"\"" + k + "\":" + cs2(v) }
         .mkString("{", ",", "}") +
-      s""","pipeline_sec":${ms3(pipelineSec)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s""","pipeline_sec":${cs2(pipelineSec)},"failed":$failedJson,"sf":"$sfDir",$envCompact}"""
     // the driver's committed BENCH artifact truncates to the output tail;
     // persist the full line so per-query numbers survive the round. The
     // destination resolves via SPARK_GRAFT_BENCH_OUT so a run launched

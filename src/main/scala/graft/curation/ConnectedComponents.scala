@@ -2,6 +2,7 @@ package graft.curation
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.curation.Ck._
 
 /** Distributed connected components over a bipartite membership relation
   * (entity, key): two entities are connected when they share a key. This is
@@ -86,13 +87,13 @@ object ConnectedComponents {
     import spark.implicits._
     val m = membership.select($"entity".cast("long").as("entity"), $"key")
       .distinct()
-      .localCheckpoint()
+      .localCheckpointClamped()
     if (m.count() <= localMaxRows)
       return localUnionFind(spark, m.collect())
 
     var labels = m.select($"entity").distinct()
       .withColumn("label", $"entity")
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // labels only ever decrease, so an unchanged sum(label) means a fixed
     // point — one cheap aggregate per round instead of a join-based diff.
@@ -112,7 +113,7 @@ object ConnectedComponents {
       val next = labels.join(proposed, Seq("entity"), "left")
         .select($"entity",
           least($"label", coalesce($"proposal", $"label")).as("label"))
-        .localCheckpoint()
+        .localCheckpointClamped()
       val newSum = labelSum(next)
       labels = next
       converged = newSum.compareTo(prevSum) == 0

@@ -3,6 +3,7 @@ package graft.curation
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.curation.Ck._
 
 /** Fresh-load (empty-store) curation pipeline — the Spark-native
   * re-expression of the reference's `Curator` five-phase flow
@@ -75,13 +76,13 @@ object Curator {
       * more than once use this so the curation DAG executes exactly once
       * (see the graft-driver-contract checkpoint discipline). */
     def checkpointed: CuratedBatch = CuratedBatch(
-      rows.localCheckpoint(), indexIdBr.localCheckpoint(),
-      indexIdRa.localCheckpoint(), arIndex.localCheckpoint(),
-      reIndex.localCheckpoint(), vviIndex.localCheckpoint(),
-      entities.localCheckpoint(), entityIds.localCheckpoint(),
-      roles.localCheckpoint(), raNames.localCheckpoint(),
-      pages.localCheckpoint(), partOf.localCheckpoint(),
-      explicitRefs.localCheckpoint(), rowProp.localCheckpoint())
+      rows.localCheckpointClamped(), indexIdBr.localCheckpointClamped(),
+      indexIdRa.localCheckpointClamped(), arIndex.localCheckpointClamped(),
+      reIndex.localCheckpointClamped(), vviIndex.localCheckpointClamped(),
+      entities.localCheckpointClamped(), entityIds.localCheckpointClamped(),
+      roles.localCheckpointClamped(), raNames.localCheckpointClamped(),
+      pages.localCheckpointClamped(), partOf.localCheckpointClamped(),
+      explicitRefs.localCheckpointClamped(), rowProp.localCheckpointClamped())
   }
 
   /** S1 — CSV scan (file_manager.py:99-120): 11 string columns, header,
@@ -167,7 +168,7 @@ object Curator {
       .withColumn("publishers", Parsing.parseAgentsUdf($"publisher"))
       .withColumn("editors", Parsing.parseAgentsUdf($"editor"))
       .drop("vi", "vol1", "iss1", "vol2", "iss2", "date0")
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // ---- P2': BR + venue resolution (one CC over shared ids) ------------
     val rowMembership = parsed.select($"row_idx".as("entity"), explode($"br_ids").as("key"))
@@ -194,7 +195,7 @@ object Curator {
           .when(size($"venue_p._2") > 0, $"venue_cc")
           .otherwise($"row_idx" + VenueOffset))
       .drop("venue_cc")
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // Sequence-impl dispatch for the whole batch: ONE cheap count on the
     // checkpointed rows frame decides lazy-window vs distributed
@@ -261,7 +262,7 @@ object Curator {
         lit(null).cast(newIss.schema("ik").dataType).as("ik"), $"phase", $"k1", $"k2")
       .unionByName(volKeyed).unionByName(issKeyed)
     val allBrNumbered = batchSeq(allBrEnts,
-      Seq($"phase", $"k1", $"k2"), "br_n", numberOffset).localCheckpoint()
+      Seq($"phase", $"k1", $"k2"), "br_n", numberOffset).localCheckpointClamped()
 
     def brOmid(n: Column): Column = concat(lit("br/" + prefix), n)
 
@@ -290,7 +291,7 @@ object Curator {
     }
     val mentions0 = roleFrames.reduce(_ unionByName _)
     val mentions = batchSeq(mentions0,
-      Seq($"row_idx", $"slot", $"pos"), "seq", 0L).localCheckpoint()
+      Seq($"row_idx", $"slot", $"pos"), "seq", 0L).localCheckpointClamped()
 
     val raIdCc = ConnectedComponents.byShardKey(
       mentions.filter(size($"ids") > 0).select($"seq".as("entity"), explode($"ids").as("key")))
@@ -310,7 +311,7 @@ object Curator {
       .withColumn("ra_comp",
         when(size($"ids") === 0 && $"role" =!= "publisher" && $"name_comp".isNotNull,
           $"name_comp").otherwise($"comp0"))
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // RA numbering by first appearance (min seq of component).
     val raEnts = resolved.groupBy($"ra_comp").agg(min($"seq").as("first_seq"))
@@ -333,7 +334,7 @@ object Curator {
       .agg(min($"seq").as("first_seq"))
     val arNumbered = batchSeq(arEnts, Seq($"first_seq"), "ar_n", numberOffset)
       .withColumn("ar_meta", concat(lit("ar/" + prefix), $"ar_n"))
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // ---- id entities -----------------------------------------------------
     val brIdOcc = rows.select(posexplode($"br_ids").as(Seq("p1", "literal")),
@@ -350,7 +351,7 @@ object Curator {
       max(when($"kind" === "ra", 1).otherwise(0)).as("is_ra"))
     val idNumbered = batchSeq(idFirst, Seq($"fk"), "id_n", numberOffset)
       .withColumn("id_meta", concat(lit("id/" + prefix), $"id_n"))
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // ---- re entities -----------------------------------------------------
     val reEnts = rows.filter(nonBlank($"page_n"))

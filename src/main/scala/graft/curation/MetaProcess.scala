@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.rdf.{Provenance, Serialization, SparqlHttp, SparqlUpdate,
   StoreViews, TriplesEmitter, Vocab}
+import graft.curation.Ck._
 
 /** `run/meta_process.py` — the reference's primary entry point: process a
   * sorted queue of input CSVs against an EVOLVING store, with a done-cache
@@ -111,7 +112,7 @@ object MetaProcess {
     val needProvT = sinks.rdfDir.nonEmpty || sinks.updatesDir.nonEmpty ||
       sinks.provEndpoint.nonEmpty
     val provT = if (needProvT)
-      Provenance.provTriples(provDelta).localCheckpoint() else null
+      Provenance.provTriples(provDelta).localCheckpointClamped() else null
     sinks.rdfDir.foreach { d =>
       Serialization.writeJsonLd(dataGraphs, s"$d/$name/data")
       Serialization.writeJsonLd(provT, s"$d/$name/prov")
@@ -119,7 +120,7 @@ object MetaProcess {
     if (sinks.updatesDir.nonEmpty || sinks.endpoint.nonEmpty) {
       val dataUpdates = SparqlUpdate
         .updateStrings(adds, dels, sinks.graph, sinks.batchTriples)
-        .localCheckpoint()
+        .localCheckpointClamped()
       sinks.updatesDir.foreach(d =>
         SparqlUpdate.writeStrings(dataUpdates, s"$d/$name/data"))
       sinks.endpoint.foreach(pushOrThrow(dataUpdates, _, s"[$name] data"))
@@ -129,7 +130,7 @@ object MetaProcess {
       // invalidatedAtTime triple, so the prov delta is pure INSERT
       val provUpdates = SparqlUpdate
         .updateStrings(provT, provT.limit(0), sinks.graph, sinks.batchTriples)
-        .localCheckpoint()
+        .localCheckpointClamped()
       sinks.updatesDir.foreach(d =>
         SparqlUpdate.writeStrings(provUpdates, s"$d/$name/prov"))
       sinks.provEndpoint.foreach(pushOrThrow(provUpdates, _, s"[$name] provenance"))
@@ -159,9 +160,9 @@ object MetaProcess {
     // frames still point at these very parquet paths, and overwriting a
     // path being lazily read truncates it mid-plan (observed: second
     // MetaProcessJob invocation corrupting its own work dir)
-    st.triples.foreach(_.localCheckpoint()
+    st.triples.foreach(_.localCheckpointClamped()
       .write.mode("overwrite").parquet(s"$workDir/triples"))
-    st.prov.foreach(_.localCheckpoint()
+    st.prov.foreach(_.localCheckpointClamped()
       .write.mode("overwrite").parquet(s"$workDir/prov"))
     val spark = st.triples.map(_.sparkSession)
       .orElse(st.prov.map(_.sparkSession))
@@ -208,8 +209,8 @@ object MetaProcess {
       st = (st.triples, st.prov) match {
         case (None, _) =>
           val b = Curator.curateFresh(input, prefix).checkpointed
-          val t = TriplesEmitter.emit(b).localCheckpoint()
-          val p = Provenance.freshSnapshots(b, generatedAt).localCheckpoint()
+          val t = TriplesEmitter.emit(b).localCheckpointClamped()
+          val p = Provenance.freshSnapshots(b, generatedAt).localCheckpointClamped()
           // fresh world: the whole batch is the delta (insert-only)
           sink.foreach(emitSinks(_, sinkName(f), t, t, t.limit(0), p))
           PipelineState(Some(t), Some(p),
@@ -220,11 +221,11 @@ object MetaProcess {
           val upd = StoreCurator.curateWithStore(input, store, prefix,
             prov = Some(oldProv), counterOffsets = Some(st.counters))
           val b = upd.batch
-          val delta = TriplesEmitter.emit(b).localCheckpoint()
+          val delta = TriplesEmitter.emit(b).localCheckpointClamped()
           // overlay: batch subjects' graphs are replaced, others persist
           val touched = delta.select($"s").distinct()
           val newTriples = oldTriples.join(touched, Seq("s"), "left_anti")
-            .unionByName(delta).localCheckpoint()
+            .unionByName(delta).localCheckpointClamped()
           // provenance: snapshot only entities whose graph CHANGED (new
           // triples or retracted old ones); adopted-but-identical
           // entities keep their chains untouched
@@ -255,7 +256,7 @@ object MetaProcess {
               lit("Entity created").as("description"),
               agent.as("attributed_to"))
           val newProv = Provenance.upsert(oldProv,
-            modified.unionByName(created), generatedAt).localCheckpoint()
+            modified.unionByName(created), generatedAt).localCheckpointClamped()
           sink.foreach { k =>
             // batch-scoped deltas only — the store is never re-emitted:
             // data = exact triple diff within the touched subjects' graphs,

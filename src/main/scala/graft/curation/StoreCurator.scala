@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.rdf.StoreViews
+import graft.curation.Ck._
 
 /** Store-backed curation — the reference's "update" scenario (SURVEY §6,
   * D2 store branches / J5 equalizer / D5 AR-sequence union / D8 / D9): a
@@ -95,7 +96,7 @@ object StoreCurator {
         .select($"ex_omid".as("merged"), $"ex_omid".as("surviving"))
       case Some(p) =>
         var hop = graft.operators.Tools.mergedEntityPairs(p)
-          .select($"merged", $"surviving").localCheckpoint()
+          .select($"merged", $"surviving").localCheckpointClamped()
         var iter = 0
         var changed = true
         while (changed && iter < 8) {
@@ -104,7 +105,7 @@ object StoreCurator {
             .select(col("a.merged"),
               coalesce(col("b.surviving"), col("a.surviving")).as("surviving"))
             .groupBy($"merged").agg(min($"surviving").as("surviving"))
-            .localCheckpoint()
+            .localCheckpointClamped()
           changed = next.alias("n").join(hop.alias("h"), Seq("merged"))
             .filter(col("n.surviving") =!= col("h.surviving")).head(1).nonEmpty
           hop = next
@@ -164,7 +165,7 @@ object StoreCurator {
     val brMap = prioritized(Seq(
       brAdoptExplicit -> 1,
       refAdopt.filter($"from_meta".startsWith("br/")) -> 2,
-      brAdoptIds -> 3)).localCheckpoint()
+      brAdoptIds -> 3)).localCheckpointClamped()
 
     // ---- J6 donor gate (merge_duplicate_entities, curator.py:1361-1389) -
     // Within an adopted component only rows that THEMSELVES resolve to
@@ -180,7 +181,7 @@ object StoreCurator {
     // adopted meta.
     val rpAdopted = fresh.rowProp
       .join(brMap.withColumnRenamed("from_meta", "br_meta"), Seq("br_meta"))
-      .localCheckpoint()
+      .localCheckpointClamped()
     val donorByExplicit = rpAdopted
       .filter($"explicit_omid".isNotNull)
       .join(mergedHop.withColumnRenamed("merged", "explicit_omid"),
@@ -207,7 +208,7 @@ object StoreCurator {
     val adoptedStoreBrs = brMap.select($"to_meta".as("br_meta")).distinct()
     val storeSeqAll = store.roles
       .join(adoptedStoreBrs, Seq("br_meta"), "left_semi")
-      .localCheckpoint()
+      .localCheckpointClamped()
     // D6 silencer: a silenced role with a store sequence ignores the
     // batch's agents entirely (curator.py:661-662) — no matching, no id
     // union, batch ARs dropped.
@@ -217,7 +218,7 @@ object StoreCurator {
       if (silencedRoles.isEmpty)
         storeSeqAll.limit(0).select($"br_meta", $"role")
       else storeSeqAll.filter($"role".isin(silencedRoles.toSeq: _*))
-        .select($"br_meta", $"role").distinct().localCheckpoint()
+        .select($"br_meta", $"role").distinct().localCheckpointClamped()
     val batchSeqRoles = fresh.roles
       .join(brMap.withColumnRenamed("from_meta", "br_meta"), Seq("br_meta"))
       .join(silencedKeys.withColumnRenamed("br_meta", "to_meta"),
@@ -232,14 +233,14 @@ object StoreCurator {
       .select($"owner_meta".as("st_ra"), $"literal").distinct()
     val seqMatch = alignArSequences(batchSeqRoles, storeSeq,
       batchRaIds, storeRaIds, fresh.raNames, store.raNames)
-      .localCheckpoint()
+      .localCheckpointClamped()
     val arAdopt = seqMatch.select($"temp_ar".as("from_meta"), $"st_ar".as("to_meta"))
       .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
 
     val raMap = prioritized(Seq(
       seqMatch.select($"temp_ra".as("from_meta"), $"st_ra".as("to_meta")) -> 1,
       refAdopt.filter($"from_meta".startsWith("ra/")) -> 2,
-      raAdoptIds -> 3)).localCheckpoint()
+      raAdoptIds -> 3)).localCheckpointClamped()
 
     // ---- 2e: re adoption (D8 — store page wins) -------------------------
     val reAdopt = fresh.pages.select($"br_meta", $"re_meta".as("from_meta"))
@@ -271,7 +272,7 @@ object StoreCurator {
     val storeSubtree = stVolsRaw
       .select($"venue_meta", $"vol_seq", lit(null).cast("string").as("iss_seq"), $"vvi_meta")
       .unionByName(stIssUnder).unionByName(stIssTop)
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     val vviVenueFinal = fresh.vviIndex
       .join(brMap.withColumnRenamed("from_meta", "venue_meta"), Seq("venue_meta"), "left")
@@ -289,7 +290,7 @@ object StoreCurator {
       .map(_.select($"from_meta", $"to_meta"))
       .reduce(_ unionByName _)
       .groupBy($"from_meta").agg(min($"to_meta").as("to_meta"))
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // ---- Phase 3: compact distributed renumbering -----------------------
     // No driver-side entity maps: non-adopted temp entities get dense
@@ -304,7 +305,7 @@ object StoreCurator {
       .join(adoptAll.select($"from_meta".as("meta")), Seq("meta"), "left_anti")
       .withColumn("kind", substring_index($"meta", "/", 1))
       .withColumn("temp_n", tempN($"meta"))
-      .localCheckpoint()
+      .localCheckpointClamped()
     // ONE size probe for the whole dispatch (the per-kind loop used to
     // collect the kind list + run a count and a sequence job per kind —
     // ~12 driver round trips per update where one suffices). Small
@@ -331,7 +332,7 @@ object StoreCurator {
         }.reduce(_ unionByName _)
       }
     // total rewrite mapping; identity for any meta not present
-    val m = adoptAll.unionByName(renumberMap).localCheckpoint()
+    val m = adoptAll.unionByName(renumberMap).localCheckpointClamped()
 
     def remapCol(df: DataFrame, c: String): DataFrame = {
       val tmp = c + "__to"
@@ -357,7 +358,7 @@ object StoreCurator {
       .unionByName(batchRolesFinal)
       .withColumn("pos", row_number().over(rolesW).cast("long"))
       .select($"br_meta", $"role", $"pos", $"ar_meta", $"ra_meta")
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     // RA display names: store title wins; given-name fill (name_check,
     // curator.py:1016-1024 + 719-737) completes a family-only store name
@@ -395,7 +396,7 @@ object StoreCurator {
       .withColumn("ra_ids",
         array_distinct(concat(coalesce($"st_ids", array()), coalesce($"b_ids", array()))))
       .select($"ra_meta", $"name", $"ra_ids")
-      .localCheckpoint()
+      .localCheckpointClamped()
 
     val roleElems = finalRoles.join(raDisplay, Seq("ra_meta"))
       .withColumn("ids_omid", concat_ws(" ",
@@ -408,7 +409,7 @@ object StoreCurator {
         x => x.getField("cell"))).as("role_cell"),
       concat_ws("; ", transform(array_sort(collect_list(struct($"pos", $"ar_meta", $"ra_meta"))),
         x => concat(x.getField("ar_meta"), lit(", "), x.getField("ra_meta")))).as("ar_pairs"))
-      .localCheckpoint()
+      .localCheckpointClamped()
     def roleCellFor(role: String, key: String) = roleCells.filter($"role" === role)
       .select($"br_meta".as(key), $"role_cell".as(role + "_cell2"))
 

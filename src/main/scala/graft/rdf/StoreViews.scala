@@ -2,6 +2,7 @@ package graft.rdf
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.curation.Ck._
 
 /** Derived relational views of a triples snapshot (SURVEY §7.1): the
   * Spark-managed replacement for the reference's triplestore. Built once
@@ -110,7 +111,7 @@ object StoreViews {
       entities.select($"meta"), prefix)
 
     // views are consumed repeatedly by curation joins — materialize once
-    def ck(df: DataFrame) = df.localCheckpoint()
+    def ck(df: DataFrame) = df.localCheckpointClamped()
     Store(ck(entities), ck(entityIds), ck(roles), ck(raNames), ck(pages),
       ck(partOf), ck(counters))
   }

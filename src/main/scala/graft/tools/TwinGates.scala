@@ -13,10 +13,10 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *
   * One row per twin: twin query name, its anchor, the gate law (same
   * statement the spec asserts), the measured value, pass/fail. Laws
-  * mirror the specs (OperatorsSpec); scale factors pick the smallest
-  * corpus whose value is non-vacuous: identity gates at sf0.001,
-  * q31's cap at sf0.01, every ratio-law gate (recall, q57 precision)
-  * at sf0.1 with its denominator recorded.
+  * mirror the specs (OperatorsSpec); every gate runs at sf0.1 with its
+  * denominator recorded (q31's cap identity at sf0.01, its spec corpus)
+  * — r18 moved the identity gates up from sf0.001 to the largest corpus
+  * where identity is the designed law.
   *
   *   runMain graft.tools.TwinGates
   */
@@ -38,12 +38,11 @@ object TwinGates {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf1 = "/root/testdata/sf0.001"
     val sf2 = "/root/testdata/sf0.01"
-    // recall-law gates need non-thin denominators (r13/r14 verdicts: 6/7
-    // qualifying pairs at sf0.001 is statistically vacuous) — they run on
-    // the largest driver corpus (sf0.1: 2000 vectors); identity gates
-    // stay at their spec corpora (identity is binary, thin is fine)
+    // every gate needs a non-thin denominator (r13/r14 verdicts: 6/7
+    // qualifying pairs at sf0.001 is statistically vacuous) — all run on
+    // the largest driver corpus (sf0.1: 2000 vectors, 5000 docs); the
+    // identity gates moved up in r18 (VERDICT r17 #4)
     val sf3 = "/root/testdata/sf0.1"
 
     // id-column names follow each operator's contract: document pairs are
@@ -76,15 +75,21 @@ object TwinGates {
         denom = exact.size)
     }
 
-    // q34_lsh_auto: at gate n (<= 2000 vectors) auto must resolve to the
-    // fixed twin's parameter point — identical output
+    // q34_lsh_auto: identity with the fixed twin, gated at sf0.1 (r18,
+    // VERDICT r17 #4: the sf0.001 gate's 500-vector corpus barely
+    // exercised the banding). sf0.1's n = 2000 is the LARGEST corpus at
+    // which identity is the designed law: embeddingCosinePairsLshAuto's
+    // extraBits = ceil(log2(n/2000)) is 0 exactly up to n = 2000, so auto
+    // provably resolves to the fixed (4, 8) point there; past it the
+    // geometry changes by design and the sf0.1 recall gates take over.
     {
-      val fixed = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf1), "v1", "v2")
-      val auto = pairSet(Dedup.embeddingCosinePairsLshAuto(spark, sf1), "v1", "v2")
+      val fixed = pairSet(Dedup.embeddingCosinePairsLsh(spark, sf3), "v1", "v2")
+      val auto = pairSet(Dedup.embeddingCosinePairsLshAuto(spark, sf3), "v1", "v2")
       val jac = if ((fixed | auto).isEmpty) 0.0 else (fixed & auto).size.toDouble / (fixed | auto).size
-      gates += Gate("q34_lsh_auto_embedding_pairs", "q34_lsh_embedding_pairs", "sf0.001",
-        "auto == fixed twin at gate corpus size (identity)", jac,
-        fixed.nonEmpty && jac == 1.0)
+      gates += Gate("q34_lsh_auto_embedding_pairs", "q34_lsh_embedding_pairs", "sf0.1",
+        "auto == fixed twin at the largest corpus where auto resolves to " +
+          "the fixed (4,8) point (identity)", jac,
+        fixed.size >= 100 && jac == 1.0, denom = fixed.size)
     }
 
     // q43_ann_ivf: recall floor vs brute force — 100 queries x top-5 on
@@ -146,16 +151,19 @@ object TwinGates {
         denom = clustered.size)
     }
 
-    // q45_lsh_auto: identity with the fixed twin at gate n
+    // q45_lsh_auto: identity with the fixed twin at sf0.1 (same rationale
+    // as q34_lsh_auto above — the largest corpus where auto == fixed is
+    // the designed law; denominator = the fixed twin's membership rows)
     {
-      val fixed = Dedup.embeddingClustersLsh(spark, sf1)
+      val fixed = Dedup.embeddingClustersLsh(spark, sf3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val auto = Dedup.embeddingClustersLshAuto(spark, sf1)
+      val auto = Dedup.embeddingClustersLshAuto(spark, sf3)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val jac = if ((fixed | auto).isEmpty) 0.0 else (fixed & auto).size.toDouble / (fixed | auto).size
       gates += Gate("q45_lsh_auto_embedding_clusters", "q45_lsh_embedding_clusters",
-        "sf0.001", "auto == fixed twin at gate corpus size (identity)", jac,
-        fixed.nonEmpty && jac == 1.0)
+        "sf0.1", "auto == fixed twin at the largest corpus where auto " +
+          "resolves to the fixed (4,8) point (identity)", jac,
+        fixed.size >= 100 && jac == 1.0, denom = fixed.size)
     }
 
     // q57_sqrtn — LAW reformulated r17, exposed by the denominator the
@@ -199,30 +207,53 @@ object TwinGates {
         else dropped.size.toDouble / justified.size
       val anchorRecall = if (justified.isEmpty) 0.0
         else anchorDropped.size.toDouble / justified.size
+      // operating CURVE (r18, VERDICT r17 #5, the q43 pattern): catch
+      // mass (justified-drop recall) vs nlist, so the sqrt(n) default is
+      // a chosen point on a visible tradeoff, not a bare gate value. The
+      // cost axis is the expected within-cell pair fraction ~ 1/nlist
+      // (the quadratic term semanticDedup's cells bound); every point's
+      // drops stay inside the same exhaustive justified set (soundness
+      // swept across the whole curve, not just the default).
+      val sqrtDefault = math.max(8, math.ceil(math.sqrt(vecs.length.toDouble)).toInt)
+      val nlistSweep = (Seq(8, 16, 32, sqrtDefault, 64, 90) :+ sqrtDefault).distinct.sorted
+      var curveSound = true
+      val q57Curve = nlistSweep.map { nl =>
+        val drops = Dedup.semanticDedup(spark, sf3, threshold = thr, nlist = nl)
+          .collect().filter(_.getLong(2) == 0L).map(_.getLong(0)).toSet
+        curveSound &&= (drops -- justified).isEmpty
+        val rec = if (justified.isEmpty) 0.0 else drops.size.toDouble / justified.size
+        s"""{"nlist":$nl,"pair_fraction":${math.round(10000.0 / nl) / 10000.0},""" +
+          s""""drops":${drops.size},"recall_of_justified":${math.round(rec * 10000) / 10000.0}""" +
+          s""","default":${nl == sqrtDefault}}"""
+      }.mkString("[", ",", "]")
       gates += Gate("q57_sqrtn_semantic_dedup", "q57_semantic_dedup", "sf0.1",
         "every drop in the EXHAUSTIVE global justified set (soundness, hard law) " +
           "AND justified-drop mass >= 0.45x anchor's (within-cell recall parity)",
         recallOfJustified,
-        twin.size == vecs.length && dropped.nonEmpty && sound &&
+        twin.size == vecs.length && dropped.nonEmpty && sound && curveSound &&
           dropped.size >= (0.45 * anchorDropped.size).toInt,
         denom = justified.size,
         extra = s""""twin_drops":${dropped.size},"anchor_drops":${anchorDropped.size},""" +
           s""""overlap_with_anchor":${(dropped & anchorDropped).size},""" +
           s""""anchor_recall_of_justified":${math.round(anchorRecall * 10000) / 10000.0},""" +
-          s""""all_anchor_drops_sound":${(anchorDropped -- justified).isEmpty},""")
+          s""""all_anchor_drops_sound":${(anchorDropped -- justified).isEmpty},""" +
+          s""""curve_all_sound":$curveSound,"curve":$q57Curve,""")
     }
 
     // q59_p32: the registered p32 point must match the packing model
     // (md5 order, running offsets, window assignment) computed
     // independently per shard — the spec's parallelism-contract law
+    // r18 (VERDICT r17 #4): gated at sf0.1 — 5000 docs across 32 shards
+    // (~156/shard) instead of sf0.001's ~16/shard, so the running-offset
+    // model is exercised over real per-shard sequences; denominator = docs
     {
       val shards = 32
       val got = TextAnalysis
-        .q59SequencePacking(spark, sf1, ctx = 512, shards = shards)
+        .q59SequencePacking(spark, sf3, ctx = 512, shards = shards)
         .collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toMap
-      val docs = graft.Tables.documents(spark, sf1)
+      val docs = graft.Tables.documents(spark, sf3)
         .selectExpr("cast(doc_id as long) doc_id", "text").collect()
         .map { r =>
           val id = r.getLong(0)
@@ -240,9 +271,9 @@ object TwinGates {
         }
       }.toMap
       val same = got == expect
-      gates += Gate("q59_sequence_packing_p32", "q59_sequence_packing", "sf0.001",
+      gates += Gate("q59_sequence_packing_p32", "q59_sequence_packing", "sf0.1",
         "p32 packing == independent md5-order running-sum model at shards=32",
-        if (same) 1.0 else 0.0, got.nonEmpty && same)
+        if (same) 1.0 else 0.0, got.size >= 1000 && same, denom = got.size)
     }
 
     val rows = gates.result()
@@ -256,9 +287,13 @@ object TwinGates {
     val allPass = rows.forall(_.pass)
     val out = s"""{"metric":"twin_gates","gates":[$json],"all_pass":$allPass,""" +
       s""""_note":"Laws mirror the ScalaTest twin gates (OperatorsSpec) """ +
-      "in shape; recall-law gates run on the sf0.1 corpus with their " +
-      "denominators recorded (a 6/7-pair recall is vacuous — r13 verdict), " +
-      "identity gates at their spec corpora. A " +
+      "in shape; every gate runs on the sf0.1 corpus with its denominator " +
+      "recorded (r18 — identity gates moved up from their sf0.001 spec " +
+      "corpora: sf0.1's n=2000 is the largest corpus where the auto " +
+      "geometry provably resolves to the fixed point, so identity there " +
+      "is the designed law's strongest non-vacuous statement). q57 " +
+      "carries its nlist operating curve (catch mass vs within-cell pair " +
+      "fraction, soundness swept across all points). A " +
       "no_oracle row in CORRECTNESS is by design iff its twin appears " +
       "here with pass=true.\"}"
     println(out)

@@ -213,6 +213,72 @@ class ExplainAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming microbatch plans: no cartesian/BNLJ/round-robin in the executed near-dup gates") {
+    // r18 (VERDICT r17 #7): the deep walker above covers the 65 BATCH
+    // queries; the streaming near-dup gates execute MICROBATCH plans it
+    // never saw. Run each gate on a MemoryStream, process real batches,
+    // and audit the EXECUTED microbatch plan (StreamExecution
+    // .lastExecution — the IncrementalExecution that actually ran, state
+    // operators included) with the same deep walk: a quadratic join or a
+    // full-stream round-robin exchange inside a microbatch is the same
+    // scale incident as in a batch query, at per-trigger frequency.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def auditLastExecution(name: String,
+        q: org.apache.spark.sql.streaming.StreamingQuery): Seq[String] = {
+      val plan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      allNodesDeep(plan).collect {
+        case _: BroadcastNestedLoopJoinExec => s"$name: BroadcastNestedLoopJoin"
+        case j if j.nodeName.contains("CartesianProduct") => s"$name: CartesianProduct"
+      } ++ roundRobinExchanges(plan).map(e => s"$name: round-robin ${e.nodeName}")
+    }
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val offenders = Seq.newBuilder[String]
+    // token near-dup gate
+    locally {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = streaming.EventStreams.nearDupCandidates(
+        in.toDF().toDF("doc_id", "text", "ingest_ts"),
+        watermark = "10 minutes", horizonMs = 10L * 60 * 1000)
+      val q = out.writeStream.format("memory").queryName("audit_neardup")
+        .outputMode("append").start()
+      try {
+        val txt = (1 to 30).map(i => s"tok$i").mkString(" ")
+        in.addData((1L, txt, ts(t0)), (2L, txt, ts(t0 + 1000)))
+        q.processAllAvailable()
+        offenders ++= auditLastExecution("nearDupCandidates", q)
+      } finally q.stop()
+    }
+    // distinct embedding near-dup gate (the exactly-once wrapper — the
+    // widest streaming plan: banding + state + dedup state)
+    locally {
+      val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+      val out = streaming.EventStreams.embeddingNearDupPairsDistinct(
+        in.toDF().toDF("vec_id", "embedding", "ingest_ts"),
+        watermark = "10 minutes", horizonMs = 10L * 60 * 1000)
+      spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+      val q = out.writeStream.format("memory").queryName("audit_embdup")
+        .outputMode("append").start()
+      try {
+        val v = Seq.fill(64)(0.5)
+        in.addData((1L, v, ts(t0)), (2L, v, ts(t0 + 1000)))
+        q.processAllAvailable()
+        offenders ++= auditLastExecution("embeddingNearDupPairsDistinct", q)
+      } finally {
+        q.stop()
+        spark.conf.set(
+          "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      }
+    }
+    assert(offenders.result().isEmpty,
+      s"scale-killer shapes in executed microbatch plans:\n${offenders.result().mkString("\n")}")
+  }
+
   test("q53/q58 crossJoin exemption is structurally a 1-row broadcast") {
     // the exemption list above is by NAME — back it with the structural
     // fact it encodes: the NLJ's build side must be a GLOBAL aggregate
