@@ -47,12 +47,16 @@ object ComposedSinksBench {
       ex.sendResponseHeaders(200, -1)
       ex.close()
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // daemonized pool: a plain fixed pool's non-daemon workers outlive
+    // server.stop(0) and pin the JVM open after main returns
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    server.setExecutor(pool)
     server.start()
     /** new batch boundary: the barrier is per-batch */
     def newBatch(): Unit = insertSeen.set(false)
     def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
   }
 
   private final class MetricsListener extends SparkListener {
