@@ -71,8 +71,31 @@ object BiblioMatch {
 
   /** Full weighted score. Args mirror the reference's metadata dict; all
     * text columns are expected pre-lowercased (the reference lowercases at
-    * metadata extraction, `_extract_metadata`, :167-178). */
+    * metadata extraction, `_extract_metadata`, :167-178).
+    *
+    * r18: evaluates through the single-expression kernel
+    * ([[graft.plans.BiblioScoreKernel]]) — the equivalent ~100-node column
+    * tree ([[matchingScoreColumnTree]]) generated ~4.5 us/pair of codegen
+    * overhead on q21's 1M-pair verify, ~9x the cost of its three
+    * Levenshtein kernels. Scores are bit-identical
+    * (BiblioScoreEquivalenceSpec pins kernel == tree on randomized inputs;
+    * the q21/q22/q60 DuckDB hash oracles gate the end-to-end chain). */
   def matchingScore(
+      famA: Column, famB: Column, givA: Column, givB: Column,
+      titleA: Column, titleB: Column,
+      venA: Column, venB: Column, issnA: Column, issnB: Column,
+      yearA: Column, yearB: Column, volA: Column, volB: Column,
+      issA: Column, issB: Column, spA: Column, spB: Column,
+      epA: Column, epB: Column): Column =
+    graft.plans.VectorExpressions.biblioScore(Seq(
+      famA, famB, givA, givB, titleA, titleB, venA, venB, issnA, issnB,
+      yearA, yearB, volA, volB, issA, issB, spA, spB, epA, epB))
+
+  /** The pre-r18 Column-tree formulation, kept as the kernel's executable
+    * specification (BiblioScoreEquivalenceSpec asserts bit-identical
+    * doubles between this and [[matchingScore]]); the arithmetic below is
+    * the association-order contract the DuckDB oracle mirror copies. */
+  private[graft] def matchingScoreColumnTree(
       famA: Column, famB: Column, givA: Column, givB: Column,
       titleA: Column, titleB: Column,
       venA: Column, venB: Column, issnA: Column, issnB: Column,

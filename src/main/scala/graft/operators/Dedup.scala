@@ -335,7 +335,10 @@ object Dedup {
       .withColumn("jac", $"i" / ($"n1" + $"n2" - $"i"))
       .filter($"jac" >= threshold)
       .select($"d1", $"d2", round($"jac", 6).as("jac"))
-    if (sorted) verified.orderBy($"d1", $"d2") else verified
+    // answer-mass checkpoint before the output sort — the range sampler
+    // otherwise re-runs the verify joins over the full candidate stream
+    // (operators.Answer)
+    if (sorted) Answer.sorted(verified, $"d1", $"d2") else verified
   }
 
   // MinHash parameters: H = bands * rows affine permutations over a 32-bit
@@ -393,10 +396,11 @@ object Dedup {
     // verify INSIDE the band-group slices (answer-mass spill past the
     // disk envelope); the deterministic order the registered pair set
     // needs is restored after the cross-slice dedup
-    lshCandidatePairsRefined(sets, bands, rows,
-      c => jaccardVerify(c, sets, threshold, nDocs, sorted = false),
-      nDocsKnown = nDocs)
-      .orderBy($"d1", $"d2")
+    Answer.sorted(
+      lshCandidatePairsRefined(sets, bands, rows,
+        c => jaccardVerify(c, sets, threshold, nDocs, sorted = false),
+        nDocsKnown = nDocs),
+      $"d1", $"d2")
   }
 
   /** q42 — near-dup CLUSTERS: the dedup decision a training-data pipeline
@@ -419,9 +423,10 @@ object Dedup {
       .union(pairs.select($"d2".as("entity"), struct($"d1", $"d2").as("key")))
     val cc = graft.curation.ConnectedComponents.byShardKey(membership)
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-    cc.select($"entity".as("doc_id"), $"component".as("cluster"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .orderBy($"doc_id")
+    Answer.sorted(
+      cc.select($"entity".as("doc_id"), $"component".as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(w)),
+      $"doc_id")
   }
 
   /** q45 oracle — connected components over the exact cosine pair set
@@ -485,9 +490,10 @@ object Dedup {
       .union(pairs.select($"v2".as("entity"), struct($"v1", $"v2").as("key")))
     val cc = graft.curation.ConnectedComponents.byShardKey(membership)
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-    cc.select($"entity".as("vec_id"), $"component".as("cluster"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .orderBy($"vec_id")
+    Answer.sorted(
+      cc.select($"entity".as("vec_id"), $"component".as("cluster"))
+        .withColumn("cluster_size", count(lit(1)).over(w)),
+      $"vec_id")
   }
 
   /** q48 — benchmark decontamination: flag training documents that share
@@ -1077,7 +1083,7 @@ object Dedup {
         bit_count($"a.sig".bitwiseXOR($"b.sig")).cast("long").as("dist"))
       .distinct()
       .filter($"dist" <= maxDist)
-      .orderBy($"d1", $"d2")
+      .transform(Answer.sorted(_, $"d1", $"d2"))
   }
 
   /** Embedding-cosine near-duplicate pairs (brute force, exact). The scale
@@ -1102,11 +1108,20 @@ object Dedup {
     // exact per engine would need an integer key round(cos*1e6) computed
     // identically on both sides; at 6 decimals the straddle band is
     // ~1e-10 wide for these 8-dim vectors and has never fired at gate SFs.
+    // rawCos >= threshold - 1e-4 is implied by round(rawCos, 6) >=
+    // threshold (HALF_UP rounding moves a value by < 5e-7), so the cheap
+    // raw-double compare prunes ~all pairs before the expensive rounded
+    // compare — Catalyst's Round on DoubleType allocates a BigDecimal per
+    // evaluation (measured ~0.8 us/pair, r18 PerfProbe: the 2M-pair filter
+    // was 1.26 s raw vs 2.92 s rounded). The rounded filter still decides
+    // every boundary pair, so results are bit-identical.
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", round(Similarity.dot($"a.nv", $"b.nv"), 6))
+      .withColumn("rawcos", Similarity.dot($"a.nv", $"b.nv"))
+      .filter($"rawcos" >= threshold - 1e-4)
+      .withColumn("cos", round($"rawcos", 6))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"cos")
-      .orderBy($"v1", $"v2")
+      .transform(Answer.sorted(_, $"v1", $"v2"))
   }
 
   /** The PRODUCTION shape of embedding near-dup ([[embeddingCosinePairs]]
@@ -1278,11 +1293,16 @@ object Dedup {
       .join(e.select($"vec_id".as("v1"), $"nv".as("nv1")).hint("shuffle_hash"), "v1")
       .join(e.select($"vec_id".as("v2"), $"nv".as("nv2")).hint("shuffle_hash"), "v2")
       // quantized compare, same rule as the exact anchor — keeps the
-      // subset relation exact at threshold boundaries
-      .withColumn("cos", round(Similarity.dot($"nv1", $"nv2"), 6))
+      // subset relation exact at threshold boundaries. The raw-double
+      // prefilter is implied by the rounded compare (see
+      // embeddingCosinePairs) and keeps the per-pair BigDecimal rounding
+      // off the candidate bulk.
+      .withColumn("rawcos", Similarity.dot($"nv1", $"nv2"))
+      .filter($"rawcos" >= threshold - 1e-4)
+      .withColumn("cos", round($"rawcos", 6))
       .filter($"cos" >= threshold)
       .select($"v1", $"v2", $"cos")
-      .orderBy($"v1", $"v2")
+      .transform(Answer.sorted(_, $"v1", $"v2"))
   }
 
   /** q51 — cross-document duplicated-chunk fraction: for each document,
@@ -1318,7 +1338,7 @@ object Dedup {
         sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
       .select($"doc_id", $"n_chunks", $"n_dup",
         round($"n_dup".cast("double") / $"n_chunks", 6).as("dup_frac"))
-      .orderBy($"doc_id")
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   /** q51 oracle — the same per-doc duplicated-chunk stats computed on the
@@ -1438,7 +1458,7 @@ object Dedup {
         when($"n_tokens" === 0, lit(1.0)).otherwise(
           round(lit(1.0) - coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_tokens", 6))
           .as("retained_frac"))
-      .orderBy($"doc_id")
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   /** q61 oracle — the same spans computed on the k-gram STRINGS in DuckDB
@@ -1491,7 +1511,7 @@ object Dedup {
       .withColumn("cluster", coalesce($"cluster", $"doc_id"))
       .select($"doc_id", $"cluster",
         when($"cluster" === $"doc_id", 1L).otherwise(0L).as("kept"))
-      .orderBy($"doc_id")
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   /** q52 oracle — q42's independent recursive-reachability CC, left-joined
@@ -1563,13 +1583,20 @@ object Dedup {
       .select($"vec_id", $"mate")
       .join(corpus.select($"vec_id", $"nv"), "vec_id")
       .join(corpus.select($"vec_id".as("mate"), $"nv".as("mv")), "mate")
-      .filter(round(Similarity.dot($"nv", $"mv"), 6) >= threshold)
+      // raw-double prefilter implied by the rounded compare (see
+      // embeddingCosinePairs): keeps the per-pair BigDecimal rounding off
+      // the within-cell pair bulk; the rounded compare still decides
+      // every boundary pair
+      .withColumn("rawcos", Similarity.dot($"nv", $"mv"))
+      .filter($"rawcos" >= threshold - 1e-4)
+      .filter(round($"rawcos", 6) >= threshold)
       .select($"vec_id").distinct()
-    corpus.select($"vec_id", $"cluster")
-      .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
-      .select($"vec_id", $"cluster",
-        when($"is_dup".isNotNull, 0L).otherwise(1L).as("kept"))
-      .orderBy($"vec_id")
+    Answer.sorted(
+      corpus.select($"vec_id", $"cluster")
+        .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster",
+          when($"is_dup".isNotNull, 0L).otherwise(1L).as("kept")),
+      $"vec_id")
   }
 
   /** All unordered within-cell pairs `(vec_id, mate)` with

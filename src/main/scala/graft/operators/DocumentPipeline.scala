@@ -158,6 +158,9 @@ object DocumentPipeline {
 
     flagged.join(selected, Seq("doc_id"), "left")
       .withColumn("selected", coalesce($"selected", lit(false)))
-      .orderBy($"doc_id")
+      // answer-mass checkpoint before the output sort — the range sampler
+      // otherwise re-runs the whole signal-assembly join chain
+      // (operators.Answer)
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 }

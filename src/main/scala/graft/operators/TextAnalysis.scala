@@ -47,7 +47,9 @@ object TextAnalysis {
       .withColumn("best", langBestStruct(tokens($"text")))
       .select($"doc_id".cast("long").as("doc_id"),
         $"best.lang".as("pred_lang"), round($"best.score", 6).as("score"))
-      .orderBy($"doc_id")
+      // scan->project->sort has NO exchange below the sort, so the range
+      // sampler would re-run the whole per-doc scoring pass (operators.Answer)
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   val q36Sql: String = {
@@ -93,7 +95,7 @@ object TextAnalysis {
     documents(s, dir)
       .select(($"doc_id".cast("long").as("doc_id") +:
         qualitySignals($"text", tokens($"text"))): _*)
-      .orderBy($"doc_id")
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   val q37Sql: String = {
@@ -415,7 +417,7 @@ object TextAnalysis {
       .select(($"doc_id".cast("long").as("doc_id") +:
         size($"toks").cast("long").as("n_tok") +:
         repetitionSignals($"toks")): _*)
-      .orderBy($"doc_id")
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   val q49Sql: String =

@@ -45,7 +45,9 @@ object TextQueries {
           CleaningColumns.normalizeSpacesCol(
             CleaningColumns.normalizeHyphensCol(substring($"text", 1, 60)))).as("norm_prefix"),
         upper($"lang").as("lang_u"))
-      .orderBy($"doc_id")
+      // scan->project->sort: the range sampler would re-run the regex
+      // normalization over every doc (operators.Answer)
+      .transform(Answer.sorted(_, $"doc_id"))
   }
 
   // Built from the same character tables as the Spark side so the two
@@ -213,7 +215,7 @@ object TextQueries {
     // right side: bucket b serves pair keys (i, b) for i <= b
     val rhs = p.withColumn("pk", explode(expr(s"transform(sequence(0, bkt), i -> i * $B + bkt)")))
       .select($"p_brand", $"pk", $"bkt".as("b2"), $"p_partkey".as("k2"), $"p_name".as("name2"))
-    lhs.join(rhs, Seq("p_brand", "pk"))
+    val matched = lhs.join(rhs, Seq("p_brand", "pk"))
       // same-bucket key sees both orientations -> keep k1<k2; a cross-bucket
       // key sees each unordered pair exactly once -> keep both orientations
       // and canonicalize below.
@@ -224,7 +226,9 @@ object TextQueries {
         least($"k1", $"k2").cast("long").as("k1"),
         greatest($"k1", $"k2").cast("long").as("k2"),
         $"dist".cast("long").as("dist"))
-      .orderBy($"p_brand", $"k1", $"k2")
+    // answer-mass checkpoint before the output sort: the range sampler
+    // otherwise re-runs the 8M-pair join+lev pass (see operators.Answer)
+    Answer.sorted(matched, $"p_brand", $"k1", $"k2")
   }
 
   val q19Sql: String =
@@ -275,7 +279,7 @@ object TextQueries {
       .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
       .select($"p_partkey_a".cast("long").as("k1"),
         $"p_partkey_b".cast("long").as("k2"), $"score")
-      .orderBy($"k1", $"k2")
+      .transform(Answer.sorted(_, $"k1", $"k2"))
   }
 
   /** DuckDB mirror of [[biblioMeta]] (the shared m CTE body). */
@@ -444,7 +448,7 @@ object TextQueries {
       .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
       .select($"d1".cast("long").as("k1"), $"d2".cast("long").as("k2"),
         $"jac", $"score")
-      .orderBy($"k1", $"k2")
+      .transform(Answer.sorted(_, $"k1", $"k2"))
   }
 
   val q22Sql: String =
@@ -526,7 +530,7 @@ object TextQueries {
         $"end_page_a", $"end_page_b"))
       .filter($"score" >= graft.functions.BiblioMatch.MatchingThreshold)
       .select($"doi_a".as("doi"), $"p_partkey_b".cast("long").as("k2"), $"score")
-      .orderBy($"doi", $"k2")
+      .transform(Answer.sorted(_, $"doi", $"k2"))
   }
 
   val q60Sql: String =

@@ -28,6 +28,12 @@ object Lev {
 
   /** Distance, or -1 if `t >= 0` and the distance exceeds `t`. */
   def dist(a: UTF8String, b: UTF8String, t: Int): Int = {
+    // ASCII fast path (r18): for all-ASCII operands, bytes == UTF-16 units
+    // == code points, so the bit loop can run straight over the UTF8String
+    // bytes — no java.lang.String materialization (the toString pair was
+    // measured at ~2/3 of the kernel's per-call cost on the q19/q21 name
+    // workloads: decode + copy + alloc per operand per pair).
+    if (isAscii(a) && isAscii(b)) return distAscii(a, b, t)
     var p = a.toString
     var q = b.toString
     // surrogate fallback BEFORE any length math: UTF-16 lengths over- and
@@ -47,6 +53,75 @@ object Lev {
     }
     val score = myers64(p, q)
     if (t >= 0 && score > t) -1 else score
+  }
+
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** [[dist]] for all-ASCII operands, straight over the UTF8String bytes. */
+  private def distAscii(a: UTF8String, b: UTF8String, t: Int): Int = {
+    var p = a
+    var q = b
+    if (p.numBytes > q.numBytes) { val tmp = p; p = q; q = tmp }
+    val m = p.numBytes
+    val n = q.numBytes
+    if (t >= 0 && n - m > t) return -1
+    if (m == 0) return n
+    if (m > 64) {
+      return if (t >= 0) a.levenshteinDistance(b, t) else a.levenshteinDistance(b)
+    }
+    val score = myers64Ascii(p, m, q, n)
+    if (t >= 0 && score > t) -1 else score
+  }
+
+  /** Per-thread 128-entry pattern-mask table for [[myers64Ascii]]: one
+    * 1 KB allocation per task thread instead of per pair. Only the
+    * pattern's own positions are dirtied, and they are re-zeroed on exit,
+    * so the table is always all-zero between calls. */
+  private val asciiMasks = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
+  private def myers64Ascii(p: UTF8String, m: Int, q: UTF8String, n: Int): Int = {
+    val masks = asciiMasks.get()
+    var i = 0
+    while (i < m) {
+      masks(p.getByte(i)) |= 1L << i
+      i += 1
+    }
+    val last = 1L << (m - 1)
+    var pv = -1L
+    var mv = 0L
+    var score = m
+    var j = 0
+    while (j < n) {
+      val eq = masks(q.getByte(j))
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      var mh = pv & xh
+      if ((ph & last) != 0L) score += 1
+      if ((mh & last) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      pv = mh | ~(xv | ph)
+      mv = ph & xv
+      j += 1
+    }
+    // restore the all-zero invariant for the next call on this thread
+    i = 0
+    while (i < m) {
+      masks(p.getByte(i)) = 0L
+      i += 1
+    }
+    score
   }
 
   private def hasSurrogate(s: String): Boolean = {

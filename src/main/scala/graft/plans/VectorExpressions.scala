@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -430,6 +431,55 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
   }
+
+  /** The full weighted bibliographic matching score as ONE expression —
+    * [[BiblioScoreKernel.score]] over the twenty metadata strings. The
+    * equivalent Column tree (~100 Catalyst nodes) was measured at
+    * ~4.5 us/pair generated-code overhead on q21's verify, ~9x its three
+    * Levenshtein kernels; this keeps the whole score one JIT-compiled
+    * method. Never null (null operands score like empty strings, exactly
+    * like the tree's `isNotNull && length > 0` guards).
+    * BiblioScoreEquivalenceSpec pins kernel == tree bit-exactly. */
+  case class BiblioScore(children: Seq[Expression])
+      extends Expression with ExpectsInputTypes {
+    require(children.length == 20, s"BiblioScore takes 20 inputs, got ${children.length}")
+    override def inputTypes = Seq.fill(20)(StringType)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = children.forall(_.foldable)
+
+    override def eval(input: InternalRow): Any = {
+      val v = new Array[org.apache.spark.unsafe.types.UTF8String](20)
+      var i = 0
+      while (i < 20) {
+        v(i) = children(i).eval(input)
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        i += 1
+      }
+      BiblioScoreKernel.score(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7),
+        v(8), v(9), v(10), v(11), v(12), v(13), v(14), v(15), v(16), v(17),
+        v(18), v(19))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val evals = children.map(_.genCode(ctx))
+      val childCode = evals.map(_.code.toString).mkString("\n")
+      val args = evals
+        .map(e => s"(${e.isNull} ? null : ${e.value})").mkString(", ")
+      ev.copy(
+        code = code"""
+          |$childCode
+          |double ${ev.value} = graft.plans.BiblioScoreKernel.score($args);
+          """.stripMargin,
+        isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+  }
+
+  def biblioScore(cols: Seq[Column]): Column =
+    ColumnBridge.column(BiblioScore(cols.map(ColumnBridge.expression)))
 
   def lev(a: Column, b: Column): Column =
     ColumnBridge.column(BitParallelLevenshtein(

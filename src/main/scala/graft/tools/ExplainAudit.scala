@@ -23,6 +23,9 @@ object ExplainAudit {
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // audit the working pipeline, not the post-checkpoint Scan ExistingRDD
+    // (and keep this tool plan-only — the checkpoint is eager)
+    graft.operators.Answer.planAuditBypass = true
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString()

@@ -1040,7 +1040,11 @@ class OperatorsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("q61hotspec").toString
     (hot ++ clean).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val df = Dedup.substringDedup(spark, tmp)
+    // r18: walk the working pipeline, not the answer checkpoint's
+    // Scan ExistingRDD (operators.Answer.planAuditBypass)
+    graft.operators.Answer.planAuditBypass = true
+    val df = try Dedup.substringDedup(spark, tmp)
+      finally graft.operators.Answer.planAuditBypass = false
     // traverse THROUGH AdaptiveSparkPlanExec — a bare collect stops at
     // the AQE wrapper and sees no window at all
     def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -1074,7 +1078,13 @@ class OperatorsSpec extends AnyFunSuite {
     // honest 15s/599MB). Bench/ScaleBench therefore time
     // executedPlan.execute().count() — this guard pins that the harness
     // plan retains the operator's window + join.
-    val df = Dedup.substringDedup(spark, dir)
+    // r18: under the answer checkpoint the harness plan is a Scan
+    // ExistingRDD (the operator ran eagerly — count() can no longer prune
+    // anything); the pin below grades the un-truncated pipeline via the
+    // spec bypass, which is what the checkpoint materializes.
+    graft.operators.Answer.planAuditBypass = true
+    val df = try Dedup.substringDedup(spark, dir)
+      finally graft.operators.Answer.planAuditBypass = false
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Window"), "harness plan lost the frequency window")
     assert(plan.toLowerCase.contains("join"), "harness plan lost the final join")
