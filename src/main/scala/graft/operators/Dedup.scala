@@ -618,13 +618,15 @@ object Dedup {
     * shuffle_hash hint. Detection probability for a pair with Jaccard J
     * is 1-(1-J^rows)^bands; shuffle volume is O(docs * bands) rows
     * regardless of corpus size. Shared by the document-dedup path (q32)
-    * and the LSH-fronted bibliographic match (q22). */
-  /** The checkpointed (doc_id, band, bh) table: signature of bands*rows
-    * permutations, one bucket hash per band (xxhash64 of the band's row
-    * slice, salted by the band index). Base hashes are a per-element pmod
-    * over the already-hashed shingle array — cheap enough to inline into
-    * the signature projection; the checkpoint makes the signature subtree
-    * compute exactly once even when the table feeds both join sides. */
+    * and the LSH-fronted bibliographic match (q22). (r18: the "band table
+    * is checkpointed once" part of that old measurement is retired — the
+    * keyed repartition makes both join sides one ReusedExchange, which
+    * serves the compute-once purpose without materializing the frame.) */
+  /** The (doc_id, band, bh) table: signature of bands*rows permutations,
+    * one bucket hash per band (xxhash64 of the band's row slice, salted by
+    * the band index). Base hashes are a per-element pmod over the
+    * already-hashed shingle array — cheap enough to inline into the
+    * signature projection. */
   /** Array of `bands` 64-bit band keys from a minhash signature: band b's
     * key hashes signature rows [b*rows, (b+1)*rows) salted with b. */
   private[graft] def bandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -633,6 +635,13 @@ object Dedup {
 
   private def bandedSignatures(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
+    // STILL checkpointed after the r18 probe: dropping this in favor of
+    // exchange reuse was tried and reverted — the band self-join's two
+    // repartition exchanges do NOT collapse into one (plan_ids stay
+    // distinct even canonicalized under AQE), so without the checkpoint
+    // the signature subtree computes once per side. The r18 win here is
+    // upstream: the envelope branch no longer runs a count() job against
+    // this frame (rows = nDocs * bands by construction).
     sets.select($"doc_id",
         minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
       .select($"doc_id", posexplode(bandKeys($"sig", bands, rows)).as(Seq("band", "bh")))
@@ -891,10 +900,17 @@ object Dedup {
     lastSliceRun = null // stale state from a prior sliced run must not leak
     if (nDocs * bands <= maxBandedRows) {
       val banded = bandedSignatures(sets, bands, rows)
-      // banded is localCheckpointed — the count is a cached-scan, not a
-      // recompute. Repartitioning BY THE JOIN KEYS means the join reuses
-      // this exchange (distribution requirement already satisfied).
-      val nBanded = banded.count()
+      // banded rows = nDocs * bands EXACTLY (posexplode emits `bands` rows
+      // per doc) — no count job needed; r18 also dropped the checkpoint:
+      // the keyed repartition below is ONE physical exchange both join
+      // sides reuse (ReusedExchange), so the signature subtree still
+      // computes exactly once — without materializing 5M+ rows first.
+      // (A refine-first full-range slice — sliceCandidatePairsOnce(0,
+      // bands) — was measured 1.6x SLOWER here: sub-envelope the dedup
+      // exchange is memory-cheap while verify-per-occurrence nearly
+      // doubles the verify compute; refine-first only wins past the
+      // envelope where the exchange is the disk bomb.)
+      val nBanded = nDocs * bands
       val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
         math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
       val keyed = banded.repartition(parts, $"band", $"bh")

@@ -154,6 +154,28 @@ object PerfProbe {
       .filter($"dist" >= 0)
       .select($"k1", $"k2", $"dist"))
 
+    time("q19 v1d: +answer checkpoint, no sort")(q19join
+      .withColumn("dist", graft.plans.VectorExpressions.lev($"name1", $"name2", 8))
+      .filter($"dist" >= 0)
+      .select($"p_brand",
+        least($"k1", $"k2").cast("long").as("k1"),
+        greatest($"k1", $"k2").cast("long").as("k2"),
+        $"dist".cast("long").as("dist"))
+      .localCheckpoint())
+
+    // ---- q12 floor decomposition ----
+    time("q12 v1: scan+regex project only")(locally {
+      import graft.functions.CleaningColumns
+      graft.Tables.documents(spark, sfDir)
+        .select($"doc_id".cast("long").as("doc_id"),
+          CleaningColumns.removeAsciiCol(
+            CleaningColumns.normalizeSpacesCol(
+              CleaningColumns.normalizeHyphensCol(substring($"text", 1, 60)))).as("norm_prefix"),
+          upper($"lang").as("lang_u"))
+    })
+    time("q12 v2: full registered query")(
+      graft.SparkEntry.queries("q12_string_norm")(spark, sfDir))
+
     // ---- q01 decimal-aggregation decomposition ----
     def li = graft.Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))

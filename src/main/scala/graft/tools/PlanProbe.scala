@@ -23,6 +23,8 @@ object PlanProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // inspect the working pipeline, not the post-checkpoint RDD scan
+    graft.operators.Answer.planAuditBypass = true
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.collect()
