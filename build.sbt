@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r19 (VERDICT r18 #2: the driver's `sbt test` timed out): with plain
+// `Test / fork := true` sbt runs every suite SEQUENTIALLY in one forked
+// JVM at local[4] — 28 of the sandbox's 32 cores idle for the whole run.
+// One forked JVM per suite, up to (cores/4) groups in flight, keeps each
+// suite's local[4] session untouched while the suites themselves overlap.
+// Safe: no suite uses a catalog/metastore, fixed temp paths, or ports
+// (all temp dirs via Files.createTempDirectory, spark.ui disabled).
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+// sbt's default restrictions pin ForkedTestGroup to 1 (that alone forces
+// the sequential run); keep the default all-tasks bound, raise the group cap.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors),
+  Tags.limit(Tags.ForkedTestGroup,
+    math.max(2, java.lang.Runtime.getRuntime.availableProcessors / 4)))
 // The driver's bench capture parses the process's FINAL stdout line as
 // JSON. Under sbt's default LoggedOutput every forked-run line arrives
 // "[info] "-prefixed and sbt appends a "[success] Total time" epilogue —

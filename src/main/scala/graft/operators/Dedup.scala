@@ -618,10 +618,13 @@ object Dedup {
     * shuffle_hash hint. Detection probability for a pair with Jaccard J
     * is 1-(1-J^rows)^bands; shuffle volume is O(docs * bands) rows
     * regardless of corpus size. Shared by the document-dedup path (q32)
-    * and the LSH-fronted bibliographic match (q22). (r18: the "band table
-    * is checkpointed once" part of that old measurement is retired — the
-    * keyed repartition makes both join sides one ReusedExchange, which
-    * serves the compute-once purpose without materializing the frame.) */
+    * and the LSH-fronted bibliographic match (q22). (r18 tried to retire
+    * the checkpoint in favor of exchange reuse between the self-join's
+    * two repartition sides and REVERTED it: the two exchanges never
+    * collapse — distinct plan_ids under AQE even though the subtrees
+    * canonicalize equal — so without the checkpoint the signature
+    * subtree computes once per side. The checkpoint stays load-bearing;
+    * see [[bandedSignatures]].) */
   /** The (doc_id, band, bh) table: signature of bands*rows permutations,
     * one bucket hash per band (xxhash64 of the band's row slice, salted by
     * the band index). Base hashes are a per-element pmod over the
@@ -901,10 +904,11 @@ object Dedup {
     if (nDocs * bands <= maxBandedRows) {
       val banded = bandedSignatures(sets, bands, rows)
       // banded rows = nDocs * bands EXACTLY (posexplode emits `bands` rows
-      // per doc) — no count job needed; r18 also dropped the checkpoint:
-      // the keyed repartition below is ONE physical exchange both join
-      // sides reuse (ReusedExchange), so the signature subtree still
-      // computes exactly once — without materializing 5M+ rows first.
+      // per doc) — no count job needed. The banded frame itself stays
+      // localCheckpointed inside bandedSignatures: dropping it for
+      // exchange reuse was tried in r18 and REVERTED (the self-join's two
+      // repartition exchanges keep distinct plan_ids under AQE and never
+      // collapse, so the signature subtree would compute once per side).
       // (A refine-first full-range slice — sliceCandidatePairsOnce(0,
       // bands) — was measured 1.6x SLOWER here: sub-envelope the dedup
       // exchange is memory-cheap while verify-per-occurrence nearly

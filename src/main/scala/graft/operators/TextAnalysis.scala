@@ -43,7 +43,10 @@ object TextAnalysis {
     * (ties -> lexicographically first language). */
   def q36LangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
+    // single-row-group scan + heavy per-doc scoring kernel: fan out so the
+    // stopword-hit pass uses every core (Dedup.fanOutSmallScan; no-op at
+    // real corpus split counts) — r19 measured A/B
+    Dedup.fanOutSmallScan(documents(s, dir))
       .withColumn("best", langBestStruct(tokens($"text")))
       .select($"doc_id".cast("long").as("doc_id"),
         $"best.lang".as("pred_lang"), round($"best.score", 6).as("score"))
@@ -92,7 +95,7 @@ object TextAnalysis {
 
   def q37Quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
+    Dedup.fanOutSmallScan(documents(s, dir))
       .select(($"doc_id".cast("long").as("doc_id") +:
         qualitySignals($"text", tokens($"text"))): _*)
       .transform(Answer.sorted(_, $"doc_id"))
@@ -115,7 +118,7 @@ object TextAnalysis {
     * count (alnum runs + single non-alnum marks). */
   def q38TokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
+    Dedup.fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"),
         size(tokens($"text")).cast("long").as("ws_tokens"),
         size(regexp_extract_all($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
@@ -140,7 +143,7 @@ object TextAnalysis {
     val fp = aggregate(
       zip_with(hashed, sequence(lit(1), size(toks)), (h, p) => pmod(h * p, lit(1000003L))),
       lit(0L), (acc, v) => pmod(acc + v, lit(1000003L)))
-    documents(s, dir)
+    Dedup.fanOutSmallScan(documents(s, dir))
       .select($"doc_id".cast("long").as("doc_id"), fp.as("fingerprint"))
       .orderBy($"doc_id")
   }
@@ -411,7 +414,7 @@ object TextAnalysis {
 
   def q49Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
+    Dedup.fanOutSmallScan(documents(s, dir))
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
       .select(($"doc_id".cast("long").as("doc_id") +:
