@@ -562,14 +562,16 @@ object Dedup {
     val banded = bandedSignatures(sets, bands, rows)
     val newB = banded.filter($"doc_id" % newMod === 0)
     val oldB = banded.filter($"doc_id" % newMod =!= 0)
+    // joins on the band-salted bucket hash alone (bandedSignatures r19:
+    // the band index is folded into bh; candidates are exact-verified)
     val cross = oldB.as("o").hint("shuffle_hash").join(newB.as("nw"),
-        $"o.band" === $"nw.band" && $"o.bh" === $"nw.bh")
+        $"o.bh" === $"nw.bh")
       .select($"nw.doc_id".as("d1"), $"o.doc_id".as("d2"))
     // intra-batch pairs: two near-dups arriving in the same ingest batch
     // must still be caught — the batch is tiny, so this adds a small
     // self-join, never the old x old bulk
     val intra = newB.as("a").hint("shuffle_hash").join(newB.as("b"),
-        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+        $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
     val cand = cross.union(intra).distinct()
     jaccardVerify(cand, sets, threshold, nDocs)
@@ -638,16 +640,30 @@ object Dedup {
 
   private def bandedSignatures(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     import sets.sparkSession.implicits._
-    // STILL checkpointed after the r18 probe: dropping this in favor of
-    // exchange reuse was tried and reverted — the band self-join's two
-    // repartition exchanges do NOT collapse into one (plan_ids stay
-    // distinct even canonicalized under AQE), so without the checkpoint
-    // the signature subtree computes once per side. The r18 win here is
+    // STILL checkpointed after the r18 probe (re-confirmed r19, ~2.7x):
+    // dropping it in favor of exchange reuse was tried and reverted — the
+    // band self-join's two repartition exchanges do NOT collapse into one
+    // (plan_ids stay distinct even canonicalized under AQE), so without
+    // the checkpoint the bands*rows-hash-per-doc signature subtree
+    // computes once per side (Q22StageProbe r19: join+dedup 1.4 s
+    // checkpointed vs 4.4 s recomputed at local[32]). The r18 win here is
     // upstream: the envelope branch no longer runs a count() job against
     // this frame (rows = nDocs * bands by construction).
+    //
+    // r19: rows are (doc_id, bh) ONLY — the band index is folded into bh
+    // (bandKeys seeds xxhash64 with the band index, so bh is band-salted
+    // by construction). Joining on bh alone admits a cross-band collision
+    // with p = 2^-64 per row pair (~1e-6 expected birthday mass even at a
+    // 5 M-row frame), and every consumer exact-verifies and distincts its
+    // candidate pairs, so the pair set is unchanged while the checkpoint
+    // and the band exchange drop the 8 B/row band column and the join key
+    // narrows to one 64-bit word (Q22StageProbe: band join + dedup
+    // 1.61 -> 1.37 s). The SLICED branch keeps explicit band indices —
+    // its first-collision suppression predicate needs them
+    // (bandedSignaturesSlice).
     sets.select($"doc_id",
         minhashSignature(shingleBaseHashes($"hv"), bands, rows).as("sig"))
-      .select($"doc_id", posexplode(bandKeys($"sig", bands, rows)).as(Seq("band", "bh")))
+      .select($"doc_id", explode(bandKeys($"sig", bands, rows)).as("bh"))
       .localCheckpoint()
   }
 
@@ -917,10 +933,12 @@ object Dedup {
       val nBanded = nDocs * bands
       val parts = math.max(banded.sparkSession.sparkContext.defaultParallelism,
         math.min(4096, (nBanded / BandJoinRowsPerPartition).toInt + 1))
-      val keyed = banded.repartition(parts, $"band", $"bh")
+      // join on the band-salted bucket hash alone — see bandedSignatures
+      // for why the explicit band key is redundant here
+      val keyed = banded.repartition(parts, $"bh")
       refine(dedupPairs(
         keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
-            $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+            $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")),
         parts, "d1", "d2"))
     } else {
