@@ -391,16 +391,27 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, dir, n).cache()
-    val nDocs = sets.count()
     // verify INSIDE the band-group slices (answer-mass spill past the
     // disk envelope); the deterministic order the registered pair set
     // needs is restored after the cross-slice dedup
-    Answer.sorted(
-      lshCandidatePairsRefined(sets, bands, rows,
-        c => jaccardVerify(c, sets, threshold, nDocs, sorted = false),
-        nDocsKnown = nDocs),
+    Answer.sorted(minhashLshPairsUnsorted(s, dir, n, bands, rows, threshold),
       $"d1", $"d2")
+  }
+
+  /** [[minhashLshPairs]] without the trailing answer checkpoint + total
+    * sort — the cluster consumers (q42/q52) feed connected components,
+    * which neither needs order nor benefits from a second checkpoint
+    * (they materialize the pair set themselves). r19: the cluster paths
+    * previously paid the registered query's checkpoint + full pair sort
+    * and then re-materialized. */
+  private def minhashLshPairsUnsorted(s: SparkSession, dir: String, n: Int,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    import s.implicits._
+    val sets = shingleSets(s, dir, n).cache()
+    val nDocs = sets.count()
+    lshCandidatePairsRefined(sets, bands, rows,
+      c => jaccardVerify(c, sets, threshold, nDocs, sorted = false),
+      nDocsKnown = nDocs)
   }
 
   /** q42 — near-dup CLUSTERS: the dedup decision a training-data pipeline
@@ -417,16 +428,29 @@ object Dedup {
   def nearDupClusters(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val pairs = minhashLshPairs(s, dir, n, bands, rows, threshold)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+    Answer.sorted(
+      nearDupClusterIds(s, dir, n, bands, rows, threshold)
+        .withColumn("cluster_size", count(lit(1)).over(w)),
+      $"doc_id")
+  }
+
+  /** The (doc_id, cluster) CC labels q42's window/sort and q52's corpus
+    * join both ride on. Factored out (r19): q52 consumed the FULL
+    * [[nearDupClusters]] — whose eager answer checkpoint materializes
+    * the cluster_size window and the total sort — then dropped
+    * cluster_size and re-sorted after its join; column pruning cannot
+    * reach through the checkpoint's RDD scan, so that window + sort were
+    * executed for nothing. */
+  private def nearDupClusterIds(s: SparkSession, dir: String, n: Int,
+      bands: Int, rows: Int, threshold: Double): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairsUnsorted(s, dir, n, bands, rows, threshold)
       .select($"d1", $"d2").localCheckpoint()
     val membership = pairs.select($"d1".as("entity"), struct($"d1", $"d2").as("key"))
       .union(pairs.select($"d2".as("entity"), struct($"d1", $"d2").as("key")))
     val cc = graft.curation.ConnectedComponents.byShardKey(membership)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-    Answer.sorted(
-      cc.select($"entity".as("doc_id"), $"component".as("cluster"))
-        .withColumn("cluster_size", count(lit(1)).over(w)),
-      $"doc_id")
+    cc.select($"entity".as("doc_id"), $"component".as("cluster"))
   }
 
   /** q45 oracle — connected components over the exact cosine pair set
@@ -463,7 +487,10 @@ object Dedup {
     * label-propagation shuffles. */
   def embeddingClusters(s: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame =
-    clustersFromEmbeddingPairs(embeddingCosinePairs(s, dir, threshold))
+    // unsorted pair core (r19): CC needs no order, and the registered
+    // pair query's answer checkpoint + total sort were executed for
+    // nothing behind the cluster path's own materialization
+    clustersFromEmbeddingPairs(embeddingCosinePairsUnsorted(s, dir, threshold))
 
   /** The production twin of [[embeddingClusters]]: identical CC collapse
     * fed by [[embeddingCosinePairsLsh]] instead of the O(n²) all-pairs
@@ -473,14 +500,16 @@ object Dedup {
     * OperatorsSpec instead. */
   def embeddingClustersLsh(s: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame =
-    clustersFromEmbeddingPairs(embeddingCosinePairsLsh(s, dir, threshold))
+    clustersFromEmbeddingPairs(
+      embeddingCosinePairsLshFrom(normalizedEmbeddings(s, dir), threshold, 64, 4, 8))
 
   /** [[embeddingClustersLsh]] fed by the corpus-sized LSH operating point
     * ([[embeddingCosinePairsLshAuto]]) — identical at gate corpus sizes,
     * holds bucket occupancy constant as the corpus grows. */
   def embeddingClustersLshAuto(s: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame =
-    clustersFromEmbeddingPairs(embeddingCosinePairsLshAuto(s, dir, threshold))
+    clustersFromEmbeddingPairs(
+      embeddingCosinePairsLshAutoUnsorted(s, dir, threshold, 64))
 
   private def clustersFromEmbeddingPairs(pairsIn: DataFrame): DataFrame = {
     val s = pairsIn.sparkSession
@@ -1129,6 +1158,17 @@ object Dedup {
     * the oracle-checkable baseline. */
   def embeddingCosinePairs(s: SparkSession, dir: String, threshold: Double = 0.45): DataFrame = {
     import s.implicits._
+    embeddingCosinePairsUnsorted(s, dir, threshold)
+      .transform(Answer.sorted(_, $"v1", $"v2"))
+  }
+
+  /** [[embeddingCosinePairs]] without the trailing answer checkpoint +
+    * total sort — for the cluster consumer (q45), which feeds connected
+    * components and materializes the pair set itself (r19; same
+    * reasoning as [[minhashLshPairsUnsorted]]). */
+  private def embeddingCosinePairsUnsorted(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import s.implicits._
     // Materialize normalized vectors BEFORE the self-join: without the
     // checkpoint Catalyst inlines the normalization into the join and
     // recomputes it per pair (O(n^2 d) extra work, measured 10x slower).
@@ -1159,7 +1199,6 @@ object Dedup {
       .withColumn("cos", round($"rawcos", 6))
       .filter($"cos" >= threshold)
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"cos")
-      .transform(Answer.sorted(_, $"v1", $"v2"))
   }
 
   /** The PRODUCTION shape of embedding near-dup ([[embeddingCosinePairs]]
@@ -1190,11 +1229,23 @@ object Dedup {
     * point, so the recall spec gates both paths. */
   def embeddingCosinePairsLshAuto(s: SparkSession, dir: String,
       threshold: Double = 0.45, dim: Int = 64): DataFrame = {
-    val n = embeddings(s, dir).count()
+    import s.implicits._
+    Answer.sorted(embeddingCosinePairsLshAutoUnsorted(s, dir, threshold, dim),
+      $"v1", $"v2")
+  }
+
+  private def embeddingCosinePairsLshAutoUnsorted(s: SparkSession,
+      dir: String, threshold: Double, dim: Int): DataFrame = {
+    // r19: size the operating point from the SAME eagerly-checkpointed
+    // normalized frame the LSH then rides — the count is a cached-block
+    // scan instead of a second parquet scan + normalize pass (one full
+    // job saved at query construction)
+    val e = normalizedEmbeddings(s, dir)
+    val n = e.count()
     val extraBits = math.max(0,
       math.ceil(math.log(n / 2000.0) / math.log(2)).toInt)
     val nTables = math.ceil(8 * math.pow(1.0 / 0.65, extraBits)).toInt
-    embeddingCosinePairsLsh(s, dir, threshold, dim, 4 + extraBits, nTables)
+    embeddingCosinePairsLshFrom(e, threshold, dim, 4 + extraBits, nTables)
   }
 
   /** Verify-prefilter signature width: 16 longs (~128 B/row). Sizing: the
@@ -1252,14 +1303,31 @@ object Dedup {
     * boundary should use the exact anchor (q34/q45) — the tradeoff buys
     * the answer-mass-shaped vector fetch that keeps the 100x rung on
     * disk (SCALE.json). */
+  /** The eagerly-materialized (vec_id, normalized vector) frame every
+    * embedding operator starts from — factored out (r19) so the _auto
+    * twins can derive their operating point from its cached count
+    * instead of paying a second scan+normalize job. */
+  private def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select($"vec_id".cast("long").as("vec_id"),
+        Similarity.normalized($"embedding").as("nv"))
+      .localCheckpoint()
+  }
+
   def embeddingCosinePairsLsh(s: SparkSession, dir: String,
       threshold: Double = 0.45, dim: Int = 64,
       nBits: Int = 4, nTables: Int = 8): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, dir)
-      .select($"vec_id".cast("long").as("vec_id"),
-        Similarity.normalized($"embedding").as("nv"))
-      .localCheckpoint()
+    Answer.sorted(embeddingCosinePairsLshFrom(normalizedEmbeddings(s, dir),
+      threshold, dim, nBits, nTables), $"v1", $"v2")
+  }
+
+  private def embeddingCosinePairsLshFrom(e: DataFrame,
+      threshold: Double, dim: Int,
+      nBits: Int, nTables: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     // STAGED VERIFY — the q22 sizes-before-arrays discipline applied to
     // embeddings, pushed INTO the band join: each banded row carries its
     // 16-long packed sign signature (~128 B — 4x smaller than the
@@ -1340,7 +1408,6 @@ object Dedup {
       .withColumn("cos", round($"rawcos", 6))
       .filter($"cos" >= threshold)
       .select($"v1", $"v2", $"cos")
-      .transform(Answer.sorted(_, $"v1", $"v2"))
   }
 
   /** q51 — cross-document duplicated-chunk fraction: for each document,
@@ -1541,8 +1608,10 @@ object Dedup {
   def dedupCorpus(s: SparkSession, dir: String, n: Int = 5,
       bands: Int = 32, rows: Int = 4, threshold: Double = 0.8): DataFrame = {
     import s.implicits._
-    val clusters = nearDupClusters(s, dir, n, bands, rows, threshold)
-      .select($"doc_id", $"cluster")
+    // the raw CC labels — NOT the registered q42 frame, whose eager
+    // checkpoint would execute a cluster_size window and a total sort
+    // this query never reads (see nearDupClusterIds)
+    val clusters = nearDupClusterIds(s, dir, n, bands, rows, threshold)
     documents(s, dir)
       .select($"doc_id".cast("long").as("doc_id"))
       .join(clusters, Seq("doc_id"), "left")

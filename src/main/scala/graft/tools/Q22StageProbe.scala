@@ -104,6 +104,26 @@ object Q22StageProbe {
           .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
           .repartition(parts, $"d1", $"d2").distinct())
       }
+      // variant v4: checkpoint (doc_id, array<bh>) — nDocs rows instead of
+      // nDocs*bands (row overhead dominates tiny-row checkpoints); each
+      // join side explodes after the checkpoint read
+      val bandedV4 = timed(s"t$trial v4 banded packed (sig+ckpt, no explode)") {
+        sets.select($"doc_id",
+            Dedup.bandKeys(
+              Dedup.minhashSignature(Dedup.shingleBaseHashes($"hv"), bands, rows),
+              bands, rows).as("bhs"))
+          .localCheckpoint()
+      }
+      timed(s"t$trial v4 explode+join+dedup (packed ckpt)") {
+        val parts = math.max(spark.sparkContext.defaultParallelism,
+          math.min(4096, (nRecords * bands / 1500000L).toInt + 1))
+        val keyed = bandedV4.select($"doc_id", explode($"bhs").as("bh"))
+          .repartition(parts, $"bh")
+        mat(keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+            $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .repartition(parts, $"d1", $"d2").distinct())
+      }
       // stage: candidates + jaccard refine (the production funnel shape)
       timed(s"t$trial candidates+refine (production)") {
         mat(Dedup.lshCandidatePairsRefined(sets, bands, rows,
