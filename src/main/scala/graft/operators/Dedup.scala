@@ -204,6 +204,19 @@ object Dedup {
     val sets = shingleSets(s, dir, n).cache()
     val nDocs = sets.count()
     val ex = sets.select($"doc_id", explode($"hv").as("sg"))
+    // NEGATIVE RESULT (r19, kept as documentation): replacing this
+    // count(*) window with a two-level groupBy + shuffle-hash LEFT ANTI
+    // against the over-cap shingle set (the q61 r16 treatment — the
+    // window buffers a hot shingle's every occurrence in one WindowExec
+    // group) measured 1.59 -> 2.05 s warm at local[32]/sf0.1 even with
+    // the hot set checkpointed once: the window's sg exchange is REUSED
+    // by the candidate self-join below (same clustering), while the
+    // anti shape adds agg+anti machinery per join side. The hot-key
+    // buffering stays a theoretical 100-TB hazard here, bounded in
+    // practice because the window's group payload is this operator's
+    // own quadratic-bucket problem: any shingle hot enough to hurt the
+    // window breaks the uncapped candidate join first, and the CAPPED
+    // twin exists precisely to be re-shaped at that scale.
     val exr = if (dfCap > 0) {
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"sg")
       ex.withColumn("df", count(lit(1)).over(w)).filter($"df" <= dfCap).drop("df")

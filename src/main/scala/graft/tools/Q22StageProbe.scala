@@ -109,9 +109,8 @@ object Q22StageProbe {
       // join side explodes after the checkpoint read
       val bandedV4 = timed(s"t$trial v4 banded packed (sig+ckpt, no explode)") {
         sets.select($"doc_id",
-            Dedup.bandKeys(
-              Dedup.minhashSignature(Dedup.shingleBaseHashes($"hv"), bands, rows),
-              bands, rows).as("bhs"))
+            Dedup.minhashSignature(Dedup.shingleBaseHashes($"hv"), bands, rows).as("sig"))
+          .select($"doc_id", Dedup.bandKeys($"sig", bands, rows).as("bhs"))
           .localCheckpoint()
       }
       timed(s"t$trial v4 explode+join+dedup (packed ckpt)") {
